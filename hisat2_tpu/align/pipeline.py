@@ -1,0 +1,206 @@
+"""End-to-end batched alignment pipeline (driver + device step).
+
+This is the TPU-native equivalent of the reference's per-thread worker loop
+(multiseedSearchWorker_hisat2, /root/reference/hisat2.cpp:3051-3520) and
+HI_Aligner::go (hi_aligner.h:3874): instead of one read per thread iterating
+search->resolve->extend with data-dependent control flow, a whole batch of
+reads (x2 orientations) runs each stage as one fused device computation:
+
+  encode batch -> [device] partial_search (wavefront LF)
+               -> [device] resolve rows -> joined offsets
+               -> [device] ungapped extension scoring
+               -> [host]   dedup / select<=k / MAPQ / SAM fields
+
+Selection semantics follow AlnSinkWrap::finishRead (aln_sink.h:1054-1360):
+up to k alignments sorted by score (deterministic tie-break by coordinate),
+NH = number reported, secondary flag on all but the first, MAPQ from
+best/secbest via mapq.mapq_v2.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.format import FMIndex
+from ..ops import extend as extend_ops
+from ..ops import resolve as resolve_ops
+from ..ops import search as search_ops
+from ..utils import bitops
+from . import mapq as mapq_mod
+from .scoring import Scoring
+
+
+@dataclasses.dataclass
+class Alignment:
+    """One reported alignment (AlnRes equivalent, aligner_result.h)."""
+    read_idx: int
+    rc: bool              # reverse-complement orientation
+    ref_id: int
+    ref_pos: int          # 0-based position on the reference sequence
+    joined_pos: int
+    score: int
+    n_mm: int
+    n_n: int
+    mapq: int
+    nh: int
+    secondary: bool
+
+
+@dataclasses.dataclass
+class BatchResult:
+    alignments: list          # list[list[Alignment]] per read
+    n_reads: int
+
+    @property
+    def n_aligned(self):
+        return sum(1 for a in self.alignments if a)
+
+    @property
+    def n_unique(self):
+        return sum(1 for a in self.alignments if a and a[0].nh == 1)
+
+    @property
+    def n_multi(self):
+        return sum(1 for a in self.alignments if a and a[0].nh > 1)
+
+
+class TPUAligner:
+    """Holds the device-resident index + jitted batch step."""
+
+    def __init__(self, index: FMIndex, scoring: Optional[Scoring] = None,
+                 k: int = 5, max_hits: int = 8, min_hit_len: int = 16,
+                 cand_per_hit: int = 8, no_fw: bool = False,
+                 no_rc: bool = False):
+        self.meta = index.meta
+        self.scoring = scoring or Scoring()
+        self.k = k
+        self.max_hits = max_hits
+        self.min_hit_len = min_hit_len
+        self.cand_per_hit = cand_per_hit
+        self.no_fw = no_fw
+        self.no_rc = no_rc
+        self.dev = index.to_device()
+        # host copies for SAM field generation (MD/ref lookup)
+        self.ref_codes = bitops.unpack_2bit(
+            np.asarray(index.ref_words), index.meta.n)
+        self.frag_joined = np.asarray(index.frag_joined)
+        self.frag_ref = np.asarray(index.frag_ref)
+        self.frag_off = np.asarray(index.frag_off)
+        self.mm_pen = jnp.asarray(self.scoring.mm_pen_table())
+        self._device_step = jax.jit(self._align_device)
+
+    # ------------------------------------------------------------------
+    def _align_device(self, reads, quals, lens):
+        """Device computation for one batch: [B, L] -> candidate arrays.
+
+        Lanes 0..B-1 are forward, B..2B-1 reverse-complement."""
+        d, meta = self.dev, self.meta
+        B, L = reads.shape
+        col = jnp.arange(L, dtype=jnp.int32)[None, :]
+        idxr = lens[:, None] - 1 - col
+        ok = idxr >= 0
+        g = jnp.take_along_axis(reads, jnp.maximum(idxr, 0), axis=1)
+        rc = jnp.where(ok & (g < 4), 3 - g, jnp.int32(4))
+        qr = jnp.where(ok, jnp.take_along_axis(
+            quals, jnp.maximum(idxr, 0), axis=1), 0)
+        ar = jnp.concatenate([reads, rc]).astype(jnp.int32)
+        aq = jnp.concatenate([quals, qr]).astype(jnp.int32)
+        al = jnp.concatenate([lens, lens]).astype(jnp.int32)
+
+        hits = search_ops.partial_search(
+            d.bwt_words, d.occ, d.fchr, meta.zrow, meta.rows, ar, al,
+            self.max_hits, self.min_hit_len)
+
+        H, P = self.max_hits, self.cand_per_hit
+        w = hits.bot - hits.top                                   # [2B, H]
+        hv = jnp.arange(H, dtype=jnp.int32)[None, :] < hits.nh[:, None]
+        j = jnp.arange(P, dtype=jnp.int32)
+        rowm = hits.top[:, :, None] + j[None, None, :]            # [2B,H,P]
+        cval = hv[:, :, None] & (j[None, None, :] < w[:, :, None])
+        rows_flat = jnp.where(cval, rowm, 0).reshape(-1)
+        offs = resolve_ops.resolve_rows(
+            d.bwt_words, d.occ, d.fchr, d.mark_words, d.mark_chk,
+            d.sa_marked, meta.zrow, meta.off_rate, rows_flat)
+        lane = jnp.broadcast_to(
+            jnp.arange(2 * B, dtype=jnp.int32)[:, None, None],
+            (2 * B, H, P)).reshape(-1)
+        lo = jnp.broadcast_to(hits.lo[:, :, None], (2 * B, H, P)).reshape(-1)
+        starts = offs - lo
+        cv = cval.reshape(-1)
+        ext = extend_ops.extend_ungapped(
+            d.ref_words, meta.n, ar, aq, al, lane,
+            jnp.where(cv, starts, -1), self.mm_pen, self.scoring.n_pen)
+        return (starts, lane, ext.score, ext.n_mm, ext.n_n, cv & ext.ok)
+
+    # ------------------------------------------------------------------
+    def align_batch(self, codes: np.ndarray, quals: np.ndarray,
+                    lens: np.ndarray) -> BatchResult:
+        """Align one padded batch; returns per-read alignment lists."""
+        B = codes.shape[0]
+        starts, lane, score, n_mm, n_n, valid = (
+            np.asarray(x) for x in self._device_step(
+                jnp.asarray(codes, jnp.int32), jnp.asarray(quals, jnp.int32),
+                jnp.asarray(lens, jnp.int32)))
+        # host-side policy filters
+        minsc = np.array([self.scoring.min_score(int(l)) for l in lens],
+                         np.int64)
+        maxn = np.array([self.scoring.max_n(int(l)) for l in lens], np.int64)
+        read_of_lane = lane % B
+        is_rc = lane >= B
+        if self.no_fw:
+            valid = valid & is_rc
+        if self.no_rc:
+            valid = valid & ~is_rc
+        valid = valid & (score >= minsc[read_of_lane]) \
+            & (n_n <= maxn[read_of_lane])
+
+        sel = np.flatnonzero(valid)
+        per_read = [[] for _ in range(B)]
+        if sel.size:
+            r = read_of_lane[sel]
+            o = is_rc[sel].astype(np.int64)
+            s = starts[sel].astype(np.int64)
+            sc = score[sel].astype(np.int64)
+            # dedup identical (read, orient, start); then sort by
+            # (read, -score, start, orient) for deterministic selection
+            key_dedup = ((r * 2 + o) << 33) + s
+            _, first = np.unique(key_dedup, return_index=True)
+            idx = sel[first]
+            r, o, s = read_of_lane[idx], is_rc[idx], starts[idx].astype(np.int64)
+            sc = score[idx].astype(np.int64)
+            order = np.lexsort((o, s, -sc, r))
+            idx, r, o, s, sc = idx[order], r[order], o[order], s[order], sc[order]
+            # per-read segment boundaries
+            bnd = np.flatnonzero(np.diff(r, prepend=-1))
+            for seg_i, b0 in enumerate(bnd):
+                b1 = bnd[seg_i + 1] if seg_i + 1 < len(bnd) else len(r)
+                rd = int(r[b0])
+                n_cand = b1 - b0
+                n_rep = min(self.k, n_cand)
+                best = int(sc[b0])
+                secbest = int(sc[b0 + 1]) if n_cand > 1 else 0
+                mq = int(mapq_mod.mapq_v2(
+                    np.array([best]), np.array([secbest]),
+                    np.array([n_cand > 1]),
+                    np.array([self.scoring.perfect_score(int(lens[rd]))]),
+                    np.array([minsc[rd]]))[0])
+                for a_i in range(n_rep):
+                    i = b0 + a_i
+                    jpos = int(s[i])
+                    span = int(lens[rd])
+                    f = np.searchsorted(self.frag_joined, jpos, "right") - 1
+                    ref_id = int(self.frag_ref[f])
+                    ref_pos = int(self.frag_off[f]) + jpos - int(self.frag_joined[f])
+                    per_read[rd].append(Alignment(
+                        read_idx=rd, rc=bool(o[i]), ref_id=ref_id,
+                        ref_pos=ref_pos, joined_pos=jpos, score=int(sc[i]),
+                        n_mm=int(n_mm[idx[a_i + b0]]),
+                        n_n=int(n_n[idx[a_i + b0]]),
+                        mapq=mq, nh=n_rep, secondary=a_i > 0))
+        return BatchResult(alignments=per_read, n_reads=B)

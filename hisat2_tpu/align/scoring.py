@@ -1,0 +1,83 @@
+"""Alignment scoring policy (reference: /root/reference/scoring.{h,cpp}).
+
+Defaults replicate HISAT2 end-to-end scoring (scoring.h:29-87,
+hisat2.cpp:414-432):
+  match bonus 0, mismatch penalty MX,MN = 6,2 scaled by quality
+  (COST_MODEL_QUAL, scoring.h:107-131: pen = MN + trunc(min(q,40)/40*(MX-MN))),
+  N penalty 1 (constant), read/ref gap open 5 extend 3,
+  score-min L,0,-0.2 (SimpleFunc linear, simple_func.h).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class SimpleFunc:
+    """const/linear/log/sqrt function of read length (simple_func.h)."""
+    kind: str = "L"          # C, L, S, G
+    const: float = 0.0
+    coef: float = 0.0
+
+    def __call__(self, x: float) -> float:
+        if self.kind == "C":
+            return self.const
+        if self.kind == "L":
+            return self.const + self.coef * x
+        if self.kind == "S":
+            return self.const + self.coef * math.sqrt(x)
+        if self.kind == "G":
+            return self.const + self.coef * math.log(x)
+        raise ValueError(self.kind)
+
+    @staticmethod
+    def parse(spec: str) -> "SimpleFunc":
+        kind, const, coef = spec.split(",")
+        return SimpleFunc(kind, float(const), float(coef))
+
+
+@dataclasses.dataclass(frozen=True)
+class Scoring:
+    match_bonus: int = 0             # end-to-end default (scoring.h:30)
+    mm_max: int = 6                  # --mp 6,2
+    mm_min: int = 2
+    n_pen: int = 1                   # --np 1
+    rd_gap_open: int = 5             # --rdg 5,3
+    rd_gap_ext: int = 3
+    rf_gap_open: int = 5             # --rfg 5,3
+    rf_gap_ext: int = 3
+    score_min: SimpleFunc = SimpleFunc("L", 0.0, -0.2)   # --score-min
+    n_ceil: SimpleFunc = SimpleFunc("L", 0.0, 0.15)      # --n-ceil
+    ignore_quals: bool = False
+    # spliced-alignment penalties (tp.h / hisat2.cpp:481-492), used by the
+    # splice layer:
+    pen_can_splice: int = 0
+    pen_noncan_splice: int = 12
+    pen_can_intron_len: SimpleFunc = SimpleFunc("G", -8.0, 1.0)
+    pen_noncan_intron_len: SimpleFunc = SimpleFunc("G", -8.0, 1.0)
+    min_intron_len: int = 20
+    max_intron_len: int = 500000
+
+    def mm_pen_table(self) -> np.ndarray:
+        """Penalty per quality value 0..63 (scoring.h initPens, QUAL model)."""
+        q = np.minimum(np.arange(64), 40)
+        if self.ignore_quals:
+            return np.full(64, self.mm_max, np.int32)
+        return (self.mm_min
+                + (q / 40.0 * (self.mm_max - self.mm_min)).astype(np.int32)
+                ).astype(np.int32)
+
+    def min_score(self, rdlen: int) -> int:
+        # SimpleFunc::f returns float; the caller casts to TAlScore
+        # (C truncation toward zero), hisat2.cpp:3276
+        return int(self.score_min(float(rdlen)))
+
+    def perfect_score(self, rdlen: int) -> int:
+        return self.match_bonus * rdlen
+
+    def max_n(self, rdlen: int) -> int:
+        return min(int(self.n_ceil(float(rdlen))), rdlen)

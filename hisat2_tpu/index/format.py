@@ -1,0 +1,111 @@
+"""TPU-native FM index: dense-array layout + on-disk .npz format.
+
+This replaces the reference's pointer-rich blocked "side" layout
+(/root/reference/gfm.h:147-182, 325-520) with a flat two-level structure that
+maps directly onto HBM and lane-parallel rank queries:
+
+  bwt_words   uint32[nwords]      2-bit BWT chars, 16/word (row-major)
+  occ         int32[nblocks+1,4]  absolute char counts at each 128-row block
+                                  boundary ('$' excluded, like countBt2Side)
+  mark_words  uint32[nblocks*4]   1 bit per row: SA[row] % 2^offrate == 0.
+                                  Sampling by *text position* (not row index)
+                                  bounds the resolve walk at 2^offrate LF
+                                  steps — a static loop bound for the device
+                                  kernel, unlike the reference's walkLeft
+                                  (gfm.h:2374) whose tail is unbounded.
+  mark_chk    int32[nblocks+1]    rank checkpoints over mark_words
+  sa_marked   int32[n_marked]     SA values of marked rows, in row order
+  ftab_top/bot int32[4^ftab_k]    k-mer jumpstart ranges (gfm.h ftabLoHi)
+  fchr        int32[5]            cumulative char counts C[] (gfm.h _fchr)
+  ref_words   uint32[...]         2-bit packed joined reference text
+                                  (BitPairReference equivalent, reference.h:59)
+  frag_joined int32[F+1]          fragment starts in joined space (+sentinel)
+  frag_ref    int32[F]            fragment -> reference id
+  frag_off    int32[F]            fragment start in reference coordinates
+                                  (rstarts equivalent, gfm.h:2526 joinedToTextOff)
+
+Rows R = n + 1 (text + sentinel).  Row `zrow` is the BWT position of '$'
+(SA[zrow] == 0); its packed slot stores 0 and rank queries correct for it
+(the reference stores $ positions in _zOffs, gfm.h:739).
+
+All row/offset arrays are int32: a single index covers texts < 2^31 bp
+(every local index and all chromosomes; whole-genome scale shards across
+local indexes like the reference HGFM, hier_idx_common.h:24-31).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+import numpy as np
+
+BLOCK_BASES = 128           # rank checkpoint interval (rows per occ block)
+WORDS_PER_BLOCK = BLOCK_BASES // 16
+DEFAULT_OFF_RATE = 5        # SA sampled every 32 rows   (gfm.h:3909)
+DEFAULT_FTAB_K = 10         # global k-mer jumpstart     (hisat2_build.cpp:101)
+
+
+@dataclasses.dataclass(frozen=True)
+class FMMeta:
+    """Static (hashable) index geometry — safe to close over in jit."""
+    n: int                  # joined text length (bases)
+    rows: int               # n + 1
+    zrow: int               # BWT row of '$'
+    off_rate: int
+    ftab_k: int
+    ref_names: tuple[str, ...]
+    ref_lens: tuple[int, ...]
+
+    @property
+    def off_mask(self) -> int:
+        return (1 << self.off_rate) - 1
+
+
+@dataclasses.dataclass
+class FMIndex:
+    """Array bundle (host numpy or device jnp) + static meta."""
+    meta: FMMeta
+    bwt_words: Any          # uint32 [nblocks * WORDS_PER_BLOCK]
+    occ: Any                # int32  [nblocks + 1, 4]
+    mark_words: Any         # uint32 [nblocks * 4]
+    mark_chk: Any           # int32  [nblocks + 1]
+    sa_marked: Any          # int32  [n_marked]
+    ftab_top: Any           # int32  [4^ftab_k]
+    ftab_bot: Any           # int32  [4^ftab_k]
+    fchr: Any               # int32  [5]
+    ref_words: Any          # uint32 [ceil(n/16)]
+    frag_joined: Any        # int32  [F + 1]
+    frag_ref: Any           # int32  [F]
+    frag_off: Any           # int32  [F]
+
+    def arrays(self) -> dict[str, Any]:
+        return {f.name: getattr(self, f.name)
+                for f in dataclasses.fields(self) if f.name != "meta"}
+
+    def to_device(self):
+        """Upload all arrays to the default device as jnp arrays."""
+        import jax.numpy as jnp
+        kw = {k: jnp.asarray(v) for k, v in self.arrays().items()}
+        return FMIndex(meta=self.meta, **kw)
+
+    # ---- persistence (native format) ------------------------------------
+    def save(self, path: str) -> None:
+        meta = dataclasses.asdict(self.meta)
+        np.savez(path if path.endswith(".npz") else path + ".npz",
+                 __meta__=np.frombuffer(
+                     json.dumps(meta).encode(), dtype=np.uint8),
+                 **{k: np.asarray(v) for k, v in self.arrays().items()})
+
+    @staticmethod
+    def load(path: str) -> "FMIndex":
+        if not path.endswith(".npz"):
+            path = path + ".npz"
+        with np.load(path) as z:
+            meta_d = json.loads(bytes(z["__meta__"]).decode())
+            meta_d["ref_names"] = tuple(meta_d["ref_names"])
+            meta_d["ref_lens"] = tuple(meta_d["ref_lens"])
+            meta = FMMeta(**meta_d)
+            kw = {k: z[k] for k in z.files if k != "__meta__"}
+        return FMIndex(meta=meta, **kw)

@@ -1,0 +1,98 @@
+"""Batched rank / LF-mapping primitives (jnp; the hot inner ops).
+
+These are the TPU-native equivalents of the reference's per-row side walk:
+  countBt2Side  (/root/reference/gfm.h:2557-2625)  -> rank()
+  mapLF         (/root/reference/gfm.h:3280-3357)  -> lf()
+Every function is vectorized over a lane axis: one call advances a whole
+batch of rows.  rank = occ checkpoint (gather) + masked popcount over the
+8 packed uint32 words of a 128-row block; XLA fuses the bit-math into a few
+VPU ops per lane, the HBM traffic is the two gathers.
+
+All row indices are int32; packed words are uint32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..index.format import WORDS_PER_BLOCK
+
+_PAIR_LO = jnp.uint32(0x55555555)
+_FULL = jnp.uint32(0xFFFFFFFF)
+_WOFF = None  # lazily built [1, 8] iota (avoids retracing constants)
+
+
+def _word_offsets():
+    return jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32)[None, :]
+
+
+def rank(bwt_words, occ, zrow: int, i, c):
+    """# occurrences of char c in bwt[0:i), '$' excluded.  i,c: int32 [B]."""
+    blk = i >> 7
+    within = i & 127
+    base = occ[blk, c]
+    w = bwt_words[(blk << 3)[:, None] + _word_offsets()]          # [B, 8]
+    pat = (c.astype(jnp.uint32) * _PAIR_LO)[:, None]
+    x = ~(w ^ pat)
+    pairs = x & (x >> jnp.uint32(1)) & _PAIR_LO                    # 1/match-pair
+    nvalid = jnp.clip(within[:, None] - 16 * _word_offsets(), 0, 16)
+    shift = jnp.minimum(2 * nvalid, 31).astype(jnp.uint32)
+    mask = jnp.where(nvalid >= 16, _FULL,
+                     (jnp.uint32(1) << shift) - jnp.uint32(1))
+    cnt = jax.lax.population_count(pairs & mask).astype(jnp.int32).sum(axis=1)
+    # '$' is packed as char 0 at zrow; the occ checkpoints exclude it, so the
+    # phantom only appears in the in-block popcount: subtract when zrow lies
+    # in [block_start, i).
+    corr = ((c == 0) & (zrow >= (blk << 7)) & (i > zrow)).astype(jnp.int32)
+    return base + cnt - corr
+
+
+def lf(bwt_words, occ, fchr, zrow: int, i, c):
+    """LF mapping: row of the suffix obtained by prepending char c."""
+    return fchr[c] + rank(bwt_words, occ, zrow, i, c)
+
+
+def lf_range(bwt_words, occ, fchr, zrow: int, top, bot, c):
+    """One backward-search step on [top, bot) ranges (2 rank queries/lane)."""
+    i2 = jnp.concatenate([top, bot])
+    c2 = jnp.concatenate([c, c])
+    r = lf(bwt_words, occ, fchr, zrow, i2, c2)
+    b = top.shape[0]
+    return r[:b], r[b:]
+
+
+def bwt_char(bwt_words, i):
+    """BWT char at row i (the '$' slot reads as 0; callers guard via marks)."""
+    w = bwt_words[i >> 4]
+    return ((w >> (2 * (i & 15)).astype(jnp.uint32)) & jnp.uint32(3)
+            ).astype(jnp.int32)
+
+
+def mark_rank(mark_words, mark_chk, i):
+    """# of marked rows in [0, i): checkpoint + masked popcount over the
+    4 mark words of the row's 128-row block."""
+    blk = i >> 7
+    base = mark_chk[blk]
+    woff = jnp.arange(4, dtype=jnp.int32)[None, :]
+    w = mark_words[(blk << 2)[:, None] + woff]                    # [B, 4]
+    within = i & 127
+    nvalid = jnp.clip(within[:, None] - 32 * woff, 0, 32)
+    shift = jnp.minimum(nvalid, 31).astype(jnp.uint32)
+    mask = jnp.where(nvalid >= 32, _FULL,
+                     (jnp.uint32(1) << shift) - jnp.uint32(1))
+    cnt = jax.lax.population_count(w & mask).astype(jnp.int32).sum(axis=1)
+    return base + cnt
+
+
+def is_marked(mark_words, i):
+    w = mark_words[i >> 5]
+    return ((w >> (i & 31).astype(jnp.uint32)) & jnp.uint32(1)) != 0
+
+
+def ref_char(ref_words, pos):
+    """Joined-reference char at position pos (2-bit gather; getStretch
+    equivalent, /root/reference/reference.h:59)."""
+    w = ref_words[pos >> 4]
+    return ((w >> (2 * (pos & 15)).astype(jnp.uint32)) & jnp.uint32(3)
+            ).astype(jnp.int32)

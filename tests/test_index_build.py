@@ -1,0 +1,83 @@
+"""Index construction correctness vs naive oracles."""
+
+import numpy as np
+
+from hisat2_tpu.index.builder import build_fm_index, suffix_array
+from hisat2_tpu.utils import bitops
+
+
+def naive_sa(text):
+    n = len(text)
+    suf = [tuple(text[i:]) + (-1,) for i in range(n)] + [(-1,)]
+    return np.array(sorted(range(n + 1), key=lambda i: suf[i]), np.int32)
+
+
+def test_suffix_array_matches_naive(rng):
+    for n in [1, 2, 5, 37, 200]:
+        t = rng.integers(0, 4, n).astype(np.uint8)
+        np.testing.assert_array_equal(suffix_array(t), naive_sa(t))
+
+
+def test_pack_roundtrip(rng):
+    c = rng.integers(0, 4, 1000).astype(np.uint8)
+    assert np.array_equal(bitops.unpack_2bit(bitops.pack_2bit(c), 1000), c)
+
+
+def test_occ_checkpoints(small_index):
+    idx, seq = small_index
+    sa = suffix_array(seq)
+    # reconstruct bwt
+    bwt = np.where(sa > 0, seq[np.maximum(sa - 1, 0)], 0)
+    zrow = int(np.flatnonzero(sa == 0)[0])
+    for blk in [0, 1, 3, 10, len(idx.occ) - 1]:
+        hi = min(blk * 128, len(sa))
+        for c in range(4):
+            expect = int((bwt[:hi] == c).sum())
+            if c == 0 and zrow < hi:
+                expect -= 1
+            assert idx.occ[blk, c] == expect
+
+
+def test_fchr(small_index):
+    idx, seq = small_index
+    counts = np.bincount(seq, minlength=4)
+    assert idx.fchr[0] == 1
+    np.testing.assert_array_equal(np.diff(idx.fchr), counts)
+
+
+def test_ftab_matches_text_occurrences(small_index):
+    idx, seq = small_index
+    k = idx.meta.ftab_k
+    # count occurrences of a few random k-mers by brute force
+    r = np.random.default_rng(7)
+    windows = np.lib.stride_tricks.sliding_window_view(seq, k)
+    pows = 4 ** np.arange(k - 1, -1, -1)
+    wkeys = windows.astype(np.int64) @ pows
+    for _ in range(20):
+        m = int(r.integers(0, 4 ** k))
+        expect = int((wkeys == m).sum())
+        assert int(idx.ftab_bot[m] - idx.ftab_top[m]) == expect
+
+
+def test_fragments(multi_index):
+    idx, seqs = multi_index
+    # joined text excludes N runs; check a fragment's content round-trips
+    joined = bitops.unpack_2bit(np.asarray(idx.ref_words), idx.meta.n)
+    fj, fr, fo = idx.frag_joined, idx.frag_ref, idx.frag_off
+    assert len(fr) >= 3
+    for f in range(len(fr)):
+        span = fj[f + 1] - fj[f]
+        frag = joined[fj[f]:fj[f + 1]]
+        orig = seqs[fr[f]][fo[f]:fo[f] + span]
+        np.testing.assert_array_equal(frag, orig)
+
+
+def test_save_load_roundtrip(tmp_path, small_index):
+    idx, _ = small_index
+    p = str(tmp_path / "idx")
+    idx.save(p)
+    from hisat2_tpu.index.format import FMIndex
+    idx2 = FMIndex.load(p)
+    assert idx2.meta == idx.meta
+    for k, v in idx.arrays().items():
+        np.testing.assert_array_equal(v, getattr(idx2, k))

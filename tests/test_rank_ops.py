@@ -1,0 +1,90 @@
+"""Device rank/LF/resolve kernels vs naive host oracles."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from hisat2_tpu.index.builder import suffix_array
+from hisat2_tpu.ops import rank as rk
+from hisat2_tpu.ops import resolve as rs
+
+
+def _bwt_of(seq):
+    sa = suffix_array(seq)
+    bwt = np.where(sa > 0, seq[np.maximum(sa - 1, 0)], 0)
+    zrow = int(np.flatnonzero(sa == 0)[0])
+    return sa, bwt, zrow
+
+
+def test_rank_matches_naive(small_index, rng):
+    idx, seq = small_index
+    sa, bwt, zrow = _bwt_of(seq)
+    rows = idx.meta.rows
+    i = rng.integers(0, rows + 1, 500).astype(np.int32)
+    c = rng.integers(0, 4, 500).astype(np.int32)
+    got = np.asarray(rk.rank(jnp.asarray(idx.bwt_words),
+                             jnp.asarray(idx.occ), idx.meta.zrow,
+                             jnp.asarray(i), jnp.asarray(c)))
+    for k in range(500):
+        expect = int((bwt[:i[k]] == c[k]).sum())
+        if c[k] == 0 and zrow < i[k]:
+            expect -= 1
+        assert got[k] == expect, (i[k], c[k])
+
+
+def test_lf_is_sa_shift(small_index, rng):
+    """SA[LF(r)] == SA[r] - 1 for all non-sentinel rows."""
+    idx, seq = small_index
+    sa, bwt, zrow = _bwt_of(seq)
+    rows = idx.meta.rows
+    r = rng.integers(0, rows, 300).astype(np.int32)
+    r = r[r != zrow]
+    c = bwt[r].astype(np.int32)
+    got = np.asarray(rk.lf(jnp.asarray(idx.bwt_words), jnp.asarray(idx.occ),
+                           jnp.asarray(idx.fchr), idx.meta.zrow,
+                           jnp.asarray(r), jnp.asarray(c)))
+    inv = np.zeros(rows, np.int64)
+    inv[sa] = np.arange(rows)
+    expect = inv[(sa[r] - 1) % (idx.meta.n + 1)]
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_mark_rank(small_index, rng):
+    idx, seq = small_index
+    sa, _, _ = _bwt_of(seq)
+    marked = (sa & idx.meta.off_mask) == 0
+    i = rng.integers(0, idx.meta.rows + 1, 300).astype(np.int32)
+    got = np.asarray(rk.mark_rank(jnp.asarray(idx.mark_words),
+                                  jnp.asarray(idx.mark_chk), jnp.asarray(i)))
+    expect = np.array([marked[:k].sum() for k in i])
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_resolve_rows(small_index, rng):
+    idx, seq = small_index
+    sa, _, _ = _bwt_of(seq)
+    r = rng.integers(0, idx.meta.rows, 400).astype(np.int32)
+    got = np.asarray(rs.resolve_rows(
+        jnp.asarray(idx.bwt_words), jnp.asarray(idx.occ),
+        jnp.asarray(idx.fchr), jnp.asarray(idx.mark_words),
+        jnp.asarray(idx.mark_chk), jnp.asarray(idx.sa_marked),
+        idx.meta.zrow, idx.meta.off_rate, jnp.asarray(r)))
+    np.testing.assert_array_equal(got, sa[r])
+
+
+def test_joined_to_ref(multi_index):
+    idx, seqs = multi_index
+    fj = jnp.asarray(idx.frag_joined)
+    fr = jnp.asarray(idx.frag_ref)
+    fo = jnp.asarray(idx.frag_off)
+    # positions inside fragment 0 map back to c1 coordinates
+    pos = jnp.asarray(np.array([0, 10, 500], np.int32))
+    rid, roff, ok = rs.joined_to_ref(fj, fr, fo, pos, jnp.full((3,), 10, jnp.int32))
+    assert np.all(np.asarray(ok))
+    assert np.all(np.asarray(rid) == 0)
+    np.testing.assert_array_equal(np.asarray(roff), [0, 10, 500])
+    # interval crossing the first fragment boundary is rejected
+    end = int(idx.frag_joined[1])
+    rid2, _, ok2 = rs.joined_to_ref(
+        fj, fr, fo, jnp.asarray([end - 5], dtype=jnp.int32),
+        jnp.asarray([10], dtype=jnp.int32))
+    assert not bool(np.asarray(ok2)[0])
