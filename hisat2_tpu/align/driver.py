@@ -1,0 +1,156 @@
+"""Host alignment driver: stream read batches through the device aligner and
+emit SAM (reference: driver() + multiseedSearch(), /root/reference/
+hisat2.cpp:3581-3984, reshaped batch-synchronous).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+
+import numpy as np
+
+from ..index.format import FMIndex
+from ..io.fasta import read_batches
+from ..io.sam import SamWriter
+from . import mapq as mapq_mod
+from .paired import PairPolicy, best_pairs
+from .pipeline import TPUAligner
+from .scoring import Scoring, SimpleFunc
+
+
+def make_scoring(args) -> Scoring:
+    mp_max, mp_min = (int(x) for x in args.mp.split(","))
+    return Scoring(mm_max=mp_max, mm_min=mp_min, n_pen=args.npen,
+                   score_min=SimpleFunc.parse(args.score_min),
+                   n_ceil=SimpleFunc.parse(args.n_ceil),
+                   ignore_quals=args.ignore_quals)
+
+
+def run_align(args) -> int:
+    t0 = time.time()
+    index = FMIndex.load(args.index)
+    scoring = make_scoring(args)
+    aligner = TPUAligner(index, scoring, k=args.khits,
+                         no_fw=args.nofw, no_rc=args.norc)
+    out = open(args.sam, "w") if args.sam else sys.stdout
+    writer = SamWriter(out, index.meta.ref_names, index.meta.ref_lens,
+                       cmdline=" ".join(sys.argv[1:]),
+                       no_head=args.no_hd, no_unal=args.no_unal,
+                       rg_id=args.rg_id, rg=args.rg)
+    ref_fn = lambda pos, span: aligner.ref_codes[pos:pos + span]  # noqa: E731
+
+    n_batches = 0
+    if args.unpaired:
+        for path in args.unpaired.split(","):
+            for b in read_batches(path, args.batch_size,
+                                  skip=args.skip, limit=args.upto):
+                res = aligner.align_batch(b.codes, b.quals, b.lens)
+                n_batches += 1
+                for i, name in enumerate(b.names):
+                    L = int(b.lens[i])
+                    writer.write_read(name, b.codes[i, :L], b.quals[i, :L],
+                                      res.alignments[i], ref_fn)
+    elif args.m1 and args.m2:
+        policy = PairPolicy(minins=args.minins, maxins=args.maxins,
+                            orient=args.orient, no_mixed=args.no_mixed,
+                            no_discordant=args.no_discordant)
+        for p1, p2 in zip(args.m1.split(","), args.m2.split(",")):
+            it1 = read_batches(p1, args.batch_size, skip=args.skip,
+                               limit=args.upto)
+            it2 = read_batches(p2, args.batch_size, skip=args.skip,
+                               limit=args.upto)
+            for b1, b2 in zip(it1, it2):
+                _align_pair_batch(aligner, writer, policy, scoring,
+                                  args.khits, b1, b2, ref_fn)
+                n_batches += 1
+    else:
+        print("error: provide -U or -1/-2", file=sys.stderr)
+        return 1
+
+    summ = writer.summary()
+    if not args.quiet:
+        sys.stderr.write(summ)
+    if args.summary_file:
+        with open(args.summary_file, "w") as f:
+            f.write(summ)
+    if args.time:
+        sys.stderr.write(f"Time: {time.time() - t0:.2f}s "
+                         f"({n_batches} device batches)\n")
+    if args.sam:
+        writer.close()
+    return 0
+
+
+def _align_pair_batch(aligner, writer, policy, scoring, k, b1, b2, ref_fn):
+    """Align both mates in one device batch, then pair on host."""
+    B = len(b1.names)
+    assert len(b2.names) == B, "mate files out of sync"
+    L = max(b1.codes.shape[1], b2.codes.shape[1])
+
+    def padto(c, q, L):
+        if c.shape[1] == L:
+            return c, q
+        pc = np.full((c.shape[0], L), 4, c.dtype)
+        pq = np.zeros((q.shape[0], L), q.dtype)
+        pc[:, :c.shape[1]] = c
+        pq[:, :q.shape[1]] = q
+        return pc, pq
+
+    c1, q1 = padto(b1.codes, b1.quals, L)
+    c2, q2 = padto(b2.codes, b2.quals, L)
+    codes = np.concatenate([c1, c2])
+    quals = np.concatenate([q1, q2])
+    lens = np.concatenate([b1.lens, b2.lens])
+    res = aligner.align_batch(codes, quals, lens)
+
+    for i in range(B):
+        name = b1.names[i]
+        l1, l2 = int(b1.lens[i]), int(b2.lens[i])
+        alns1 = res.alignments[i]
+        alns2 = res.alignments[B + i]
+        pairs = best_pairs(alns1, alns2, l1, l2, policy, k)
+        if pairs:
+            # pair-level NH / MAPQ (AlnSinkWrap::finishRead paired summary)
+            best = pairs[0][0].score + pairs[0][1].score
+            sec = (pairs[1][0].score + pairs[1][1].score
+                   if len(pairs) > 1 else 0)
+            minsc = scoring.min_score(l1) + scoring.min_score(l2)
+            perf = scoring.perfect_score(l1) + scoring.perfect_score(l2)
+            mq = int(mapq_mod.mapq_v2(
+                np.array([best]), np.array([sec]),
+                np.array([len(pairs) > 1]), np.array([perf]),
+                np.array([minsc]))[0])
+            nh = len(pairs)
+            fixed = []
+            for j, (a1, a2, tl) in enumerate(pairs):
+                fixed.append((
+                    dataclasses.replace(a1, nh=nh, mapq=mq, secondary=j > 0),
+                    dataclasses.replace(a2, nh=nh, mapq=mq, secondary=j > 0),
+                    tl))
+            writer.write_pair(name, b1.codes[i, :l1], b1.quals[i, :l1],
+                              b2.codes[i, :l2], b2.quals[i, :l2],
+                              fixed, alns1, alns2, ref_fn)
+            continue
+        # discordant: both mates unique, constraints violated
+        if (not policy.no_discordant and len(alns1) >= 1 and len(alns2) >= 1
+                and alns1[0].nh == 1 and alns2[0].nh == 1
+                and alns1[0].ref_id == alns2[0].ref_id):
+            a1, a2 = alns1[0], alns2[0]
+            p1, p2 = a1.aln_start, a2.aln_start
+            frag = max(p1 + a1.aln_span, p2 + a2.aln_span) - min(p1, p2)
+            tl = frag if p1 <= p2 else -frag
+            writer.write_pair(name, b1.codes[i, :l1], b1.quals[i, :l1],
+                              b2.codes[i, :l2], b2.quals[i, :l2],
+                              [(a1, a2, tl)], alns1, alns2, ref_fn,
+                              discordant=True)
+            continue
+        if policy.no_mixed:
+            writer.write_pair(name, b1.codes[i, :l1], b1.quals[i, :l1],
+                              b2.codes[i, :l2], b2.quals[i, :l2],
+                              [], [], [], ref_fn)
+        else:
+            writer.write_pair(name, b1.codes[i, :l1], b1.quals[i, :l1],
+                              b2.codes[i, :l2], b2.quals[i, :l2],
+                              [], alns1, alns2, ref_fn)

@@ -42,14 +42,22 @@ class Alignment:
     read_idx: int
     rc: bool              # reverse-complement orientation
     ref_id: int
-    ref_pos: int          # 0-based position on the reference sequence
-    joined_pos: int
+    ref_pos: int          # 0-based ref position of the first ALIGNED base
+    joined_pos: int       # joined position of the (unclipped) read start
+    clip_l: int           # soft-clipped bases at alignment start (trim5)
+    clip_r: int           # soft-clipped bases at alignment end (trim3)
+    aln_span: int         # aligned reference span (read len - clips, ungapped)
     score: int
     n_mm: int
     n_n: int
     mapq: int
     nh: int
     secondary: bool
+
+    @property
+    def aln_start(self) -> int:
+        """Joined position of the first aligned base."""
+        return self.joined_pos + self.clip_l
 
 
 @dataclasses.dataclass
@@ -93,6 +101,7 @@ class TPUAligner:
         self.frag_ref = np.asarray(index.frag_ref)
         self.frag_off = np.asarray(index.frag_off)
         self.mm_pen = jnp.asarray(self.scoring.mm_pen_table())
+        self.clip_pen = jnp.asarray(self.scoring.clip_pen_table())
         self._device_step = jax.jit(self._align_device)
 
     # ------------------------------------------------------------------
@@ -135,15 +144,18 @@ class TPUAligner:
         cv = cval.reshape(-1)
         ext = extend_ops.extend_ungapped(
             d.ref_words, meta.n, ar, aq, al, lane,
-            jnp.where(cv, starts, -1), self.mm_pen, self.scoring.n_pen)
-        return (starts, lane, ext.score, ext.n_mm, ext.n_n, cv & ext.ok)
+            jnp.where(cv, starts, -1), self.mm_pen, self.clip_pen,
+            self.scoring.n_pen,
+            allow_softclip=not self.scoring.no_softclip)
+        return (starts, lane, ext.score, ext.n_mm, ext.n_n,
+                ext.clip_l, ext.clip_r, cv & ext.ok)
 
     # ------------------------------------------------------------------
     def align_batch(self, codes: np.ndarray, quals: np.ndarray,
                     lens: np.ndarray) -> BatchResult:
         """Align one padded batch; returns per-read alignment lists."""
         B = codes.shape[0]
-        starts, lane, score, n_mm, n_n, valid = (
+        starts, lane, score, n_mm, n_n, clip_l, clip_r, valid = (
             np.asarray(x) for x in self._device_step(
                 jnp.asarray(codes, jnp.int32), jnp.asarray(quals, jnp.int32),
                 jnp.asarray(lens, jnp.int32)))
@@ -159,6 +171,15 @@ class TPUAligner:
             valid = valid & ~is_rc
         valid = valid & (score >= minsc[read_of_lane]) \
             & (n_n <= maxn[read_of_lane])
+        # the ALIGNED span must sit inside one fragment (joinedToTextOff
+        # straddle check, gfm.h:5076)
+        aln_start = starts + clip_l
+        aln_span = lens[read_of_lane] - clip_l - clip_r
+        f = np.searchsorted(self.frag_joined, aln_start, "right") - 1
+        f = np.clip(f, 0, len(self.frag_ref) - 1)
+        contained = (aln_start >= self.frag_joined[f]) & \
+            (aln_start + aln_span <= self.frag_joined[f + 1])
+        valid &= contained
 
         sel = np.flatnonzero(valid)
         per_read = [[] for _ in range(B)]
@@ -166,17 +187,17 @@ class TPUAligner:
             r = read_of_lane[sel]
             o = is_rc[sel].astype(np.int64)
             s = starts[sel].astype(np.int64)
-            sc = score[sel].astype(np.int64)
-            # dedup identical (read, orient, start); then sort by
-            # (read, -score, start, orient) for deterministic selection
+            # dedup identical (read, orient, start)
             key_dedup = ((r * 2 + o) << 33) + s
             _, first = np.unique(key_dedup, return_index=True)
             idx = sel[first]
-            r, o, s = read_of_lane[idx], is_rc[idx], starts[idx].astype(np.int64)
+            r, o = read_of_lane[idx], is_rc[idx]
+            s = starts[idx].astype(np.int64)
             sc = score[idx].astype(np.int64)
+            # deterministic selection order: score desc, then position
             order = np.lexsort((o, s, -sc, r))
-            idx, r, o, s, sc = idx[order], r[order], o[order], s[order], sc[order]
-            # per-read segment boundaries
+            idx, r, o, s, sc = (idx[order], r[order], o[order], s[order],
+                                sc[order])
             bnd = np.flatnonzero(np.diff(r, prepend=-1))
             for seg_i, b0 in enumerate(bnd):
                 b1 = bnd[seg_i + 1] if seg_i + 1 < len(bnd) else len(r)
@@ -192,15 +213,21 @@ class TPUAligner:
                     np.array([minsc[rd]]))[0])
                 for a_i in range(n_rep):
                     i = b0 + a_i
+                    gi = idx[i]
                     jpos = int(s[i])
-                    span = int(lens[rd])
-                    f = np.searchsorted(self.frag_joined, jpos, "right") - 1
-                    ref_id = int(self.frag_ref[f])
-                    ref_pos = int(self.frag_off[f]) + jpos - int(self.frag_joined[f])
+                    cl, cr = int(clip_l[gi]), int(clip_r[gi])
+                    span = int(lens[rd]) - cl - cr
+                    astart = jpos + cl
+                    fi = np.searchsorted(self.frag_joined, astart,
+                                         "right") - 1
+                    ref_id = int(self.frag_ref[fi])
+                    ref_pos = (int(self.frag_off[fi]) + astart
+                               - int(self.frag_joined[fi]))
                     per_read[rd].append(Alignment(
                         read_idx=rd, rc=bool(o[i]), ref_id=ref_id,
-                        ref_pos=ref_pos, joined_pos=jpos, score=int(sc[i]),
-                        n_mm=int(n_mm[idx[a_i + b0]]),
-                        n_n=int(n_n[idx[a_i + b0]]),
-                        mapq=mq, nh=n_rep, secondary=a_i > 0))
+                        ref_pos=ref_pos, joined_pos=jpos,
+                        clip_l=cl, clip_r=cr, aln_span=span,
+                        score=int(sc[i]), n_mm=int(n_mm[gi]),
+                        n_n=int(n_n[gi]), mapq=mq, nh=n_rep,
+                        secondary=a_i > 0))
         return BatchResult(alignments=per_read, n_reads=B)

@@ -50,6 +50,9 @@ class Scoring:
     rd_gap_ext: int = 3
     rf_gap_open: int = 5             # --rfg 5,3
     rf_gap_ext: int = 3
+    sp_max: int = 2                  # --sp 2,1 soft-clip penalty
+    sp_min: int = 1
+    no_softclip: bool = False        # --no-softclip
     score_min: SimpleFunc = SimpleFunc("L", 0.0, -0.2)   # --score-min
     n_ceil: SimpleFunc = SimpleFunc("L", 0.0, 0.15)      # --n-ceil
     ignore_quals: bool = False
@@ -70,6 +73,13 @@ class Scoring:
         return (self.mm_min
                 + (q / 40.0 * (self.mm_max - self.mm_min)).astype(np.int32)
                 ).astype(np.int32)
+
+    def clip_pen_table(self) -> np.ndarray:
+        """Soft-clip penalty per quality 0..63 (Scoring::sc, scoring.h:312:
+        operates on the ASCII char q+33; <= '!' -> sp_min, else scaled)."""
+        q = np.minimum(np.arange(64), 40)
+        return (q / 40.0 * (self.sp_max - self.sp_min)
+                + self.sp_min).astype(np.int32)
 
     def min_score(self, rdlen: int) -> int:
         # SimpleFunc::f returns float; the caller casts to TAlScore

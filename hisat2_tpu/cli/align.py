@@ -1,0 +1,75 @@
+"""hisat2-tpu: alignment CLI.
+
+Covers the core surface of the reference aligner driver
+(/root/reference/hisat2.cpp:3986 hisat2(); option table
+MANUAL.markdown:276-1505): index + unpaired/paired reads in, SAM out.
+Batching replaces -p threading: reads stream through the device in large
+wavefront batches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="hisat2-tpu", description="TPU-native spliced read aligner")
+    p.add_argument("-x", dest="index", required=True, help="index basename")
+    p.add_argument("-U", dest="unpaired", default=None,
+                   help="comma-separated unpaired read files")
+    p.add_argument("-1", dest="m1", default=None, help="mate-1 files")
+    p.add_argument("-2", dest="m2", default=None, help="mate-2 files")
+    p.add_argument("-S", dest="sam", default=None, help="output SAM file")
+    p.add_argument("-q", dest="fastq", action="store_true",
+                   help="inputs are FASTQ (default: sniffed)")
+    p.add_argument("-f", dest="fasta", action="store_true",
+                   help="inputs are FASTA")
+    p.add_argument("-k", dest="khits", type=int, default=5,
+                   help="max # distinct alignments to report (default 5)")
+    p.add_argument("-u", dest="upto", type=int, default=None,
+                   help="align at most this many reads")
+    p.add_argument("-s", dest="skip", type=int, default=0,
+                   help="skip the first N reads")
+    p.add_argument("--batch-size", type=int, default=4096,
+                   help="reads per device batch")
+    p.add_argument("--mp", default="6,2", help="max,min mismatch penalty")
+    p.add_argument("--np", dest="npen", type=int, default=1,
+                   help="penalty per read N")
+    p.add_argument("--score-min", default="L,0,-0.2")
+    p.add_argument("--n-ceil", default="L,0,0.15")
+    p.add_argument("--ignore-quals", action="store_true")
+    p.add_argument("--nofw", action="store_true")
+    p.add_argument("--norc", action="store_true")
+    p.add_argument("--no-unal", action="store_true",
+                   help="suppress SAM records for unaligned reads")
+    p.add_argument("--no-hd", action="store_true", help="suppress header")
+    p.add_argument("--rg-id", default=None)
+    p.add_argument("--rg", action="append", default=[])
+    p.add_argument("-I", "--minins", type=int, default=0)
+    p.add_argument("-X", "--maxins", type=int, default=500)
+    p.add_argument("--fr", dest="orient", action="store_const", const="fr",
+                   default="fr")
+    p.add_argument("--rf", dest="orient", action="store_const", const="rf")
+    p.add_argument("--ff", dest="orient", action="store_const", const="ff")
+    p.add_argument("--no-mixed", action="store_true")
+    p.add_argument("--no-discordant", action="store_true")
+    p.add_argument("--no-spliced-alignment", action="store_true")
+    p.add_argument("--summary-file", default=None)
+    p.add_argument("-t", "--time", action="store_true")
+    p.add_argument("-p", "--threads", type=int, default=1,
+                   help="accepted for compatibility (device batching)")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ..align.driver import run_align
+    return run_align(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

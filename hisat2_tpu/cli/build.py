@@ -1,0 +1,60 @@
+"""hisat2-tpu-build: index construction CLI.
+
+Mirrors the essential surface of hisat2-build
+(/root/reference/hisat2_build.cpp:146-244): FASTA in, index out, with
+--offrate / --ftabchars geometry knobs.  (SNP/splice-site/exon inputs are
+consumed by the graph layer; see index/graph.py.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="hisat2-tpu-build",
+        description="Build a TPU-native FM index from FASTA")
+    p.add_argument("fasta", help="comma-separated FASTA file(s)")
+    p.add_argument("base", help="output index basename (.npz)")
+    p.add_argument("-o", "--offrate", type=int, default=5,
+                   help="SA sample rate: mark every 2^<int> text positions")
+    p.add_argument("-t", "--ftabchars", type=int, default=10,
+                   help="# chars consumed by the ftab jumpstart")
+    p.add_argument("--snp", default=None, help="SNP file (hisat2 .snp format)")
+    p.add_argument("--haplotype", default=None, help="haplotype file")
+    p.add_argument("--ss", default=None, help="splice-site file (.ss)")
+    p.add_argument("--exon", default=None, help="exon file (.exon)")
+    p.add_argument("-p", "--threads", type=int, default=1,
+                   help="accepted for CLI compatibility (build is vectorized)")
+    p.add_argument("-q", "--quiet", action="store_true")
+    args = p.parse_args(argv)
+
+    from ..index.builder import build_fm_index
+    from ..io.fasta import iter_fasta
+
+    t0 = time.time()
+    seqs = []
+    for path in args.fasta.split(","):
+        seqs.extend(iter_fasta(path))
+    if not args.quiet:
+        tot = sum(len(c) for _, c in seqs)
+        print(f"[build] {len(seqs)} sequence(s), {tot} bp", file=sys.stderr)
+    idx = build_fm_index(seqs, off_rate=args.offrate, ftab_k=args.ftabchars)
+    if args.snp or args.ss or args.exon or args.haplotype:
+        from ..index.variants import attach_variants
+        idx = attach_variants(idx, snp_file=args.snp,
+                              haplotype_file=args.haplotype,
+                              ss_file=args.ss, exon_file=args.exon)
+        idx._variants.save(args.base)
+    idx.save(args.base)
+    if not args.quiet:
+        print(f"[build] wrote {args.base}.npz in {time.time() - t0:.1f}s",
+              file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,15 +1,13 @@
 """SAM output formatting (reference: /root/reference/sam.h SamConfig,
-aln_sink.h:1363-1480 AlnSinkSam::appendMate).
+aln_sink.h:1363-1480 AlnSinkSam::appendMate, aln_sink.cpp printAlSumm).
 
 Host-side: the device produces (position, score, edit-count) tuples; this
 module renders SAM lines with the same field/tag layout as the reference
-(AS, ZS, XN, XM, XO, XG, NM, MD, NH, YT) and the end-of-run summary of
-AlnSink::printAlSumm (aln_sink.cpp).
+(AS, XN, XM, XO, XG, NM, MD, NH, YS, YT) and the end-of-run summary in both
+unpaired and paired shapes.
 """
 
 from __future__ import annotations
-
-import io as _io
 
 import numpy as np
 
@@ -27,32 +25,42 @@ FLAG_SECONDARY = 0x100
 
 
 def md_and_nm(read_codes: np.ndarray, ref_codes: np.ndarray):
-    """MD:Z string + NM for an ungapped alignment column-by-column."""
+    """MD:Z string + NM count for an ungapped alignment."""
+    mism = (read_codes != ref_codes) | (read_codes > 3)
     parts = []
     run = 0
-    nm = 0
-    for rd, rf in zip(read_codes, ref_codes):
-        if rd == rf and rd < 4:
+    for i, bad in enumerate(mism):
+        if not bad:
             run += 1
         else:
             parts.append(str(run))
-            parts.append(bitops.decode_dna(np.array([rf], np.uint8)))
+            parts.append(bitops.decode_dna(ref_codes[i:i + 1]))
             run = 0
-            nm += 1
     parts.append(str(run))
-    return "".join(parts), nm
+    return "".join(parts), int(mism.sum())
 
 
 class SamWriter:
     def __init__(self, out, ref_names, ref_lens, cmdline: str = "",
-                 no_head: bool = False, rg_id: str = None, rg: list = None):
+                 no_head: bool = False, no_unal: bool = False,
+                 rg_id: str = None, rg: list = None):
         self.out = out if hasattr(out, "write") else open(out, "w")
         self.ref_names = ref_names
         self.ref_lens = ref_lens
+        self.no_unal = no_unal
+        # unpaired counters
         self.n_reads = 0
         self.n_unal = 0
         self.n_uniq = 0
         self.n_multi = 0
+        # paired counters
+        self.n_pairs = 0
+        self.n_conc_uniq = 0
+        self.n_conc_multi = 0
+        self.n_disc = 0
+        self.n_mate_unal = 0
+        self.n_mate_uniq = 0
+        self.n_mate_multi = 0
         if not no_head:
             self.out.write("@HD\tVN:1.0\tSO:unsorted\n")
             for nm, ln in zip(ref_names, ref_lens):
@@ -64,44 +72,167 @@ class SamWriter:
                 "@PG\tID:hisat2-tpu\tPN:hisat2-tpu\tVN:0.1.0"
                 + (f"\tCL:\"{cmdline}\"" if cmdline else "") + "\n")
 
-    def write_read(self, name: str, codes: np.ndarray, quals: np.ndarray,
-                   alns: list, ref_codes_fn):
-        """Write all SAM lines for one read.  alns: list[Alignment] (may be
-        empty); ref_codes_fn(joined_pos, span) -> ref codes for MD."""
+    # ------------------------------------------------------------------
+    def _line(self, name, codes, quals, a, ref_codes_fn, flag_extra=0,
+              rnext="*", pnext=0, tlen=0, yt="UU", mate_score=None):
+        """One aligned SAM line."""
+        flag = ((FLAG_REVERSE if a.rc else 0)
+                | (FLAG_SECONDARY if a.secondary else 0) | flag_extra)
+        rd = bitops.revcomp_codes(codes) if a.rc else codes
+        seq = bitops.decode_dna(rd)
+        qual = "".join(chr(int(q) + 33) for q in quals)
+        if a.rc:
+            qual = qual[::-1]
+        L = len(codes)
+        cl, cr = a.clip_l, a.clip_r
+        mid = L - cl - cr
+        cigar = (f"{cl}S" if cl else "") + f"{mid}M" + (f"{cr}S" if cr else "")
+        ref = ref_codes_fn(a.joined_pos + cl, mid)
+        md, nm = md_and_nm(rd[cl:L - cr], ref)
+        tags = [f"AS:i:{a.score}"]
+        if mate_score is not None:
+            tags.append(f"YS:i:{mate_score}")
+        tags += ["XN:i:0", f"XM:i:{nm}", "XO:i:0", "XG:i:0",
+                 f"NM:i:{nm}", f"MD:Z:{md}", f"NH:i:{a.nh}", f"YT:Z:{yt}"]
+        return (f"{name}\t{flag}\t{self.ref_names[a.ref_id]}\t"
+                f"{a.ref_pos + 1}\t{a.mapq}\t{cigar}\t{rnext}\t{pnext}\t"
+                f"{tlen}\t{seq}\t{qual}\t" + "\t".join(tags) + "\n")
+
+    def _unal_line(self, name, codes, quals, flag_extra=0, rname="*",
+                   pos=0, rnext="*", pnext=0, yt="UU"):
+        seq = bitops.decode_dna(codes)
+        qual = "".join(chr(int(q) + 33) for q in quals)
+        return (f"{name}\t{FLAG_UNMAPPED | flag_extra}\t{rname}\t{pos}\t0\t*"
+                f"\t{rnext}\t{pnext}\t0\t{seq}\t{qual}\tYT:Z:{yt}\n")
+
+    # ------------------------------------------------------------------
+    def write_read(self, name, codes, quals, alns, ref_codes_fn):
+        """All SAM lines for one unpaired read."""
         self.n_reads += 1
-        seq_fw = bitops.decode_dna(codes)
-        qual_fw = "".join(chr(int(q) + 33) for q in quals)
         if not alns:
             self.n_unal += 1
-            self.out.write(
-                f"{name}\t{FLAG_UNMAPPED}\t*\t0\t0\t*\t*\t0\t0\t"
-                f"{seq_fw}\t{qual_fw}\tYT:Z:UU\n")
+            if not self.no_unal:
+                self.out.write(self._unal_line(name, codes, quals))
             return
         if alns[0].nh == 1:
             self.n_uniq += 1
         else:
             self.n_multi += 1
-        rc_codes = bitops.revcomp_codes(codes)
         for a in alns:
-            flag = (FLAG_REVERSE if a.rc else 0) \
-                | (FLAG_SECONDARY if a.secondary else 0)
-            seq = bitops.decode_dna(rc_codes) if a.rc else seq_fw
-            qual = qual_fw[::-1] if a.rc else qual_fw
-            L = len(codes)
-            rd = rc_codes if a.rc else codes
-            ref = ref_codes_fn(a.joined_pos, L)
-            md, nm = md_and_nm(rd, ref)
-            tags = [f"AS:i:{a.score}",
-                    "XN:i:0", f"XM:i:{nm}", "XO:i:0", "XG:i:0",
-                    f"NM:i:{nm}", f"MD:Z:{md}", f"NH:i:{a.nh}",
-                    "YT:Z:UU"]
-            self.out.write(
-                f"{name}\t{flag}\t{self.ref_names[a.ref_id]}\t"
-                f"{a.ref_pos + 1}\t{a.mapq}\t{L}M\t*\t0\t0\t{seq}\t{qual}\t"
-                + "\t".join(tags) + "\n")
+            self.out.write(self._line(name, codes, quals, a, ref_codes_fn))
 
+    # ------------------------------------------------------------------
+    def write_pair(self, name, codes1, quals1, codes2, quals2,
+                   pairs, alns1, alns2, ref_codes_fn, discordant=False):
+        """All SAM lines for one read pair.
+
+        pairs: list of (a1, a2, tlen1) concordant (or discordant) combos;
+        if empty, falls back to mixed/unpaired records from alns1/alns2."""
+        self.n_pairs += 1
+        if pairs:
+            if discordant:
+                self.n_disc += 1
+                yt = "DP"
+                proper = 0
+            else:
+                if len(pairs) == 1:
+                    self.n_conc_uniq += 1
+                else:
+                    self.n_conc_multi += 1
+                yt = "CP"
+                proper = FLAG_PROPER
+            for (a1, a2, tlen1) in pairs:
+                f1 = (FLAG_PAIRED | proper | FLAG_FIRST
+                      | (FLAG_MATE_REVERSE if a2.rc else 0))
+                f2 = (FLAG_PAIRED | proper | FLAG_SECOND
+                      | (FLAG_MATE_REVERSE if a1.rc else 0))
+                rn1 = "=" if a1.ref_id == a2.ref_id else \
+                    self.ref_names[a2.ref_id]
+                rn2 = "=" if a1.ref_id == a2.ref_id else \
+                    self.ref_names[a1.ref_id]
+                self.out.write(self._line(
+                    name, codes1, quals1, a1, ref_codes_fn, flag_extra=f1,
+                    rnext=rn1, pnext=a2.ref_pos + 1, tlen=tlen1, yt=yt,
+                    mate_score=a2.score))
+                self.out.write(self._line(
+                    name, codes2, quals2, a2, ref_codes_fn, flag_extra=f2,
+                    rnext=rn2, pnext=a1.ref_pos + 1, tlen=-tlen1, yt=yt,
+                    mate_score=a1.score))
+            return
+        # mixed mode: report mates independently (YT:Z:UP)
+        for codes, quals, alns, other, fmate in (
+                (codes1, quals1, alns1, alns2, FLAG_FIRST),
+                (codes2, quals2, alns2, alns1, FLAG_SECOND)):
+            base = FLAG_PAIRED | fmate
+            if alns:
+                if alns[0].nh == 1:
+                    self.n_mate_uniq += 1
+                else:
+                    self.n_mate_multi += 1
+                oa = other[0] if other else None
+                for a in alns:
+                    fx = base | (0 if other else FLAG_MATE_UNMAPPED)
+                    if oa is not None and oa.rc:
+                        fx |= FLAG_MATE_REVERSE
+                    rnext = "=" if (oa is not None
+                                    and oa.ref_id == a.ref_id) else (
+                        self.ref_names[oa.ref_id] if oa is not None else "*")
+                    pnext = oa.ref_pos + 1 if oa is not None else 0
+                    self.out.write(self._line(
+                        name, codes, quals, a, ref_codes_fn, flag_extra=fx,
+                        rnext=rnext, pnext=pnext, yt="UP",
+                        mate_score=oa.score if oa is not None else None))
+            else:
+                self.n_mate_unal += 1
+                oa = other[0] if other else None
+                fx = base | (0 if other else FLAG_MATE_UNMAPPED)
+                if oa is not None:
+                    if oa.rc:
+                        fx |= FLAG_MATE_REVERSE
+                    if not self.no_unal:
+                        self.out.write(self._unal_line(
+                            name, codes, quals, flag_extra=fx,
+                            rname=self.ref_names[oa.ref_id],
+                            pos=oa.ref_pos + 1, rnext="=",
+                            pnext=oa.ref_pos + 1, yt="UP"))
+                elif not self.no_unal:
+                    self.out.write(self._unal_line(
+                        name, codes, quals, flag_extra=fx, yt="UP"))
+
+    # ------------------------------------------------------------------
     def summary(self) -> str:
-        """printAlSumm-equivalent unpaired summary (aln_sink.cpp)."""
+        """printAlSumm-equivalent summary (aln_sink.cpp:_printAlSumm)."""
+        if self.n_pairs:
+            n = self.n_pairs
+            conc0 = n - self.n_conc_uniq - self.n_conc_multi
+            nodisc = conc0 - self.n_disc
+            mates = nodisc * 2
+            pct = lambda a, b: f"{100.0 * a / max(b, 1):.2f}%"
+            total_reads = n * 2
+            unal = self.n_mate_unal
+            rate = 100.0 * (total_reads - unal) / max(total_reads, 1)
+            return (
+                f"{n} reads; of these:\n"
+                f"  {n} ({pct(n, n)}) were paired; of these:\n"
+                f"    {conc0} ({pct(conc0, n)}) aligned concordantly 0 times\n"
+                f"    {self.n_conc_uniq} ({pct(self.n_conc_uniq, n)}) "
+                f"aligned concordantly exactly 1 time\n"
+                f"    {self.n_conc_multi} ({pct(self.n_conc_multi, n)}) "
+                f"aligned concordantly >1 times\n"
+                f"    ----\n"
+                f"    {conc0} pairs aligned concordantly 0 times; of these:\n"
+                f"      {self.n_disc} ({pct(self.n_disc, conc0)}) "
+                f"aligned discordantly 1 time\n"
+                f"    ----\n"
+                f"    {nodisc} pairs aligned 0 times concordantly or "
+                f"discordantly; of these:\n"
+                f"      {mates} mates make up the pairs; of these:\n"
+                f"        {unal} ({pct(unal, mates)}) aligned 0 times\n"
+                f"        {self.n_mate_uniq} ({pct(self.n_mate_uniq, mates)})"
+                f" aligned exactly 1 time\n"
+                f"        {self.n_mate_multi} "
+                f"({pct(self.n_mate_multi, mates)}) aligned >1 times\n"
+                f"{rate:.2f}% overall alignment rate\n")
         n = max(self.n_reads, 1)
         rate = 100.0 * (self.n_reads - self.n_unal) / n
         return (f"{self.n_reads} reads; of these:\n"
@@ -115,5 +246,5 @@ class SamWriter:
                 f"{rate:.2f}% overall alignment rate\n")
 
     def close(self):
-        if self.out not in (None,) and hasattr(self.out, "close"):
+        if hasattr(self.out, "close"):
             self.out.close()

@@ -1,0 +1,119 @@
+"""End-to-end alignment on simulated reads from a known genome."""
+
+import numpy as np
+import pytest
+
+from hisat2_tpu.align.pipeline import TPUAligner
+from hisat2_tpu.utils import bitops
+
+
+def simulate_reads(seq, n, length, rng, mismatches=0, rc_half=True):
+    starts = rng.integers(0, len(seq) - length, n)
+    reads = np.stack([seq[s:s + length].copy() for s in starts])
+    is_rc = np.zeros(n, bool)
+    for i in range(n):
+        for _ in range(mismatches):
+            p = rng.integers(0, length)
+            reads[i, p] = (reads[i, p] + rng.integers(1, 4)) % 4
+        if rc_half and i % 2 == 1:
+            reads[i] = bitops.revcomp_codes(reads[i])
+            is_rc[i] = True
+    return reads, starts, is_rc
+
+
+@pytest.fixture(scope="module")
+def aligner(small_index):
+    idx, _ = small_index
+    return TPUAligner(idx)
+
+
+def test_exact_reads_align(small_index, aligner, rng):
+    idx, seq = small_index
+    reads, starts, is_rc = simulate_reads(seq, 32, 60, rng)
+    lens = np.full(32, 60, np.int32)
+    quals = np.full((32, 60), 40, np.uint8)
+    res = aligner.align_batch(reads, quals, lens)
+    assert res.n_reads == 32
+    for i in range(32):
+        alns = res.alignments[i]
+        assert alns, f"read {i} unaligned"
+        best = alns[0]
+        assert best.score == 0
+        hit_positions = [a.joined_pos for a in alns]
+        assert int(starts[i]) in hit_positions
+        match = [a for a in alns if a.joined_pos == int(starts[i])]
+        assert match[0].rc == bool(is_rc[i])
+
+
+def test_mismatched_reads_align(small_index, aligner, rng):
+    idx, seq = small_index
+    n, L = 24, 80
+    reads, starts, is_rc = simulate_reads(seq, n, L, rng, mismatches=2)
+    lens = np.full(n, L, np.int32)
+    quals = np.full((n, L), 40, np.uint8)
+    res = aligner.align_batch(reads, quals, lens)
+    found = sum(
+        1 for i in range(n)
+        if any(a.joined_pos == int(starts[i]) for a in res.alignments[i]))
+    # 2 mismatches in 80bp: both anchors >=16bp exist with high probability
+    assert found >= n - 2
+    for i in range(n):
+        for a in res.alignments[i]:
+            if a.joined_pos == int(starts[i]):
+                assert a.n_mm <= 2
+                assert a.score >= -12
+
+
+def test_unalignable_read(small_index, aligner):
+    idx, seq = small_index
+    # a read unlikely to exist: alternating pattern not in random genome
+    rng2 = np.random.default_rng(5)
+    while True:
+        rd = rng2.integers(0, 4, 70).astype(np.uint8)
+        s = bitops.decode_dna(rd)
+        if bitops.decode_dna(seq).find(s[:20]) < 0:
+            break
+    # inject mismatches everywhere so score < min
+    rd2 = (rd + 1) % 4
+    reads = np.stack([rd * 0 + rd2])
+    res = aligner.align_batch(
+        reads, np.full((1, 70), 40, np.uint8), np.full(1, 70, np.int32))
+    # either unaligned or score passes threshold — must not crash; and any
+    # reported alignment must satisfy min score
+    for a in res.alignments[0]:
+        assert a.score >= -14
+
+
+def test_n_in_read(small_index, aligner, rng):
+    idx, seq = small_index
+    L = 60
+    s = int(rng.integers(0, len(seq) - L))
+    rd = seq[s:s + L].copy()
+    rd[30] = 4  # N
+    res = aligner.align_batch(
+        rd[None], np.full((1, L), 40, np.uint8), np.full(1, L, np.int32))
+    alns = res.alignments[0]
+    assert alns
+    a = [x for x in alns if x.joined_pos == s][0]
+    assert a.n_n == 1
+    assert a.score == -1  # np penalty
+
+
+def test_multimapping_nh(rng):
+    """A read from a repeated region reports multiple alignments with NH."""
+    from hisat2_tpu.index.builder import build_fm_index
+    unit = rng.integers(0, 4, 500).astype(np.uint8)
+    genome = np.concatenate([unit, rng.integers(0, 4, 300).astype(np.uint8),
+                             unit])
+    idx = build_fm_index([("rep", genome)])
+    al = TPUAligner(idx)
+    rd = unit[100:180]
+    res = al.align_batch(rd[None].astype(np.uint8),
+                         np.full((1, 80), 40, np.uint8),
+                         np.full(1, 80, np.int32))
+    alns = res.alignments[0]
+    assert len(alns) == 2
+    assert {a.joined_pos for a in alns} == {100, 900}
+    assert alns[0].nh == 2
+    assert not alns[0].secondary and alns[1].secondary
+    assert alns[0].mapq < 60  # equal secbest -> not unique
