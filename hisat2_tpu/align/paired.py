@@ -23,13 +23,14 @@ class PairPolicy:
 
     def concordant(self, a1, a2, len1: int, len2: int):
         """a1, a2: Alignment (mate1, mate2).  Returns (ok, tlen1) where
-        tlen1 is the signed TLEN for mate1.  Uses aligned (clip-adjusted)
-        coordinates like the reference (pe.cpp uses AlnRes ref extents)."""
+        tlen1 is the signed TLEN for mate1.  Fragment extents include
+        soft-clipped bases (the reference's template-length adjustment,
+        on by default; --no-templatelen-adjustment disables it)."""
         if a1.ref_id != a2.ref_id:
             return False, 0
-        # determine upstream/downstream by aligned joined position
-        p1, p2 = a1.aln_start, a2.aln_start
-        e1, e2 = p1 + a1.aln_span, p2 + a2.aln_span
+        # determine upstream/downstream by unclipped read-start position
+        p1, p2 = a1.joined_pos, a2.joined_pos
+        e1, e2 = p1 + len1, p2 + len2
         left_is_1 = (p1 < p2) or (p1 == p2 and e1 <= e2)
         if self.orient == "fr":
             # upstream mate forward, downstream mate reverse-complement

@@ -82,8 +82,8 @@ class TPUAligner:
     """Holds the device-resident index + jitted batch step."""
 
     def __init__(self, index: FMIndex, scoring: Optional[Scoring] = None,
-                 k: int = 5, max_hits: int = 8, min_hit_len: int = 16,
-                 cand_per_hit: int = 8, no_fw: bool = False,
+                 k: int = 5, max_hits: int = 4, min_hit_len: int = 16,
+                 cand_per_hit: int = 4, no_fw: bool = False,
                  no_rc: bool = False):
         self.meta = index.meta
         self.scoring = scoring or Scoring()
@@ -91,6 +91,9 @@ class TPUAligner:
         self.max_hits = max_hits
         self.min_hit_len = min_hit_len
         self.cand_per_hit = cand_per_hit
+        # unique candidates extended per (read, orientation); >= k so that
+        # -k reporting isn't starved, small so extension stays cheap
+        self.max_cands = max(k + 1, 6)
         self.no_fw = no_fw
         self.no_rc = no_rc
         self.dev = index.to_device()
@@ -105,11 +108,15 @@ class TPUAligner:
         self._device_step = jax.jit(self._align_device)
 
     # ------------------------------------------------------------------
-    def _align_device(self, reads, quals, lens):
+    def _align_device(self, d, mm_pen, clip_pen, reads, quals, lens):
         """Device computation for one batch: [B, L] -> candidate arrays.
 
-        Lanes 0..B-1 are forward, B..2B-1 reverse-complement."""
-        d, meta = self.dev, self.meta
+        Lanes 0..B-1 are forward, B..2B-1 reverse-complement.
+
+        NOTE: the index bundle `d` and penalty tables are jit ARGUMENTS, not
+        closures — closed-over device arrays embed as executable constants,
+        which the runtime handles ~50x slower per op (see ops/rank.py)."""
+        meta = self.meta
         B, L = reads.shape
         col = jnp.arange(L, dtype=jnp.int32)[None, :]
         idxr = lens[:, None] - 1 - col
@@ -136,30 +143,45 @@ class TPUAligner:
         offs = resolve_ops.resolve_rows(
             d.bwt_words, d.occ, d.fchr, d.mark_words, d.mark_chk,
             d.sa_marked, meta.zrow, meta.off_rate, rows_flat)
-        lane = jnp.broadcast_to(
-            jnp.arange(2 * B, dtype=jnp.int32)[:, None, None],
-            (2 * B, H, P)).reshape(-1)
-        lo = jnp.broadcast_to(hits.lo[:, :, None], (2 * B, H, P)).reshape(-1)
-        starts = offs - lo
-        cv = cval.reshape(-1)
-        ext = extend_ops.extend_ungapped(
-            d.ref_words, meta.n, ar, aq, al, lane,
-            jnp.where(cv, starts, -1), self.mm_pen, self.clip_pen,
+        lo = hits.lo[:, :, None]                                  # [2B,H,1]
+        starts = (offs.reshape(2 * B, H, P) - lo).reshape(2 * B, H * P)
+        cv = cval.reshape(2 * B, H * P)
+        # device-side dedup + compaction: different anchors of the same read
+        # resolve to the same genome start, so most of the H*P slots are
+        # duplicates or invalid.  Sort per lane, mark uniques, compact the
+        # unique starts into the first C slots — the extension then runs on
+        # a 16/C-times smaller candidate matrix.
+        BIG = np.int32(2**30)
+        key = jnp.where(cv, starts, BIG)
+        skey = jnp.sort(key, axis=1)
+        uniq = (skey != BIG) & jnp.concatenate(
+            [jnp.ones((2 * B, 1), bool), skey[:, 1:] != skey[:, :-1]], axis=1)
+        C = self.max_cands
+        comp = jnp.argsort(~uniq, axis=1, stable=True)[:, :C]
+        cstart = jnp.take_along_axis(skey, comp, axis=1)          # [2B, C]
+        cvalid = jnp.take_along_axis(uniq, comp, axis=1)
+        ext = extend_ops.extend_grouped(
+            d.ref_words, meta.n, ar, aq, al,
+            jnp.where(cvalid, cstart, -1), mm_pen, clip_pen,
             self.scoring.n_pen,
             allow_softclip=not self.scoring.no_softclip)
-        return (starts, lane, ext.score, ext.n_mm, ext.n_n,
-                ext.clip_l, ext.clip_r, cv & ext.ok)
+        return (cstart, ext.score, ext.n_mm, ext.n_n,
+                ext.clip_l, ext.clip_r, cvalid & ext.ok)
 
     # ------------------------------------------------------------------
     def align_batch(self, codes: np.ndarray, quals: np.ndarray,
                     lens: np.ndarray) -> BatchResult:
         """Align one padded batch; returns per-read alignment lists."""
         B = codes.shape[0]
-        starts, lane, score, n_mm, n_n, clip_l, clip_r, valid = (
-            np.asarray(x) for x in self._device_step(
+        C = self.max_cands
+        starts, score, n_mm, n_n, clip_l, clip_r, valid = (
+            np.asarray(x).reshape(2 * B * C)
+            for x in self._device_step(
+                self.dev, self.mm_pen, self.clip_pen,
                 jnp.asarray(codes, jnp.int32), jnp.asarray(quals, jnp.int32),
                 jnp.asarray(lens, jnp.int32)))
-        # host-side policy filters
+        lane = np.repeat(np.arange(2 * B, dtype=np.int64), C)
+        # host-side policy filters (all vectorized)
         minsc = np.array([self.scoring.min_score(int(l)) for l in lens],
                          np.int64)
         maxn = np.array([self.scoring.max_n(int(l)) for l in lens], np.int64)
@@ -181,53 +203,57 @@ class TPUAligner:
             (aln_start + aln_span <= self.frag_joined[f + 1])
         valid &= contained
 
-        sel = np.flatnonzero(valid)
         per_read = [[] for _ in range(B)]
-        if sel.size:
-            r = read_of_lane[sel]
-            o = is_rc[sel].astype(np.int64)
-            s = starts[sel].astype(np.int64)
-            # dedup identical (read, orient, start)
-            key_dedup = ((r * 2 + o) << 33) + s
-            _, first = np.unique(key_dedup, return_index=True)
-            idx = sel[first]
-            r, o = read_of_lane[idx], is_rc[idx]
-            s = starts[idx].astype(np.int64)
-            sc = score[idx].astype(np.int64)
-            # deterministic selection order: score desc, then position
-            order = np.lexsort((o, s, -sc, r))
-            idx, r, o, s, sc = (idx[order], r[order], o[order], s[order],
-                                sc[order])
-            bnd = np.flatnonzero(np.diff(r, prepend=-1))
-            for seg_i, b0 in enumerate(bnd):
-                b1 = bnd[seg_i + 1] if seg_i + 1 < len(bnd) else len(r)
-                rd = int(r[b0])
-                n_cand = b1 - b0
-                n_rep = min(self.k, n_cand)
-                best = int(sc[b0])
-                secbest = int(sc[b0 + 1]) if n_cand > 1 else 0
-                mq = int(mapq_mod.mapq_v2(
-                    np.array([best]), np.array([secbest]),
-                    np.array([n_cand > 1]),
-                    np.array([self.scoring.perfect_score(int(lens[rd]))]),
-                    np.array([minsc[rd]]))[0])
-                for a_i in range(n_rep):
-                    i = b0 + a_i
-                    gi = idx[i]
-                    jpos = int(s[i])
-                    cl, cr = int(clip_l[gi]), int(clip_r[gi])
-                    span = int(lens[rd]) - cl - cr
-                    astart = jpos + cl
-                    fi = np.searchsorted(self.frag_joined, astart,
-                                         "right") - 1
-                    ref_id = int(self.frag_ref[fi])
-                    ref_pos = (int(self.frag_off[fi]) + astart
-                               - int(self.frag_joined[fi]))
-                    per_read[rd].append(Alignment(
-                        read_idx=rd, rc=bool(o[i]), ref_id=ref_id,
-                        ref_pos=ref_pos, joined_pos=jpos,
-                        clip_l=cl, clip_r=cr, aln_span=span,
-                        score=int(sc[i]), n_mm=int(n_mm[gi]),
-                        n_n=int(n_n[gi]), mapq=mq, nh=n_rep,
-                        secondary=a_i > 0))
+        sel = np.flatnonzero(valid)
+        if not sel.size:
+            return BatchResult(alignments=per_read, n_reads=B)
+        # dedup identical (read, orient, start); keep first occurrence
+        r = read_of_lane[sel]
+        o = is_rc[sel].astype(np.int64)
+        s = starts[sel].astype(np.int64)
+        key = ((r * 2 + o) << 33) + s
+        _, first = np.unique(key, return_index=True)
+        idx = sel[first]
+        r, o = read_of_lane[idx], is_rc[idx].astype(np.int64)
+        s = starts[idx].astype(np.int64)
+        sc = score[idx].astype(np.int64)
+        # deterministic selection order: per read, score desc then position
+        order = np.lexsort((o, s, -sc, r))
+        idx, r, o, s, sc = idx[order], r[order], o[order], s[order], sc[order]
+        # per-read segments
+        bnd = np.flatnonzero(np.diff(r, prepend=-1))
+        seg_len = np.diff(np.append(bnd, len(r)))
+        seg_of = np.repeat(np.arange(len(bnd)), seg_len)
+        pos_in_seg = np.arange(len(r)) - bnd[seg_of]
+        # per-segment summary -> MAPQ (vectorized BowtieMapq2)
+        seg_read = r[bnd]
+        best = sc[bnd]
+        has_sec = seg_len > 1
+        secbest = np.where(has_sec, sc[np.minimum(bnd + 1, len(r) - 1)], 0)
+        perfect = np.zeros(len(bnd), np.int64) + np.array(
+            [self.scoring.perfect_score(int(lens[x])) for x in seg_read])
+        mq = mapq_mod.mapq_v2(best, secbest, has_sec, perfect,
+                              minsc[seg_read])
+        n_rep = np.minimum(seg_len, self.k)
+        keep = pos_in_seg < n_rep[seg_of]
+        # fragment mapping for kept candidates
+        ki = np.flatnonzero(keep)
+        gi = idx[ki]
+        astart = (s[ki] + clip_l[gi]).astype(np.int64)
+        fi = np.searchsorted(self.frag_joined, astart, "right") - 1
+        ref_id = self.frag_ref[fi]
+        ref_pos = self.frag_off[fi] + (astart - self.frag_joined[fi])
+        rd_len = lens[r[ki]]
+        for t in range(len(ki)):
+            i = ki[t]
+            g = gi[t]
+            rd = int(r[i])
+            per_read[rd].append(Alignment(
+                read_idx=rd, rc=bool(o[i]), ref_id=int(ref_id[t]),
+                ref_pos=int(ref_pos[t]), joined_pos=int(s[i]),
+                clip_l=int(clip_l[g]), clip_r=int(clip_r[g]),
+                aln_span=int(rd_len[t]) - int(clip_l[g]) - int(clip_r[g]),
+                score=int(sc[i]), n_mm=int(n_mm[g]), n_n=int(n_n[g]),
+                mapq=int(mq[seg_of[i]]), nh=int(n_rep[seg_of[i]]),
+                secondary=bool(pos_in_seg[i] > 0)))
         return BatchResult(alignments=per_read, n_reads=B)

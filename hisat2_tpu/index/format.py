@@ -109,3 +109,25 @@ class FMIndex:
             meta = FMMeta(**meta_d)
             kw = {k: z[k] for k in z.files if k != "__meta__"}
         return FMIndex(meta=meta, **kw)
+
+
+# Register FMIndex as a pytree so a whole index bundle can be passed as one
+# jit argument (arrays = leaves, meta = static aux data).  Passing the index
+# as an ARGUMENT (not a closure) is a hard performance requirement — see
+# ops/rank.py.
+def _fm_flatten(x: FMIndex):
+    names = tuple(f.name for f in dataclasses.fields(FMIndex)
+                  if f.name != "meta")
+    return tuple(getattr(x, n) for n in names), (x.meta, names)
+
+
+def _fm_unflatten(aux, children):
+    meta, names = aux
+    return FMIndex(meta=meta, **dict(zip(names, children)))
+
+
+try:
+    import jax
+    jax.tree_util.register_pytree_node(FMIndex, _fm_flatten, _fm_unflatten)
+except ImportError:  # pragma: no cover - jax always present in this image
+    pass

@@ -174,10 +174,14 @@ class SamWriter:
                     fx = base | (0 if other else FLAG_MATE_UNMAPPED)
                     if oa is not None and oa.rc:
                         fx |= FLAG_MATE_REVERSE
-                    rnext = "=" if (oa is not None
-                                    and oa.ref_id == a.ref_id) else (
-                        self.ref_names[oa.ref_id] if oa is not None else "*")
-                    pnext = oa.ref_pos + 1 if oa is not None else 0
+                    if oa is not None:
+                        rnext = "=" if oa.ref_id == a.ref_id else \
+                            self.ref_names[oa.ref_id]
+                        pnext = oa.ref_pos + 1
+                    else:
+                        # unmapped mate is placed at this alignment
+                        rnext = "="
+                        pnext = a.ref_pos + 1
                     self.out.write(self._line(
                         name, codes, quals, a, ref_codes_fn, flag_extra=fx,
                         rnext=rnext, pnext=pnext, yt="UP",

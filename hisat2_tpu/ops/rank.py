@@ -8,6 +8,13 @@ batch of rows.  rank = occ checkpoint (gather) + masked popcount over the
 8 packed uint32 words of a 128-row block; XLA fuses the bit-math into a few
 VPU ops per lane, the HBM traffic is the two gathers.
 
+PERFORMANCE RULE (hard-won): never materialize jnp arrays at module/trace
+scope (jnp.uint32(...), module-level jnp.arange, closed-over device arrays).
+They embed as captured device-buffer constants in the executable, which the
+runtime treats far more expensively than program literals (~50x per op
+measured on v5e).  Constants here are numpy scalars (folded into the HLO as
+literals); all real arrays are function ARGUMENTS.
+
 All row indices are int32; packed words are uint32.
 """
 
@@ -15,12 +22,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..index.format import WORDS_PER_BLOCK
 
-_PAIR_LO = jnp.uint32(0x55555555)
-_FULL = jnp.uint32(0xFFFFFFFF)
-_WOFF = None  # lazily built [1, 8] iota (avoids retracing constants)
+_PAIR_LO = np.uint32(0x55555555)
+_FULL = np.uint32(0xFFFFFFFF)
+_ONE = np.uint32(1)
 
 
 def _word_offsets():
@@ -35,11 +43,10 @@ def rank(bwt_words, occ, zrow: int, i, c):
     w = bwt_words[(blk << 3)[:, None] + _word_offsets()]          # [B, 8]
     pat = (c.astype(jnp.uint32) * _PAIR_LO)[:, None]
     x = ~(w ^ pat)
-    pairs = x & (x >> jnp.uint32(1)) & _PAIR_LO                    # 1/match-pair
+    pairs = x & (x >> _ONE) & _PAIR_LO                             # 1/match-pair
     nvalid = jnp.clip(within[:, None] - 16 * _word_offsets(), 0, 16)
     shift = jnp.minimum(2 * nvalid, 31).astype(jnp.uint32)
-    mask = jnp.where(nvalid >= 16, _FULL,
-                     (jnp.uint32(1) << shift) - jnp.uint32(1))
+    mask = jnp.where(nvalid >= 16, _FULL, (_ONE << shift) - _ONE)
     cnt = jax.lax.population_count(pairs & mask).astype(jnp.int32).sum(axis=1)
     # '$' is packed as char 0 at zrow; the occ checkpoints exclude it, so the
     # phantom only appears in the in-block popcount: subtract when zrow lies
@@ -65,7 +72,7 @@ def lf_range(bwt_words, occ, fchr, zrow: int, top, bot, c):
 def bwt_char(bwt_words, i):
     """BWT char at row i (the '$' slot reads as 0; callers guard via marks)."""
     w = bwt_words[i >> 4]
-    return ((w >> (2 * (i & 15)).astype(jnp.uint32)) & jnp.uint32(3)
+    return ((w >> (2 * (i & 15)).astype(jnp.uint32)) & np.uint32(3)
             ).astype(jnp.int32)
 
 
@@ -79,20 +86,19 @@ def mark_rank(mark_words, mark_chk, i):
     within = i & 127
     nvalid = jnp.clip(within[:, None] - 32 * woff, 0, 32)
     shift = jnp.minimum(nvalid, 31).astype(jnp.uint32)
-    mask = jnp.where(nvalid >= 32, _FULL,
-                     (jnp.uint32(1) << shift) - jnp.uint32(1))
+    mask = jnp.where(nvalid >= 32, _FULL, (_ONE << shift) - _ONE)
     cnt = jax.lax.population_count(w & mask).astype(jnp.int32).sum(axis=1)
     return base + cnt
 
 
 def is_marked(mark_words, i):
     w = mark_words[i >> 5]
-    return ((w >> (i & 31).astype(jnp.uint32)) & jnp.uint32(1)) != 0
+    return ((w >> (i & 31).astype(jnp.uint32)) & _ONE) != 0
 
 
 def ref_char(ref_words, pos):
     """Joined-reference char at position pos (2-bit gather; getStretch
     equivalent, /root/reference/reference.h:59)."""
     w = ref_words[pos >> 4]
-    return ((w >> (2 * (pos & 15)).astype(jnp.uint32)) & jnp.uint32(3)
+    return ((w >> (2 * (pos & 15)).astype(jnp.uint32)) & np.uint32(3)
             ).astype(jnp.int32)

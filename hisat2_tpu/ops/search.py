@@ -24,6 +24,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import rank as rk
 
@@ -68,8 +69,8 @@ def partial_search(bwt_words, occ, fchr, zrow: int, rows: int,
         fc_t = fchr[cc]
         fc_b = fchr[cc + 1]
         re_c = fail & valid_c & (fc_b > fc_t)
-        top = jnp.where(ok, t2, jnp.where(re_c, fc_t, jnp.int32(0)))
-        bot = jnp.where(ok, b2, jnp.where(re_c, fc_b, jnp.int32(rows)))
+        top = jnp.where(ok, t2, jnp.where(re_c, fc_t, np.int32(0)))
+        bot = jnp.where(ok, b2, jnp.where(re_c, fc_b, np.int32(rows)))
         rb_new = jnp.where(ok, rb, jnp.where(re_c, pos + 1, pos))
         rb = jnp.where(active, rb_new, rb)
         lo = jnp.where(active, pos, lo)
