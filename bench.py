@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark: aligned reads/sec/chip on the bundled example config.
+
+Config 1 of BASELINE.md: 100 bp reads from /root/reference/example/reads
+against a linear FM index of example/reference/22_20-21M.fa (1 Mbp chr22
+slice), end-to-end through the full pipeline (device wavefront search +
+resolve + extension, host selection, SAM rendering).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "reads/sec/chip", "vs_baseline": N}
+
+Baseline: reference hisat2-align-s (v2.1.0, -p 1 --no-spliced-alignment)
+measured on this container's single CPU core aligning the same reads
+against the same index: 1000 reads in 0.027 s => ~37,000 reads/s/core
+(tiny index, fully cache-resident — the CPU's best case).  vs_baseline is
+ours / that single-core figure.
+"""
+
+import io
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CPU_BASELINE_READS_PER_SEC = 37000.0  # measured: see module docstring
+
+EXAMPLE_FA = "/root/reference/example/reference/22_20-21M.fa"
+EXAMPLE_READS = "/root/reference/example/reads/reads_1.fa"
+CACHE = "/tmp/hisat2_tpu_bench"
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_hisat2_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import numpy as np
+
+    from hisat2_tpu.align.pipeline import TPUAligner
+    from hisat2_tpu.index.format import FMIndex
+    from hisat2_tpu.io.fasta import read_batches
+    from hisat2_tpu.io.sam import SamWriter
+
+    os.makedirs(CACHE, exist_ok=True)
+    idx_path = os.path.join(CACHE, "22lin.npz")
+    if not os.path.exists(idx_path):
+        log("[bench] building example index ...")
+        from hisat2_tpu.index.builder import build_fm_index
+        from hisat2_tpu.io.fasta import iter_fasta
+        idx = build_fm_index(list(iter_fasta(EXAMPLE_FA)), off_rate=3)
+        idx.save(idx_path)
+    index = FMIndex.load(idx_path)
+    aligner = TPUAligner(index)
+
+    # load the real example reads, tile to a steady-state batch size
+    B = 8192
+    batch = next(read_batches(EXAMPLE_READS, 10000, pad_to=100))
+    reps = (B + len(batch.names) - 1) // len(batch.names)
+    codes = np.tile(batch.codes, (reps, 1))[:B]
+    quals = np.tile(batch.quals, (reps, 1))[:B]
+    lens = np.tile(batch.lens, reps)[:B]
+    log(f"[bench] {B} reads/batch on {jax.devices()[0]}")
+
+    # warm up (compile)
+    t0 = time.time()
+    res = aligner.align_batch(codes, quals, lens)
+    log(f"[bench] warmup (compile) {time.time() - t0:.1f}s, "
+        f"aligned {res.n_aligned}/{B}")
+
+    # timed: full pipeline including SAM rendering to an in-memory sink
+    K = 3
+    t0 = time.time()
+    total = 0
+    for _ in range(K):
+        res = aligner.align_batch(codes, quals, lens)
+        sink = io.StringIO()
+        w = SamWriter(sink, index.meta.ref_names, index.meta.ref_lens,
+                      no_head=True)
+        ref_fn = lambda p, s: aligner.ref_codes[p:p + s]  # noqa: E731
+        for i in range(B):
+            L = int(lens[i])
+            w.write_read(batch.names[i % len(batch.names)],
+                         codes[i, :L], quals[i, :L],
+                         res.alignments[i], ref_fn)
+        total += B
+    dt = time.time() - t0
+    value = total / dt
+    log(f"[bench] {total} reads in {dt:.2f}s")
+    print(json.dumps({
+        "metric": "aligned_reads_per_sec_per_chip_example_linear",
+        "value": round(value, 1),
+        "unit": "reads/sec/chip",
+        "vs_baseline": round(value / CPU_BASELINE_READS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -25,19 +25,18 @@ FLAG_SECONDARY = 0x100
 
 
 def md_and_nm(read_codes: np.ndarray, ref_codes: np.ndarray):
-    """MD:Z string + NM count for an ungapped alignment."""
-    mism = (read_codes != ref_codes) | (read_codes > 3)
+    """MD:Z string + NM count for an ungapped alignment (O(#mismatches))."""
+    mism = np.flatnonzero((read_codes != ref_codes) | (read_codes > 3))
+    if not mism.size:
+        return str(len(read_codes)), 0
     parts = []
-    run = 0
-    for i, bad in enumerate(mism):
-        if not bad:
-            run += 1
-        else:
-            parts.append(str(run))
-            parts.append(bitops.decode_dna(ref_codes[i:i + 1]))
-            run = 0
-    parts.append(str(run))
-    return "".join(parts), int(mism.sum())
+    prev = -1
+    for i in mism:
+        parts.append(str(i - prev - 1))
+        parts.append("ACGTN"[min(ref_codes[i], 4)])
+        prev = i
+    parts.append(str(len(read_codes) - prev - 1))
+    return "".join(parts), int(mism.size)
 
 
 class SamWriter:

@@ -16,6 +16,11 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# sitecustomize (axon) may import jax before this conftest, freezing the
+# platform from the env; override via config so tests run on the virtual
+# CPU mesh regardless
+jax.config.update("jax_platforms", "cpu")
+
 # persistent compile cache: repeated test runs skip XLA recompilation
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_hisat2_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
