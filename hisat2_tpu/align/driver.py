@@ -6,6 +6,7 @@ hisat2.cpp:3581-3984, reshaped batch-synchronous).
 from __future__ import annotations
 
 import dataclasses
+import os
 import sys
 import time
 
@@ -32,13 +33,20 @@ def run_align(args) -> int:
     t0 = time.time()
     index = FMIndex.load(args.index)
     scoring = make_scoring(args)
+    variants = None
+    if os.path.exists(args.index + ".var.npz"):
+        from ..index.variants import VariantDB
+        variants = VariantDB.load(args.index)
     aligner = TPUAligner(index, scoring, k=args.khits,
-                         no_fw=args.nofw, no_rc=args.norc)
+                         no_fw=args.nofw, no_rc=args.norc,
+                         variants=variants)
     out = open(args.sam, "w") if args.sam else sys.stdout
     writer = SamWriter(out, index.meta.ref_names, index.meta.ref_lens,
                        cmdline=" ".join(sys.argv[1:]),
                        no_head=args.no_hd, no_unal=args.no_unal,
-                       rg_id=args.rg_id, rg=args.rg)
+                       rg_id=args.rg_id, rg=args.rg,
+                       annotator=(aligner.annotate_snps
+                                  if variants is not None else None))
     ref_fn = lambda pos, span: aligner.ref_codes[pos:pos + span]  # noqa: E731
 
     n_batches = 0

@@ -53,6 +53,7 @@ class Alignment:
     mapq: int
     nh: int
     secondary: bool
+    zs: Optional[int] = None   # secbest score (SAM ZS:i), when one exists
 
     @property
     def aln_start(self) -> int:
@@ -84,7 +85,7 @@ class TPUAligner:
     def __init__(self, index: FMIndex, scoring: Optional[Scoring] = None,
                  k: int = 5, max_hits: int = 4, min_hit_len: int = 16,
                  cand_per_hit: int = 4, no_fw: bool = False,
-                 no_rc: bool = False):
+                 no_rc: bool = False, variants=None):
         self.meta = index.meta
         self.scoring = scoring or Scoring()
         self.k = k
@@ -105,10 +106,24 @@ class TPUAligner:
         self.frag_off = np.asarray(index.frag_off)
         self.mm_pen = jnp.asarray(self.scoring.mm_pen_table())
         self.clip_pen = jnp.asarray(self.scoring.clip_pen_table())
+        # variant (ALT) database -> device planes + host Zs lookup tables
+        self.variants = variants
+        if variants is not None and variants.n_snps:
+            from ..index.graph import build_graph_arrays
+            self.graph = build_graph_arrays(index, variants)
+            self.snv1_dev = jnp.asarray(self.graph.snv_delta1)
+            self.snv2_dev = jnp.asarray(self.graph.snv_delta2)
+        else:
+            self.graph = None
+            # dummy placeholders (never read); real planes must be jit
+            # ARGUMENTS, never closures — see ops/rank.py perf rule
+            self.snv1_dev = jnp.zeros(1, jnp.uint32)
+            self.snv2_dev = jnp.zeros(1, jnp.uint32)
         self._device_step = jax.jit(self._align_device)
 
     # ------------------------------------------------------------------
-    def _align_device(self, d, mm_pen, clip_pen, reads, quals, lens):
+    def _align_device(self, d, mm_pen, clip_pen, snv1, snv2,
+                      reads, quals, lens):
         """Device computation for one batch: [B, L] -> candidate arrays.
 
         Lanes 0..B-1 are forward, B..2B-1 reverse-complement.
@@ -164,9 +179,41 @@ class TPUAligner:
             d.ref_words, meta.n, ar, aq, al,
             jnp.where(cvalid, cstart, -1), mm_pen, clip_pen,
             self.scoring.n_pen,
-            allow_softclip=not self.scoring.no_softclip)
+            allow_softclip=not self.scoring.no_softclip,
+            snv_delta1=snv1 if self.graph is not None else None,
+            snv_delta2=snv2 if self.graph is not None else None)
         return (cstart, ext.score, ext.n_mm, ext.n_n,
-                ext.clip_l, ext.clip_r, cvalid & ext.ok)
+                ext.clip_l, ext.clip_r, cvalid & ext.ok, ext.alt_score)
+
+    # ------------------------------------------------------------------
+    def annotate_snps(self, a, rd_aligned):
+        """(Zs:Z string, offsets of SNP-matched columns) for one alignment.
+
+        The offsets are excluded from NM/XM, mirroring how the reference
+        marks snpID edits and skips them in mismatch accounting
+        (aligner_result.cpp NM computation; sam.h:978 Zs emission)."""
+        if self.graph is None:
+            return None, ()
+        g = self.graph
+        start = a.joined_pos + a.clip_l
+        lo = int(np.searchsorted(g.snv_joined, start))
+        hi = int(np.searchsorted(g.snv_joined, start + a.aln_span))
+        if lo == hi:
+            return None, ()
+        offs, names = [], []
+        for t in range(lo, hi):
+            off = int(g.snv_joined[t]) - start
+            if 0 <= off < len(rd_aligned) and \
+                    rd_aligned[off] == g.snv_alt[t]:
+                offs.append(off)
+                names.append(self.variants.snp_names[int(g.snv_id[t])])
+        if not offs:
+            return None, ()
+        parts, prev = [], -1
+        for o, nm in zip(offs, names):
+            parts.append(f"{o - prev - 1}|S|{nm}")
+            prev = o
+        return ",".join(parts), tuple(offs)
 
     # ------------------------------------------------------------------
     def align_batch(self, codes: np.ndarray, quals: np.ndarray,
@@ -174,10 +221,11 @@ class TPUAligner:
         """Align one padded batch; returns per-read alignment lists."""
         B = codes.shape[0]
         C = self.max_cands
-        starts, score, n_mm, n_n, clip_l, clip_r, valid = (
+        starts, score, n_mm, n_n, clip_l, clip_r, valid, alt_score = (
             np.asarray(x).reshape(2 * B * C)
             for x in self._device_step(
                 self.dev, self.mm_pen, self.clip_pen,
+                self.snv1_dev, self.snv2_dev,
                 jnp.asarray(codes, jnp.int32), jnp.asarray(quals, jnp.int32),
                 jnp.asarray(lens, jnp.int32)))
         lane = np.repeat(np.arange(2 * B, dtype=np.int64), C)
@@ -225,15 +273,28 @@ class TPUAligner:
         seg_len = np.diff(np.append(bnd, len(r)))
         seg_of = np.repeat(np.arange(len(bnd)), seg_len)
         pos_in_seg = np.arange(len(r)) - bnd[seg_of]
-        # per-segment summary -> MAPQ (vectorized BowtieMapq2)
+        # per-segment summary -> MAPQ (vectorized BowtieMapq2).  The secbest
+        # considers BOTH the second distinct placement and the best
+        # alternate representation of the best placement (trimmed variants
+        # the reference also counts into AlnSetSumm — hence ZS with NH:i:1)
         seg_read = r[bnd]
         best = sc[bnd]
-        has_sec = seg_len > 1
-        secbest = np.where(has_sec, sc[np.minimum(bnd + 1, len(r) - 1)], 0)
+        alt_of_best = alt_score[idx[bnd]].astype(np.int64)
+        alt_valid = alt_of_best >= minsc[seg_read]
+        sec_cand = np.where(seg_len > 1,
+                            sc[np.minimum(bnd + 1, len(r) - 1)],
+                            np.int64(-2 ** 40))
+        # ZS counts trimmed representations of the best placement too;
+        # MAPQ's secbest counts only DISTINCT placements (the reference
+        # reports ZS yet MAPQ 60 when the only secbest is a trimmed variant)
+        secbest = np.maximum(sec_cand, np.where(alt_valid, alt_of_best,
+                                                np.int64(-2 ** 40)))
+        has_sec = (seg_len > 1) | alt_valid
         perfect = np.zeros(len(bnd), np.int64) + np.array(
             [self.scoring.perfect_score(int(lens[x])) for x in seg_read])
-        mq = mapq_mod.mapq_v2(best, secbest, has_sec, perfect,
-                              minsc[seg_read])
+        mq = mapq_mod.mapq_v2(best, np.maximum(sec_cand, -2 ** 30),
+                              seg_len > 1, perfect, minsc[seg_read])
+        seg_zs = np.where(has_sec, secbest, 0)
         n_rep = np.minimum(seg_len, self.k)
         keep = pos_in_seg < n_rep[seg_of]
         # fragment mapping for kept candidates
@@ -255,5 +316,7 @@ class TPUAligner:
                 aln_span=int(rd_len[t]) - int(clip_l[g]) - int(clip_r[g]),
                 score=int(sc[i]), n_mm=int(n_mm[g]), n_n=int(n_n[g]),
                 mapq=int(mq[seg_of[i]]), nh=int(n_rep[seg_of[i]]),
-                secondary=bool(pos_in_seg[i] > 0)))
+                secondary=bool(pos_in_seg[i] > 0),
+                zs=(int(seg_zs[seg_of[i]])
+                    if has_sec[seg_of[i]] else None)))
         return BatchResult(alignments=per_read, n_reads=B)

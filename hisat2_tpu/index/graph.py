@@ -1,0 +1,91 @@
+"""Variant-aware (graph) index arrays: the device-side ALT database.
+
+The reference encodes variants into the GBWT itself (GFM over a variation
+graph) plus an ALTDB consulted during extension (alignWithALTs_recur,
+/root/reference/hi_aligner.h:2586-3377).  The TPU-native design keeps the
+*search* on the linear FM index (anchors are exact stretches of the
+reference) and makes the *extension* variant-aware, which recovers
+alignments through known variants whenever an anchor exists on either side
+— the same division of labor the reference's extension performs against
+BitPairReference + ALTDB.
+
+Device encoding (one gather per column, same geometry as ref_char):
+  snv_delta1/2: 2-bit packed over joined positions; value v in 1..3 means a
+  single-base SNP with alt allele (ref + v) & 3 exists there; v == 0 means
+  none.  Two planes cover multi-allelic sites (>2 alts at one position is
+  vanishingly rare and ignored).
+
+Indels (ALT_INS/ALT_DEL) are kept as sorted coordinate lists; the extension
+enumerates gapped candidate geometries from them (see ops/extend.py
+extend_indel) — mirroring the reference's branch into compatible indel ALTs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..utils import bitops
+from .variants import SNP_DEL, SNP_INS, SNP_SGL, VariantDB
+
+
+@dataclasses.dataclass
+class GraphArrays:
+    """Device-uploadable variant planes + host lookup tables."""
+    snv_delta1: np.ndarray    # uint32 [ceil(n/16)] 2-bit planes
+    snv_delta2: np.ndarray
+    # indels sorted by joined position (host + device)
+    indel_pos: np.ndarray     # int32 [I] joined position (first affected)
+    indel_len: np.ndarray     # int32 [I] +len = deletion, -len = insertion
+    indel_seq: np.ndarray     # int64 [I] packed inserted seq (insertions)
+    indel_id: np.ndarray      # int32 [I] index into VariantDB records
+    # host: SNV site lookup for Zs tags
+    snv_joined: np.ndarray    # int32 [S] sorted joined positions
+    snv_alt: np.ndarray       # int8  [S] alt base code
+    snv_id: np.ndarray        # int32 [S] index into VariantDB records
+
+
+def build_graph_arrays(index, db: VariantDB) -> GraphArrays:
+    """Encode a VariantDB against an FMIndex's joined coordinates."""
+    n = index.meta.n
+    ref_codes = bitops.unpack_2bit(np.asarray(index.ref_words), n)
+    nwords = (n + 15) // 16
+    plane1 = np.zeros(nwords * 16, np.uint8)
+    plane2 = np.zeros(nwords * 16, np.uint8)
+
+    sgl = np.flatnonzero((db.snp_kind == SNP_SGL) & (db.snp_joined >= 0))
+    pos = db.snp_joined[sgl].astype(np.int64)
+    alt = (db.snp_seq[sgl] & 3).astype(np.int64)
+    ref = ref_codes[pos].astype(np.int64)
+    delta = (alt - ref) & 3
+    ok = delta != 0          # alt == ref would be a no-op record
+    pos, alt, delta, sgl = pos[ok], alt[ok], delta[ok], sgl[ok]
+    # first plane wins; duplicates (multi-allelic) go to plane 2
+    first = plane1[pos] == 0
+    plane1[pos[first]] = delta[first]
+    dup = ~first
+    plane2[pos[dup]] = np.where(plane2[pos[dup]] == 0, delta[dup],
+                                plane2[pos[dup]])
+
+    def pack2(plane):
+        p = plane.reshape(nwords, 16).astype(np.uint32)
+        sh = (2 * np.arange(16, dtype=np.uint32))[None, :]
+        return (p << sh).sum(axis=1, dtype=np.uint32)
+
+    ind = np.flatnonzero((db.snp_kind != SNP_SGL) & (db.snp_joined >= 0))
+    ilen = np.where(db.snp_kind[ind] == SNP_DEL,
+                    db.snp_len[ind], -db.snp_len[ind]).astype(np.int32)
+    order = np.argsort(db.snp_joined[ind], kind="stable")
+    ind = ind[order]
+
+    so = np.argsort(pos, kind="stable")
+    return GraphArrays(
+        snv_delta1=pack2(plane1), snv_delta2=pack2(plane2),
+        indel_pos=db.snp_joined[ind].astype(np.int32),
+        indel_len=ilen[order],
+        indel_seq=db.snp_seq[ind].astype(np.int64),
+        indel_id=ind.astype(np.int32),
+        snv_joined=pos[so].astype(np.int32),
+        snv_alt=alt[so].astype(np.int8),
+        snv_id=sgl[so].astype(np.int32))

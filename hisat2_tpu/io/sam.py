@@ -42,11 +42,13 @@ def md_and_nm(read_codes: np.ndarray, ref_codes: np.ndarray):
 class SamWriter:
     def __init__(self, out, ref_names, ref_lens, cmdline: str = "",
                  no_head: bool = False, no_unal: bool = False,
-                 rg_id: str = None, rg: list = None):
+                 rg_id: str = None, rg: list = None, annotator=None):
         self.out = out if hasattr(out, "write") else open(out, "w")
         self.ref_names = ref_names
         self.ref_lens = ref_lens
         self.no_unal = no_unal
+        # annotator(aln, rd_aligned) -> (Zs string | None, snp offsets)
+        self.annotator = annotator
         # unpaired counters
         self.n_reads = 0
         self.n_unal = 0
@@ -87,12 +89,24 @@ class SamWriter:
         mid = L - cl - cr
         cigar = (f"{cl}S" if cl else "") + f"{mid}M" + (f"{cr}S" if cr else "")
         ref = ref_codes_fn(a.joined_pos + cl, mid)
-        md, nm = md_and_nm(rd[cl:L - cr], ref)
+        rd_aligned = rd[cl:L - cr]
+        md, nm = md_and_nm(rd_aligned, ref)
+        zs_tag = None
+        if self.annotator is not None:
+            zs_tag, snp_offs = self.annotator(a, rd_aligned)
+            nm -= len(snp_offs)  # known-SNP matches don't count as edits
+        # tag order mirrors AlnSinkSam::appendMate (sam.h):
+        # AS ZS XN XM XO XG NM MD YS YT NH Zs
         tags = [f"AS:i:{a.score}"]
+        if a.zs is not None:
+            tags.append(f"ZS:i:{a.zs}")
+        tags += ["XN:i:0", f"XM:i:{nm}", "XO:i:0", "XG:i:0",
+                 f"NM:i:{nm}", f"MD:Z:{md}"]
         if mate_score is not None:
             tags.append(f"YS:i:{mate_score}")
-        tags += ["XN:i:0", f"XM:i:{nm}", "XO:i:0", "XG:i:0",
-                 f"NM:i:{nm}", f"MD:Z:{md}", f"NH:i:{a.nh}", f"YT:Z:{yt}"]
+        tags += [f"YT:Z:{yt}", f"NH:i:{a.nh}"]
+        if zs_tag:
+            tags.append(f"Zs:Z:{zs_tag}")
         return (f"{name}\t{flag}\t{self.ref_names[a.ref_id]}\t"
                 f"{a.ref_pos + 1}\t{a.mapq}\t{cigar}\t{rnext}\t{pnext}\t"
                 f"{tlen}\t{seq}\t{qual}\t" + "\t".join(tags) + "\n")

@@ -34,23 +34,37 @@ import numpy as np
 from . import rank as rk
 
 _OOB_PEN = 100000  # out-of-text column: forces the optimizer to clip it
+NO_ALT = -(2 ** 30)  # alt_score when no alternate representation exists
 
 
 class ExtendResult(NamedTuple):
     score: jnp.ndarray    # int32 [B, C] total score (<= 0), best clipping
     n_mm: jnp.ndarray     # int32 [B, C] mismatches within the aligned region
+                          #   (known-SNP matches excluded, like the
+                          #    reference's snpID-tagged edits)
     n_n: jnp.ndarray      # int32 [B, C] read-N columns within aligned region
+    n_snp: jnp.ndarray    # int32 [B, C] columns matched via a known SNP alt
     clip_l: jnp.ndarray   # int32 [B, C] soft-clip at read start (trim5)
     clip_r: jnp.ndarray   # int32 [B, C] soft-clip at read end (trim3)
     ok: jnp.ndarray       # bool  [B, C] aligned region non-empty and in-text
+    alt_score: jnp.ndarray  # int32 [B, C] best ALTERNATE representation of
+                          #   the same placement (clip through the first/
+                          #   last penalized column, or undo the optimal
+                          #   clip).  The reference surfaces these trimmed
+                          #   GenomeHits as secbest scores (ZS tag); NO_ALT
+                          #   when the candidate has no penalized column.
 
 
 def extend_grouped(ref_words, n_text: int, reads, quals, lens,
                    cand_start, mm_pen, clip_pen, n_pen: int,
-                   allow_softclip: bool = True) -> ExtendResult:
+                   allow_softclip: bool = True,
+                   snv_delta1=None, snv_delta2=None) -> ExtendResult:
     """reads/quals: int32 [B, L]; lens: int32 [B]; cand_start: int32 [B, C]
     (joined genome start per candidate; negative = invalid).
-    mm_pen / clip_pen: int32 [64] per-quality penalty tables."""
+    mm_pen / clip_pen: int32 [64] per-quality penalty tables.
+    snv_delta1/2: optional 2-bit SNP planes (index/graph.py) — a column
+    whose read base equals a known alt allele scores as a match
+    (alignWithALTs semantics, hi_aligner.h:2586)."""
     B, L = reads.shape
     C = cand_start.shape[1]
     rd = reads[:, None, :]                                    # [B, 1, L]
@@ -61,9 +75,18 @@ def extend_grouped(ref_words, n_text: int, reads, quals, lens,
     vp = jnp.broadcast_to(col < ln[:, :, None], pos.shape)
 
     oob = vp & ((pos < 0) | (pos >= n_text))
-    rc = rk.ref_char(ref_words, jnp.clip(pos, 0, n_text - 1))
+    cpos = jnp.clip(pos, 0, n_text - 1)
+    rc = rk.ref_char(ref_words, cpos)
     isn = vp & (rd >= 4)
     mm = vp & (rd < 4) & (rd != rc) & ~oob
+    if snv_delta1 is not None:
+        v1 = rk.ref_char(snv_delta1, cpos)
+        v2 = rk.ref_char(snv_delta2, cpos)
+        snp_ok = mm & (((v1 != 0) & (rd == ((rc + v1) & 3)))
+                       | ((v2 != 0) & (rd == ((rc + v2) & 3))))
+        mm = mm & ~snp_ok
+    else:
+        snp_ok = jnp.zeros_like(mm)
     pen = (jnp.where(mm, mm_pen[q], 0)
            + jnp.where(isn, np.int32(n_pen), 0)
            + jnp.where(oob, np.int32(_OOB_PEN), 0))
@@ -97,11 +120,33 @@ def extend_grouped(ref_words, n_text: int, reads, quals, lens,
         clip_r = jnp.where(gr > 0, clip_r, 0)
         score = -(total_pen - gl - gr)
         ok = (clip_l + clip_r) < lnc
+        # --- alternate representation score (ZS semantics): the reference's
+        # trimmed GenomeHits correspond to clipping THROUGH the first/last
+        # penalized column still inside the aligned region (never undoing
+        # the optimal clip).  Their scores surface as secbest (ZS tag).
+        in_aln = (vp & (pen > 0) & (col >= clip_l[:, :, None])
+                  & (col < (lnc - clip_r)[:, :, None]))
+        j_first = jnp.where(in_aln, col, L + 1).min(axis=-1)  # [B, C]
+        has_pen = j_first <= L
+        j_last = jnp.where(in_aln, col, -1).max(axis=-1)
+        a_fm = jnp.minimum(j_first + 1, lnc)                 # clip [0..j_f]
+        b_fm = jnp.where(has_pen, lnc - j_last, 0)           # clip [j_l..)
+
+        def gval(arr, idx):
+            return jnp.take_along_axis(arr, idx[:, :, None], -1)[:, :, 0]
+        alt = jnp.full((B, C), np.int32(NO_ALT))
+        for a_i, b_i in ((a_fm, clip_r), (clip_l, b_fm), (a_fm, b_fm)):
+            sc_i = -(total_pen - gval(lgs, a_i) - gval(rgs, b_i))
+            distinct = (a_i != clip_l) | (b_i != clip_r)
+            feasible = (a_i + b_i) < lnc
+            alt = jnp.where(distinct & feasible & has_pen,
+                            jnp.maximum(alt, sc_i), alt)
     else:
         clip_l = jnp.zeros((B, C), jnp.int32)
         clip_r = jnp.zeros((B, C), jnp.int32)
         score = -total_pen
         ok = jnp.ones((B, C), bool)
+        alt = jnp.full((B, C), np.int32(NO_ALT))
     ok &= (cand_start >= 0)
     ok &= score > -(_OOB_PEN // 2)
     # aligned-region mismatch counts for reporting
@@ -109,4 +154,5 @@ def extend_grouped(ref_words, n_text: int, reads, quals, lens,
     return ExtendResult(score.astype(jnp.int32),
                         (mm & keep).sum(axis=-1).astype(jnp.int32),
                         (isn & keep).sum(axis=-1).astype(jnp.int32),
-                        clip_l, clip_r, ok)
+                        (snp_ok & keep).sum(axis=-1).astype(jnp.int32),
+                        clip_l, clip_r, ok, alt.astype(jnp.int32))

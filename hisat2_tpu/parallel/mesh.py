@@ -58,9 +58,10 @@ def sharded_align_step(aligner, mesh: Mesh):
     (candidate arrays..., counters) with counters = [aligned_lanes] summed
     over the mesh (the psum replaces MERGE_METRICS)."""
 
-    def step(d, mm_pen, clip_pen, reads, quals, lens):
-        out = aligner._align_device(d, mm_pen, clip_pen, reads, quals, lens)
-        valid = out[-1]
+    def step(d, mm_pen, clip_pen, snv1, snv2, reads, quals, lens):
+        out = aligner._align_device(d, mm_pen, clip_pen, snv1, snv2,
+                                    reads, quals, lens)
+        valid = out[6]  # the candidate validity mask
         n_cand = valid.sum()  # global (XLA inserts the cross-shard reduce)
         return out + (n_cand,)
 
@@ -68,5 +69,5 @@ def sharded_align_step(aligner, mesh: Mesh):
     dp = NamedSharding(mesh, P("dp"))
     return jax.jit(
         step,
-        in_shardings=(repl, repl, repl, dp, dp, dp),
-        out_shardings=(dp, dp, dp, dp, dp, dp, dp, repl))
+        in_shardings=(repl, repl, repl, repl, repl, dp, dp, dp),
+        out_shardings=(dp, dp, dp, dp, dp, dp, dp, dp, repl))

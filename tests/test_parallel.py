@@ -38,16 +38,19 @@ def test_sharded_matches_single_device(small_index):
     lens = np.full(B, L, np.int32)
 
     single = al._device_step(al.dev, al.mm_pen, al.clip_pen,
-                             reads, quals, lens)
+                             al.snv1_dev, al.snv2_dev, reads, quals, lens)
 
     m = pmesh.make_mesh(n_dp=8)
     step = pmesh.sharded_align_step(al, m)
     d = pmesh.replicate(m, al.dev)
     mm = pmesh.replicate(m, al.mm_pen)
     cp = pmesh.replicate(m, al.clip_pen)
+    s1 = pmesh.replicate(m, al.snv1_dev)
+    s2 = pmesh.replicate(m, al.snv2_dev)
     r, q, l = pmesh.shard_batch(m, reads, quals, lens)
-    sharded = step(d, mm, cp, r, q, l)
+    sharded = step(d, mm, cp, s1, s2, r, q, l)
     jax.block_until_ready(sharded)
     for a, b in zip(single, sharded[:-1]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    assert int(np.asarray(sharded[-1])) == int(np.asarray(single[-1]).sum())
+    # sharded counter == sum of the single-device validity mask (output 6)
+    assert int(np.asarray(sharded[-1])) == int(np.asarray(single[6]).sum())
