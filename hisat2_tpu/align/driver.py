@@ -39,7 +39,8 @@ def run_align(args) -> int:
         variants = VariantDB.load(args.index)
     aligner = TPUAligner(index, scoring, k=args.khits,
                          no_fw=args.nofw, no_rc=args.norc,
-                         variants=variants)
+                         variants=variants,
+                         spliced=not args.no_spliced_alignment)
     out = open(args.sam, "w") if args.sam else sys.stdout
     writer = SamWriter(out, index.meta.ref_names, index.meta.ref_lens,
                        cmdline=" ".join(sys.argv[1:]),

@@ -31,6 +31,7 @@ from ..index.format import FMIndex
 from ..ops import extend as extend_ops
 from ..ops import resolve as resolve_ops
 from ..ops import search as search_ops
+from ..ops import splice as splice_ops
 from ..utils import bitops
 from . import mapq as mapq_mod
 from .scoring import Scoring
@@ -38,7 +39,13 @@ from .scoring import Scoring
 
 @dataclasses.dataclass
 class Alignment:
-    """One reported alignment (AlnRes equivalent, aligner_result.h)."""
+    """One reported alignment (AlnRes equivalent, aligner_result.h).
+
+    Junction fields describe at most one splice/indel join (combineWith
+    product, hi_aligner.h:1286): the read splits at `junc_x` (first read
+    base of the right segment); `junc_len` is the reference skip (intron or
+    deletion length; negative = insertion length); `spl_dir` is the
+    SPL_FW/RC/SEMI_* classification driving the XS:A tag."""
     read_idx: int
     rc: bool              # reverse-complement orientation
     ref_id: int
@@ -46,7 +53,7 @@ class Alignment:
     joined_pos: int       # joined position of the (unclipped) read start
     clip_l: int           # soft-clipped bases at alignment start (trim5)
     clip_r: int           # soft-clipped bases at alignment end (trim3)
-    aln_span: int         # aligned reference span (read len - clips, ungapped)
+    aln_span: int         # aligned reference span (incl. intron/del skip)
     score: int
     n_mm: int
     n_n: int
@@ -54,6 +61,13 @@ class Alignment:
     nh: int
     secondary: bool
     zs: Optional[int] = None   # secbest score (SAM ZS:i), when one exists
+    junc_kind: int = 0         # 0 none, 1 splice (N), 2 deletion, 3 insertion
+    junc_x: int = 0            # read pos of the right segment's first base
+    junc_len: int = 0          # REFERENCE-space skip (>0 N/D; <0 insertion;
+                               #   may exceed the joined gap across N runs)
+    junc_d2: int = 0           # joined diagonal of the right segment
+    spl_dir: int = 0           # splice_ops.SPL_*
+    junc_known: bool = False   # known splice site / known ALT indel
 
     @property
     def aln_start(self) -> int:
@@ -85,7 +99,8 @@ class TPUAligner:
     def __init__(self, index: FMIndex, scoring: Optional[Scoring] = None,
                  k: int = 5, max_hits: int = 4, min_hit_len: int = 16,
                  cand_per_hit: int = 4, no_fw: bool = False,
-                 no_rc: bool = False, variants=None):
+                 no_rc: bool = False, variants=None, spliced: bool = False,
+                 max_pairs: int = 4):
         self.meta = index.meta
         self.scoring = scoring or Scoring()
         self.k = k
@@ -97,6 +112,8 @@ class TPUAligner:
         self.max_cands = max(k + 1, 6)
         self.no_fw = no_fw
         self.no_rc = no_rc
+        self.spliced = spliced
+        self.max_pairs = max_pairs
         self.dev = index.to_device()
         # host copies for SAM field generation (MD/ref lookup)
         self.ref_codes = bitops.unpack_2bit(
@@ -104,33 +121,49 @@ class TPUAligner:
         self.frag_joined = np.asarray(index.frag_joined)
         self.frag_ref = np.asarray(index.frag_ref)
         self.frag_off = np.asarray(index.frag_off)
-        self.mm_pen = jnp.asarray(self.scoring.mm_pen_table())
-        self.clip_pen = jnp.asarray(self.scoring.clip_pen_table())
+        # replicated small parameter arrays: jit ARGUMENTS, never closures
+        # (see ops/rank.py perf rule)
+        self.params = {
+            "mm_pen": jnp.asarray(self.scoring.mm_pen_table()),
+            "clip_pen": jnp.asarray(self.scoring.clip_pen_table()),
+        }
         # variant (ALT) database -> device planes + host Zs lookup tables
         self.variants = variants
         if variants is not None and variants.n_snps:
             from ..index.graph import build_graph_arrays
             self.graph = build_graph_arrays(index, variants)
-            self.snv1_dev = jnp.asarray(self.graph.snv_delta1)
-            self.snv2_dev = jnp.asarray(self.graph.snv_delta2)
+            self.params["snv1"] = jnp.asarray(self.graph.snv_delta1)
+            self.params["snv2"] = jnp.asarray(self.graph.snv_delta2)
         else:
             self.graph = None
-            # dummy placeholders (never read); real planes must be jit
-            # ARGUMENTS, never closures — see ops/rank.py perf rule
-            self.snv1_dev = jnp.zeros(1, jnp.uint32)
-            self.snv2_dev = jnp.zeros(1, jnp.uint32)
+            self.params["snv1"] = jnp.zeros(1, jnp.uint32)
+            self.params["snv2"] = jnp.zeros(1, jnp.uint32)
+        self.splice_params = splice_ops.SpliceParams(
+            min_intron=self.scoring.min_intron_len,
+            max_intron=self.scoring.max_intron_len,
+            pen_can=self.scoring.pen_can_splice,
+            pen_noncan=self.scoring.pen_noncan_splice,
+            rd_gap_open=self.scoring.rd_gap_open,
+            rd_gap_ext=self.scoring.rd_gap_ext,
+            rf_gap_open=self.scoring.rf_gap_open,
+            rf_gap_ext=self.scoring.rf_gap_ext)
+        if spliced:
+            td, ta1, ta2 = splice_ops.junction_prob_tables()
+            self.params["tab_donor"] = jnp.asarray(td)
+            self.params["tab_acc1"] = jnp.asarray(ta1)
+            self.params["tab_acc2"] = jnp.asarray(ta2)
         self._device_step = jax.jit(self._align_device)
 
     # ------------------------------------------------------------------
-    def _align_device(self, d, mm_pen, clip_pen, snv1, snv2,
-                      reads, quals, lens):
-        """Device computation for one batch: [B, L] -> candidate arrays.
+    def _align_device(self, d, params, reads, quals, lens, minsc):
+        """Device computation for one batch: [B, L] -> candidate dict.
 
         Lanes 0..B-1 are forward, B..2B-1 reverse-complement.
 
-        NOTE: the index bundle `d` and penalty tables are jit ARGUMENTS, not
-        closures — closed-over device arrays embed as executable constants,
-        which the runtime handles ~50x slower per op (see ops/rank.py)."""
+        NOTE: the index bundle `d` and the `params` dict are jit ARGUMENTS,
+        not closures — closed-over device arrays embed as executable
+        constants, which the runtime handles ~50x slower per op (see
+        ops/rank.py)."""
         meta = self.meta
         B, L = reads.shape
         col = jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -143,6 +176,7 @@ class TPUAligner:
         ar = jnp.concatenate([reads, rc]).astype(jnp.int32)
         aq = jnp.concatenate([quals, qr]).astype(jnp.int32)
         al = jnp.concatenate([lens, lens]).astype(jnp.int32)
+        am = jnp.concatenate([minsc, minsc]).astype(jnp.int32)
 
         hits = search_ops.partial_search(
             d.bwt_words, d.occ, d.fchr, meta.zrow, meta.rows, ar, al,
@@ -175,15 +209,33 @@ class TPUAligner:
         comp = jnp.argsort(~uniq, axis=1, stable=True)[:, :C]
         cstart = jnp.take_along_axis(skey, comp, axis=1)          # [2B, C]
         cvalid = jnp.take_along_axis(uniq, comp, axis=1)
+        planes = extend_ops.pen_planes(
+            d.ref_words, meta.n, ar, aq, al,
+            jnp.where(cvalid, cstart, -1), params["mm_pen"],
+            self.scoring.n_pen,
+            snv_delta1=params["snv1"] if self.graph is not None else None,
+            snv_delta2=params["snv2"] if self.graph is not None else None)
         ext = extend_ops.extend_grouped(
             d.ref_words, meta.n, ar, aq, al,
-            jnp.where(cvalid, cstart, -1), mm_pen, clip_pen,
-            self.scoring.n_pen,
+            jnp.where(cvalid, cstart, -1), params["mm_pen"],
+            params["clip_pen"], self.scoring.n_pen,
             allow_softclip=not self.scoring.no_softclip,
-            snv_delta1=snv1 if self.graph is not None else None,
-            snv_delta2=snv2 if self.graph is not None else None)
-        return (cstart, ext.score, ext.n_mm, ext.n_n,
-                ext.clip_l, ext.clip_r, cvalid & ext.ok, ext.alt_score)
+            planes=planes)
+        out = {"starts": cstart, "score": ext.score, "n_mm": ext.n_mm,
+               "n_n": ext.n_n, "clip_l": ext.clip_l, "clip_r": ext.clip_r,
+               "valid": cvalid & ext.ok, "alt_score": ext.alt_score}
+        if self.spliced:
+            ch = splice_ops.diag_chars(
+                d.ref_words, meta.n, cstart, L, 16)
+            res = splice_ops.pair_sweep(
+                ch, planes.pen_raw, planes.pen, planes.mm_raw,
+                cstart, cvalid, al, am,
+                (params["tab_donor"], params["tab_acc1"],
+                 params["tab_acc2"]),
+                self.splice_params)
+            sel = splice_ops.select_pairs(res, cstart, top=self.max_pairs)
+            out.update({"p_" + k2: v for k2, v in sel.items()})
+        return out
 
     # ------------------------------------------------------------------
     def annotate_snps(self, a, rd_aligned):
@@ -221,52 +273,112 @@ class TPUAligner:
         """Align one padded batch; returns per-read alignment lists."""
         B = codes.shape[0]
         C = self.max_cands
-        starts, score, n_mm, n_n, clip_l, clip_r, valid, alt_score = (
-            np.asarray(x).reshape(2 * B * C)
-            for x in self._device_step(
-                self.dev, self.mm_pen, self.clip_pen,
-                self.snv1_dev, self.snv2_dev,
-                jnp.asarray(codes, jnp.int32), jnp.asarray(quals, jnp.int32),
-                jnp.asarray(lens, jnp.int32)))
-        lane = np.repeat(np.arange(2 * B, dtype=np.int64), C)
-        # host-side policy filters (all vectorized)
         minsc = np.array([self.scoring.min_score(int(l)) for l in lens],
                          np.int64)
+        out = self._device_step(
+            self.dev, self.params,
+            jnp.asarray(codes, jnp.int32), jnp.asarray(quals, jnp.int32),
+            jnp.asarray(lens, jnp.int32), jnp.asarray(minsc, jnp.int32))
+        o_np = {k2: np.asarray(v) for k2, v in out.items()}
+        T = self.max_pairs if self.spliced else 0
+        K = C + T
+        z2 = np.zeros((2 * B, T), np.int64)
+
+        def flat(base, pair):
+            return np.concatenate(
+                [base.astype(np.int64),
+                 pair.astype(np.int64) if T else z2[:, :0]],
+                axis=1).reshape(-1)
+
+        starts = flat(o_np["starts"], o_np.get("p_d1", z2))
+        score = flat(o_np["score"], o_np.get("p_score", z2))
+        n_mm = flat(o_np["n_mm"], z2)
+        n_n_dev = flat(o_np["n_n"], z2)
+        clip_l = flat(o_np["clip_l"], z2)
+        clip_r = flat(o_np["clip_r"], z2)
+        alt_score = flat(o_np["alt_score"],
+                         np.full((2 * B, T), extend_ops.NO_ALT))
+        junc_kind = flat(np.zeros((2 * B, C)), o_np.get("p_kind", z2))
+        junc_x = flat(np.zeros((2 * B, C)), o_np.get("p_x", z2))
+        d2 = flat(o_np["starts"], o_np.get("p_d2", z2))
+        spl_dir = flat(np.zeros((2 * B, C)), o_np.get("p_spldir", z2))
+        BIGV = 2 ** 29
+        if T:
+            pv = o_np["p_score"] > -BIGV
+            valid = np.concatenate([o_np["valid"], pv], axis=1).reshape(-1)
+        else:
+            valid = o_np["valid"].reshape(-1)
+
+        lane = np.repeat(np.arange(2 * B, dtype=np.int64), K)
+        # host-side policy filters (all vectorized)
         maxn = np.array([self.scoring.max_n(int(l)) for l in lens], np.int64)
         read_of_lane = lane % B
         is_rc = lane >= B
+        # pairs span the whole read: their N count is the read's N count
+        n_read = np.array([(codes[i, :lens[i]] > 3).sum()
+                           for i in range(B)], np.int64)
+        n_n = np.where(junc_kind > 0, n_read[read_of_lane], n_n_dev)
         if self.no_fw:
             valid = valid & is_rc
         if self.no_rc:
             valid = valid & ~is_rc
-        valid = valid & (score >= minsc[read_of_lane]) \
-            & (n_n <= maxn[read_of_lane])
-        # the ALIGNED span must sit inside one fragment (joinedToTextOff
-        # straddle check, gfm.h:5076)
+        is_pair = junc_kind > 0
+        valid = valid & (n_n <= maxn[read_of_lane]) \
+            & (is_pair | (score >= minsc[read_of_lane]))
+        # fragment containment (joinedToTextOff straddle check, gfm.h:5076);
+        # junction candidates check each segment separately, and a splice may
+        # cross an N-gap fragment boundary within the same reference
+        L_of = lens[read_of_lane].astype(np.int64)
+        ins_len = np.where(junc_kind == splice_ops.KIND_INS,
+                           starts - d2, 0)
         aln_start = starts + clip_l
-        aln_span = lens[read_of_lane] - clip_l - clip_r
-        f = np.searchsorted(self.frag_joined, aln_start, "right") - 1
-        f = np.clip(f, 0, len(self.frag_ref) - 1)
-        contained = (aln_start >= self.frag_joined[f]) & \
-            (aln_start + aln_span <= self.frag_joined[f + 1])
-        valid &= contained
+        left_end = np.where(is_pair, starts + junc_x,
+                            aln_start + L_of - clip_l - clip_r)  # exclusive
+        rs = np.where(junc_kind == splice_ops.KIND_INS,
+                      starts + junc_x, d2 + junc_x)
+        span_r = L_of - junc_x - ins_len
+        nfr = len(self.frag_ref)
+        fl = np.clip(np.searchsorted(self.frag_joined, aln_start,
+                                     "right") - 1, 0, nfr - 1)
+        contained_l = (aln_start >= self.frag_joined[fl]) & \
+            (left_end <= self.frag_joined[fl + 1])
+        fr = np.clip(np.searchsorted(self.frag_joined, rs, "right") - 1,
+                     0, nfr - 1)
+        contained_r = (rs >= self.frag_joined[fr]) & \
+            (rs + span_r <= self.frag_joined[fr + 1])
+        same_chr = self.frag_ref[fl] == self.frag_ref[fr]
+        pair_ok = contained_l & contained_r & same_chr & \
+            ((junc_kind == splice_ops.KIND_SPL) | (fl == fr))
+        valid &= np.where(is_pair, pair_ok, contained_l)
+        # reference-space skip length (an intron may span an N gap)
+        rp_l_end = self.frag_off[fl] + (left_end - 1 - self.frag_joined[fl])
+        rp_r = self.frag_off[fr] + (rs - self.frag_joined[fr])
+        junc_len = np.where(
+            junc_kind == splice_ops.KIND_SPL, rp_r - rp_l_end - 1,
+            np.where(junc_kind == splice_ops.KIND_DEL, d2 - starts,
+                     np.where(junc_kind == splice_ops.KIND_INS,
+                              -(starts - d2), 0)))
+        valid &= ~((junc_kind == splice_ops.KIND_SPL) & (junc_len < 1))
 
         per_read = [[] for _ in range(B)]
         sel = np.flatnonzero(valid)
         if not sel.size:
             return BatchResult(alignments=per_read, n_reads=B)
-        # dedup identical (read, orient, start); keep first occurrence
+        # dedup identical (read, orient, start, junction); keep first
         r = read_of_lane[sel]
         o = is_rc[sel].astype(np.int64)
         s = starts[sel].astype(np.int64)
-        key = ((r * 2 + o) << 33) + s
-        _, first = np.unique(key, return_index=True)
-        idx = sel[first]
+        key = ((((((r * 2 + o) << 33) + s) << 2) + junc_kind[sel]) << 7) \
+            + junc_x[sel]
+        kd = np.stack([key, junc_len[sel]], axis=1)
+        _, first = np.unique(kd, axis=0, return_index=True)
+        idx = sel[np.sort(first)]
         r, o = read_of_lane[idx], is_rc[idx].astype(np.int64)
         s = starts[idx].astype(np.int64)
         sc = score[idx].astype(np.int64)
-        # deterministic selection order: per read, score desc then position
-        order = np.lexsort((o, s, -sc, r))
+        # deterministic selection order: per read, score desc then position,
+        # ungapped before junction candidates at equal (score, position)
+        order = np.lexsort((junc_x[idx], junc_kind[idx], o, s, -sc, r))
         idx, r, o, s, sc = idx[order], r[order], o[order], s[order], sc[order]
         # per-read segments
         bnd = np.flatnonzero(np.diff(r, prepend=-1))
@@ -309,14 +421,19 @@ class TPUAligner:
             i = ki[t]
             g = gi[t]
             rd = int(r[i])
+            jk = int(junc_kind[g])
+            jl = int(junc_len[g])
+            span = int(rd_len[t]) - int(clip_l[g]) - int(clip_r[g]) + jl
             per_read[rd].append(Alignment(
                 read_idx=rd, rc=bool(o[i]), ref_id=int(ref_id[t]),
                 ref_pos=int(ref_pos[t]), joined_pos=int(s[i]),
                 clip_l=int(clip_l[g]), clip_r=int(clip_r[g]),
-                aln_span=int(rd_len[t]) - int(clip_l[g]) - int(clip_r[g]),
+                aln_span=span,
                 score=int(sc[i]), n_mm=int(n_mm[g]), n_n=int(n_n[g]),
                 mapq=int(mq[seg_of[i]]), nh=int(n_rep[seg_of[i]]),
                 secondary=bool(pos_in_seg[i] > 0),
                 zs=(int(seg_zs[seg_of[i]])
-                    if has_sec[seg_of[i]] else None)))
+                    if has_sec[seg_of[i]] else None),
+                junc_kind=jk, junc_x=int(junc_x[g]), junc_len=jl,
+                junc_d2=int(d2[g]), spl_dir=int(spl_dir[g])))
         return BatchResult(alignments=per_read, n_reads=B)

@@ -39,6 +39,29 @@ def md_and_nm(read_codes: np.ndarray, ref_codes: np.ndarray):
     return "".join(parts), int(mism.size)
 
 
+def md_and_nm_gapped(rd_l, ref_l, rd_r, ref_r, del_ref=None, ins_len=0):
+    """MD:Z + NM for a two-segment alignment (splice N / deletion / insert).
+
+    Splices don't appear in MD (reference: Edit SPL excluded from MD,
+    edit.cpp); deletions add '^<seq>'; insertions add their length to NM
+    but are invisible in MD.  NM = mismatches + gap bases (sam.h NM calc)."""
+    md_l, nm_l = md_and_nm(rd_l, ref_l)
+    md_r, nm_r = md_and_nm(rd_r, ref_r)
+    nm = nm_l + nm_r + ins_len + (len(del_ref) if del_ref is not None else 0)
+    if del_ref is not None and len(del_ref):
+        dseq = "".join("ACGTN"[min(c, 4)] for c in del_ref)
+        return md_l + "^" + dseq + md_r, nm
+    # join: md_l ends with a digit run, md_r starts with one - merge them
+    i = len(md_l)
+    while i > 0 and md_l[i - 1].isdigit():
+        i -= 1
+    j = 0
+    while j < len(md_r) and md_r[j].isdigit():
+        j += 1
+    mid = int(md_l[i:] or 0) + int(md_r[:j] or 0)
+    return md_l[:i] + str(mid) + md_r[j:], nm
+
+
 class SamWriter:
     def __init__(self, out, ref_names, ref_lens, cmdline: str = "",
                  no_head: bool = False, no_unal: bool = False,
@@ -87,24 +110,60 @@ class SamWriter:
         L = len(codes)
         cl, cr = a.clip_l, a.clip_r
         mid = L - cl - cr
-        cigar = (f"{cl}S" if cl else "") + f"{mid}M" + (f"{cr}S" if cr else "")
-        ref = ref_codes_fn(a.joined_pos + cl, mid)
-        rd_aligned = rd[cl:L - cr]
-        md, nm = md_and_nm(rd_aligned, ref)
+        xs_tag = None
+        xo = xg = 0
+        if a.junc_kind == 0:
+            cigar = (f"{cl}S" if cl else "") + f"{mid}M" \
+                + (f"{cr}S" if cr else "")
+            ref = ref_codes_fn(a.joined_pos + cl, mid)
+            rd_aligned = rd[cl:L - cr]
+            md, nm = md_and_nm(rd_aligned, ref)
+            xm = nm
+        else:
+            # one junction: xM (gap op) yM with optional outer soft clips
+            x = a.junc_x
+            jl = a.junc_len
+            ins = max(-jl, 0)
+            len_l = x - cl
+            len_r = L - cr - x - ins
+            op = {1: "N", 2: "D", 3: "I"}[a.junc_kind]
+            glen = jl if jl > 0 else ins
+            cigar = ((f"{cl}S" if cl else "") + f"{len_l}M{glen}{op}"
+                     + f"{len_r}M" + (f"{cr}S" if cr else ""))
+            rd_l = rd[cl:x]
+            rd_r = rd[x + ins:L - cr]
+            ref_l = ref_codes_fn(a.joined_pos + cl, len_l)
+            # right segment start in JOINED space (d2 + x [+ ins])
+            ref_r = ref_codes_fn(
+                a.junc_d2 + x + (ins if a.junc_kind == 3 else 0), len_r)
+            del_ref = (ref_codes_fn(a.joined_pos + x, jl)
+                       if a.junc_kind == 2 else None)
+            md, nm = md_and_nm_gapped(rd_l, ref_l, rd_r, ref_r,
+                                      del_ref=del_ref, ins_len=ins)
+            xm = nm - (jl if a.junc_kind == 2 else 0) - ins
+            xo = 1 if a.junc_kind in (2, 3) else 0
+            xg = (jl if a.junc_kind == 2 else ins) if xo else 0
+            rd_aligned = rd[cl:L - cr]
+            if a.junc_kind == 1 and a.spl_dir:
+                xs_tag = "+" if a.spl_dir in (1, 3) else "-"
         zs_tag = None
-        if self.annotator is not None:
+        if self.annotator is not None and a.junc_kind == 0:
             zs_tag, snp_offs = self.annotator(a, rd_aligned)
             nm -= len(snp_offs)  # known-SNP matches don't count as edits
+            xm = nm
         # tag order mirrors AlnSinkSam::appendMate (sam.h):
-        # AS ZS XN XM XO XG NM MD YS YT NH Zs
+        # AS ZS XN XM XO XG NM MD YS XS YT NH Zs
         tags = [f"AS:i:{a.score}"]
         if a.zs is not None:
             tags.append(f"ZS:i:{a.zs}")
-        tags += ["XN:i:0", f"XM:i:{nm}", "XO:i:0", "XG:i:0",
+        tags += ["XN:i:0", f"XM:i:{xm}", f"XO:i:{xo}", f"XG:i:{xg}",
                  f"NM:i:{nm}", f"MD:Z:{md}"]
         if mate_score is not None:
             tags.append(f"YS:i:{mate_score}")
-        tags += [f"YT:Z:{yt}", f"NH:i:{a.nh}"]
+        tags.append(f"YT:Z:{yt}")
+        if xs_tag:
+            tags.append(f"XS:A:{xs_tag}")
+        tags.append(f"NH:i:{a.nh}")
         if zs_tag:
             tags.append(f"Zs:Z:{zs_tag}")
         return (f"{name}\t{flag}\t{self.ref_names[a.ref_id]}\t"

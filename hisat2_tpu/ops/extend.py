@@ -55,21 +55,27 @@ class ExtendResult(NamedTuple):
                           #   when the candidate has no penalized column.
 
 
-def extend_grouped(ref_words, n_text: int, reads, quals, lens,
-                   cand_start, mm_pen, clip_pen, n_pen: int,
-                   allow_softclip: bool = True,
-                   snv_delta1=None, snv_delta2=None) -> ExtendResult:
-    """reads/quals: int32 [B, L]; lens: int32 [B]; cand_start: int32 [B, C]
-    (joined genome start per candidate; negative = invalid).
-    mm_pen / clip_pen: int32 [64] per-quality penalty tables.
-    snv_delta1/2: optional 2-bit SNP planes (index/graph.py) — a column
-    whose read base equals a known alt allele scores as a match
-    (alignWithALTs semantics, hi_aligner.h:2586)."""
-    B, L = reads.shape
-    C = cand_start.shape[1]
+class PenPlanes(NamedTuple):
+    """Per-candidate-diagonal column data, shared by the ungapped extension
+    and the junction sweep (ops/splice.py)."""
+    pen: jnp.ndarray       # int32 [B, C, L] penalty, known SNPs forgiven
+    pen_raw: jnp.ndarray   # int32 [B, C, L] penalty, SNPs NOT forgiven
+    mm: jnp.ndarray        # bool  [B, C, L] mismatch (SNP-forgiven)
+    mm_raw: jnp.ndarray    # bool  [B, C, L] mismatch incl. SNP matches
+    isn: jnp.ndarray       # bool  [B, C, L] read-N column
+    snp_ok: jnp.ndarray    # bool  [B, C, L] column matched via known SNP
+    vp: jnp.ndarray        # bool  [B, C, L] column within read length
+
+
+def pen_planes(ref_words, n_text: int, reads, quals, lens, cand_start,
+               mm_pen, n_pen: int,
+               snv_delta1=None, snv_delta2=None) -> PenPlanes:
+    """Gather reference chars along candidate diagonals and compute
+    per-column penalties (one big gather; everything else fuses)."""
     rd = reads[:, None, :]                                    # [B, 1, L]
     q = jnp.minimum(quals, 63)[:, None, :]
     ln = lens[:, None]                                        # [B, 1]
+    L = reads.shape[1]
     col = jnp.arange(L, dtype=jnp.int32)[None, None, :]
     pos = cand_start[:, :, None] + col                        # [B, C, L]
     vp = jnp.broadcast_to(col < ln[:, :, None], pos.shape)
@@ -78,18 +84,46 @@ def extend_grouped(ref_words, n_text: int, reads, quals, lens,
     cpos = jnp.clip(pos, 0, n_text - 1)
     rc = rk.ref_char(ref_words, cpos)
     isn = vp & (rd >= 4)
-    mm = vp & (rd < 4) & (rd != rc) & ~oob
+    mm_raw = vp & (rd < 4) & (rd != rc) & ~oob
     if snv_delta1 is not None:
         v1 = rk.ref_char(snv_delta1, cpos)
         v2 = rk.ref_char(snv_delta2, cpos)
-        snp_ok = mm & (((v1 != 0) & (rd == ((rc + v1) & 3)))
-                       | ((v2 != 0) & (rd == ((rc + v2) & 3))))
-        mm = mm & ~snp_ok
+        snp_ok = mm_raw & (((v1 != 0) & (rd == ((rc + v1) & 3)))
+                           | ((v2 != 0) & (rd == ((rc + v2) & 3))))
+        mm = mm_raw & ~snp_ok
     else:
-        snp_ok = jnp.zeros_like(mm)
-    pen = (jnp.where(mm, mm_pen[q], 0)
-           + jnp.where(isn, np.int32(n_pen), 0)
-           + jnp.where(oob, np.int32(_OOB_PEN), 0))
+        snp_ok = jnp.zeros_like(mm_raw)
+        mm = mm_raw
+    base = (jnp.where(isn, np.int32(n_pen), 0)
+            + jnp.where(oob, np.int32(_OOB_PEN), 0))
+    mmp = jnp.where(mm, mm_pen[q], 0)
+    pen = mmp + base
+    pen_raw = jnp.where(mm_raw, mm_pen[q], 0) + base
+    return PenPlanes(pen=pen, pen_raw=pen_raw, mm=mm, mm_raw=mm_raw,
+                     isn=isn, snp_ok=snp_ok, vp=vp)
+
+
+def extend_grouped(ref_words, n_text: int, reads, quals, lens,
+                   cand_start, mm_pen, clip_pen, n_pen: int,
+                   allow_softclip: bool = True,
+                   snv_delta1=None, snv_delta2=None,
+                   planes: PenPlanes = None) -> ExtendResult:
+    """reads/quals: int32 [B, L]; lens: int32 [B]; cand_start: int32 [B, C]
+    (joined genome start per candidate; negative = invalid).
+    mm_pen / clip_pen: int32 [64] per-quality penalty tables.
+    snv_delta1/2: optional 2-bit SNP planes (index/graph.py) — a column
+    whose read base equals a known alt allele scores as a match
+    (alignWithALTs semantics, hi_aligner.h:2586)."""
+    B, L = reads.shape
+    C = cand_start.shape[1]
+    q = jnp.minimum(quals, 63)[:, None, :]
+    ln = lens[:, None]                                        # [B, 1]
+    col = jnp.arange(L, dtype=jnp.int32)[None, None, :]
+    if planes is None:
+        planes = pen_planes(ref_words, n_text, reads, quals, lens,
+                            cand_start, mm_pen, n_pen, snv_delta1, snv_delta2)
+    pen, mm, isn, snp_ok, vp = (planes.pen, planes.mm, planes.isn,
+                                planes.snp_ok, planes.vp)
     total_pen = pen.sum(axis=-1)                              # [B, C]
 
     lnc = jnp.broadcast_to(ln, (B, C))

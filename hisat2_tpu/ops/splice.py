@@ -1,0 +1,465 @@
+"""Batched junction discovery: splice joins + novel indels, TPU-native.
+
+The reference discovers splice junctions / indels one read at a time by
+sweeping a junction point between two anchored GenomeHits
+(GenomeHit::combineWith, /root/reference/hi_aligner.h:1286-1886): prefix
+mismatch scores on the left anchor's diagonal, suffix scores on the right
+anchor's diagonal, a donor/acceptor classification (GT-AG, GC-AG, AT-AC and
+reverse complements, hi_aligner.h:1453-1527), a position-weight-matrix
+probability (SpliceSiteDB::probscore, splice_site.cpp:788-850) and
+anchor-length/intron-length gates (calculateScore, hi_aligner.h:3569-3641).
+
+Here the whole combine is ONE batched device computation over all candidate
+diagonal pairs of every (read, orientation) lane:
+
+  pen[b,c,l]     per-column penalties on each candidate diagonal (gathered
+                 once, shared with the ungapped extension)
+  P[b,c,x]       prefix-penalty cumsums  ->  left-anchor score at split x
+  total-P        suffix sums             ->  right-anchor score at split x
+  donor/acceptor per-diagonal rolling 2-bit windows -> classification codes
+                 and PWM table lookups (donor 9-mer, acceptor 7+8-mer halves)
+  pair sweep     lax.scan over x-blocks; per (lane, i, j) running argmax with
+                 the reference's exact preference order (any canonical/semi
+                 junction beats any unclassified one, then score, then PWM
+                 probability; first x wins ties - hi_aligner.h:1588-1603)
+
+Pair kind is fixed by the diagonal gap D = start_j - start_i:
+  D >= minIntronLen  -> splice (EDIT_TYPE_SPL, CIGAR N)
+  1 <= D < minIntron -> deletion (read gap, CIGAR D, affine rdg penalty)
+  -max_gap <= D <= -1-> insertion (ref gap, CIGAR I, affine rfg penalty)
+matching combineWith's spliced/del/ins trichotomy (hi_aligner.h:1344-1355).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# --- splice-site PWM priors -------------------------------------------------
+# Published position-weight matrices used by the reference's probscore
+# (splice_site.cpp:31-50; donor: Yeo & Burge 2004, acceptor: Solovyev,
+# "Bioinformatics - From Genomes to Drugs" Vol I Ch 3).  Background base
+# probabilities {A,C,G,T} = {.27,.23,.23,.27} (splice_site.h:66).
+DONOR_LEN = 9            # 3 exonic + 6 intronic   (splice_site.h:49-51)
+ACC_LEN = 15             # 14 intronic + 1 exonic  (splice_site.h:59-61)
+ACC_LEN1 = ACC_LEN // 2  # table split halves      (splice_site.h:62-63)
+ACC_LEN2 = ACC_LEN - ACC_LEN1
+
+_DONOR_PROB = np.array([
+    [0.340, 0.604, 0.092, 0.001, 0.001, 0.526, 0.713, 0.071, 0.160],
+    [0.363, 0.129, 0.033, 0.001, 0.001, 0.028, 0.076, 0.055, 0.165],
+    [0.183, 0.125, 0.803, 1.000, 0.001, 0.419, 0.118, 0.814, 0.209],
+    [0.114, 0.142, 0.073, 0.001, 1.000, 0.025, 0.093, 0.059, 0.462],
+], np.float64)
+_ACC_PROB = np.array([
+    [0.090, 0.084, 0.075, 0.068, 0.076, 0.080, 0.097, 0.092, 0.076, 0.078,
+     0.237, 0.042, 1.000, 0.001, 0.239],
+    [0.310, 0.310, 0.307, 0.293, 0.326, 0.330, 0.373, 0.385, 0.410, 0.352,
+     0.309, 0.708, 0.001, 0.001, 0.138],
+    [0.125, 0.115, 0.106, 0.104, 0.110, 0.113, 0.113, 0.085, 0.066, 0.064,
+     0.212, 0.003, 0.001, 1.000, 0.520],
+    [0.463, 0.440, 0.470, 0.494, 0.471, 0.463, 0.408, 0.429, 0.445, 0.504,
+     0.240, 0.246, 0.001, 0.001, 0.104],
+], np.float64)
+_BACKGROUND = np.array([0.27, 0.23, 0.23, 0.27], np.float64)
+
+# junction direction classes (splice_site.h SPL_*)
+SPL_UNKNOWN, SPL_FW, SPL_RC, SPL_SEMI_FW, SPL_SEMI_RC = 0, 1, 2, 3, 4
+# pair kinds
+KIND_NONE, KIND_SPL, KIND_DEL, KIND_INS = 0, 1, 2, 3
+
+
+def junction_prob_tables():
+    """Precompute the reference's summed PWM tables (init_junction_prob,
+    splice_site.cpp:52-105): donor_sum[4^9], acc1[4^7], acc2[4^8], float32.
+    probscore(d, a1, a2) = 1 / (1 + donor_sum[d]*acc1[a1]*acc2[a2])."""
+    dlog = np.log(_DONOR_PROB / _BACKGROUND[:, None])     # [4, 9]
+    alog = np.log(_ACC_PROB / _BACKGROUND[:, None])       # [4, 15]
+
+    def summed(logp, ncols, col0):
+        n = 1 << (2 * ncols)
+        idx = np.arange(n, dtype=np.int64)
+        s = np.zeros(n, np.float64)
+        for j in range(ncols):
+            base = (idx >> (2 * j)) & 3
+            s += logp[base, col0 + ncols - j - 1]
+        return np.exp(-s).astype(np.float32)
+
+    donor_sum = summed(dlog, DONOR_LEN, 0)
+    acc1 = summed(alog, ACC_LEN1, 0)
+    acc2 = summed(alog, ACC_LEN2, ACC_LEN1)
+    return donor_sum, acc1, acc2
+
+
+def probscore_host(donor9: int, acc15: int, tables=None) -> float:
+    """Host-side probscore for tests (splice_site.cpp:788-850, non-NEW
+    model): sigmoid of the summed PWM log-odds."""
+    if tables is None:
+        tables = junction_prob_tables()
+    d, a1t, a2t = tables
+    a1 = acc15 >> (2 * ACC_LEN2)
+    a2 = acc15 & ((1 << (2 * ACC_LEN2)) - 1)
+    return float(1.0 / (1.0 + d[donor9] * a1t[a1] * a2t[a2]))
+
+
+def max_intron_len(anchor, min_anchor):
+    """MaxIntronLen (hi_aligner.h:48-57): longer anchors license longer
+    introns; 0 below the minimum anchor length.  Vectorized (jnp/np)."""
+    a = jnp.maximum(anchor, 2)
+    shift = jnp.clip((a << 1) - 4, 13, 30)
+    return jnp.where(anchor >= min_anchor, jnp.int32(1) << shift, 0)
+
+
+def max_intron_len_noncan(anchor, min_anchor):
+    """MaxIntronLen_noncan (hi_aligner.h:70-79)."""
+    a = jnp.maximum(anchor, 5)
+    shift = jnp.minimum((a << 1) - 10, 30)
+    return jnp.where(anchor >= min_anchor, jnp.int32(1) << shift, 0)
+
+
+def intron_len_prob(anchor, intron_len, max_intron):
+    """intronLen_prob (hi_aligner.h:59-67)."""
+    exp_len = jnp.where(anchor < 14,
+                        jnp.int32(1) << jnp.minimum((anchor << 1) + 4, 30),
+                        max_intron)
+    exp_len = jnp.minimum(exp_len, max_intron)
+    return jnp.minimum(intron_len.astype(jnp.float32)
+                       / exp_len.astype(jnp.float32), 1.0)
+
+
+def intron_len_prob_noncan(anchor, intron_len, max_intron):
+    """intronLen_prob_noncan (hi_aligner.h:81-89)."""
+    exp_len = jnp.where(anchor < 16,
+                        jnp.int32(1) << jnp.minimum(anchor << 1, 30),
+                        max_intron)
+    exp_len = jnp.minimum(exp_len, max_intron)
+    return jnp.minimum(intron_len.astype(jnp.float32)
+                       / exp_len.astype(jnp.float32), 1.0)
+
+
+class SpliceParams(NamedTuple):
+    """Static splice/gap policy (tp.h, scoring.h; all plain ints/floats so
+    the bundle is hashable for jit)."""
+    min_intron: int = 20
+    max_intron: int = 500000
+    pen_can: int = 0             # --pen-cansplice
+    pen_noncan: int = 12         # --pen-noncansplice
+    # intron length penalty G,-8,1: trunc(max(0, -8 + ln(D)))
+    lenpen_const: float = -8.0
+    lenpen_coef: float = 1.0
+    min_anchor: int = 7          # novel canonical  (tpol ctor hisat2.cpp:3845)
+    min_anchor_noncan: int = 14
+    rd_gap_open: int = 5         # deletion (read gap)
+    rd_gap_ext: int = 3
+    rf_gap_open: int = 5         # insertion (ref gap)
+    rf_gap_ext: int = 3
+    max_gap: int = 10            # static insertion-length cap (maxReadGaps)
+
+
+class PairResult(NamedTuple):
+    """Per (lane, i, j) best junction from the sweep."""
+    score: jnp.ndarray     # int32 [N, C, C]  (<= 0; -BIG when invalid)
+    x: jnp.ndarray         # int32 [N, C, C]  first read pos of right segment
+    kind: jnp.ndarray      # int32 [N, C, C]  KIND_*
+    spldir: jnp.ndarray    # int32 [N, C, C]  SPL_*
+    splscore: jnp.ndarray  # f32   [N, C, C]  PWM probscore at x (canonical)
+
+
+_BIG = np.int32(2 ** 30)
+
+
+def _pack_window(ch, M, offs, rc=False):
+    """Rolling 2-bit pack of diagonal chars: code[b,c,x] over window
+    positions x+offs (ascending genomic order; rc=True packs the
+    reverse-complement read right-to-left like the reference's SPL_RC
+    extraction, hi_aligner.h:1558-1581).  ch: [N, C, L+2M] (4 = out of
+    text -> packs as 0, matching `if(base > 3) base = 0`)."""
+    N, C, W = ch.shape
+    L1 = W - 2 * M  # = L + 1 positions (x in 0..L)
+    k = len(offs)
+    code = jnp.zeros((N, C, L1), jnp.int32)
+    for t, off in enumerate(offs):
+        c = jax.lax.dynamic_slice_in_dim(ch, M + off, L1, axis=2)
+        c = jnp.where(c > 3, 0, c)
+        if rc:
+            c = 3 - c
+            code = code | (c << (2 * t))
+        else:
+            code = code | (c << (2 * (k - 1 - t)))
+    return code
+
+
+def diag_chars(ref_words, n_text: int, starts, L: int, margin: int):
+    """Gather reference chars along candidate diagonals with margin:
+    out[b,c,m] = ref[starts[b,c] + m - margin], 4 when out of text."""
+    from . import rank as rk
+    N, C = starts.shape
+    col = jnp.arange(L + 2 * margin, dtype=jnp.int32)[None, None, :] - margin
+    pos = starts[:, :, None] + col
+    oob = (pos < 0) | (pos >= n_text)
+    ch = rk.ref_char(ref_words, jnp.clip(pos, 0, n_text - 1))
+    return jnp.where(oob, jnp.int32(4), ch)
+
+
+def pair_sweep(ch, pen_spl, pen_ind, ismm, starts, valid, lens, minsc,
+               tables, prm: SpliceParams, xblock: int = 32) -> PairResult:
+    """The batched combineWith junction sweep.
+
+    ch:      [N, C, L+2M] diagonal ref chars (diag_chars)
+    pen_spl: [N, C, L] per-column penalty, SNPs NOT forgiven (spliced joins
+             create plain MM edits - hi_aligner.h:1726)
+    pen_ind: [N, C, L] per-column penalty, known SNPs forgiven (indel joins
+             tag snpIDs and skip their cost - hi_aligner.h:1781-1797, 3561)
+    ismm:    [N, C, L] bool penalized column (for anchor-length gates)
+    starts:  [N, C] int32 diagonal origins (joined pos of read base 0)
+    valid:   [N, C] bool
+    lens:    [N] int32
+    minsc:   [N] int32 minimum alignment score
+    tables:  (donor_sum, acc1, acc2) device arrays
+    """
+    N, C, L = pen_spl.shape
+    M = (ch.shape[2] - L) // 2
+    donor_sum, acc1t, acc2t = tables
+    zero3 = jnp.zeros((N, C, 1), jnp.int32)
+    Ps = jnp.concatenate([zero3, jnp.cumsum(pen_spl, axis=2)], axis=2)
+    Pi = jnp.concatenate([zero3, jnp.cumsum(pen_ind, axis=2)], axis=2)
+    Pm = jnp.concatenate(
+        [zero3, jnp.cumsum(ismm.astype(jnp.int32), axis=2)], axis=2)
+    lens3 = lens[:, None, None]
+    tot_s = jnp.take_along_axis(Ps, jnp.broadcast_to(lens3, (N, C, 1)),
+                                axis=2)[:, :, 0]                    # [N, C]
+    tot_i = jnp.take_along_axis(Pi, jnp.broadcast_to(lens3, (N, C, 1)),
+                                axis=2)[:, :, 0]
+
+    # --- per-diagonal junction features over x = 0..L ---
+    d0 = jax.lax.dynamic_slice_in_dim(ch, M + 0, L + 1, axis=2)
+    d1 = jax.lax.dynamic_slice_in_dim(ch, M + 1, L + 1, axis=2)
+    a0 = jax.lax.dynamic_slice_in_dim(ch, M - 2, L + 1, axis=2)
+    a1_ = jax.lax.dynamic_slice_in_dim(ch, M - 1, L + 1, axis=2)
+    dcode = jnp.where((d0 < 4) & (d1 < 4), d0 * 16 + d1, 255)  # first 2 intron
+    acode = jnp.where((a0 < 4) & (a1_ < 4), a0 * 16 + a1_, 255)  # last 2
+
+    # PWM probabilities per diagonal (rolling windows; fw uses the left
+    # diagonal for the donor and right for the acceptor, rc swaps+revcomps)
+    dsum_fw = donor_sum[_pack_window(ch, M, range(-3, 6))]
+    dsum_rc = donor_sum[_pack_window(ch, M, range(-6, 3), rc=True)]
+    af1 = acc1t[_pack_window(ch, M, range(-14, -7))]
+    af2 = acc2t[_pack_window(ch, M, range(-7, 1))]
+    asum_fw = af1 * af2
+    # rc acceptor: revcomp of left-diagonal window [x-1 .. x+13]; the packed
+    # 15-mer's top 7 chars are the REVERSED tail (x+13 down to x+7)
+    ar1 = acc1t[_pack_window(ch, M, range(13, 6, -1), rc=True)]
+    ar2 = acc2t[_pack_window(ch, M, range(6, -2, -1), rc=True)]
+    asum_rc = ar1 * ar2
+
+    starts_l = starts[:, :, None]                                  # [N,C,1]
+    starts_r = starts[:, None, :]                                  # [N,1,C]
+    D = starts_r - starts_l                                        # [N,C,C]
+    is_spl = (D >= prm.min_intron) & (D <= prm.max_intron)
+    is_del = (D >= 1) & (D < prm.min_intron)
+    is_ins = (D <= -1) & (D >= -prm.max_gap)
+    pmask = valid[:, :, None] & valid[:, None, :] & (is_spl | is_del | is_ins)
+    I = jnp.maximum(-D, 0)                                         # ins len
+    # affine gap cost: open = const + linear for the first base, linear per
+    # extension (scoring.h:447-470) => total = const + linear * gaplen
+    gap_pen = jnp.where(
+        is_del, prm.rd_gap_open + prm.rd_gap_ext * D,
+        jnp.where(is_ins, prm.rf_gap_open + prm.rf_gap_ext * (-D), 0))
+
+    nblk = (L + xblock) // xblock
+
+    def blk(carry, b0):
+        bs, bx, bd, bp = carry
+        xs = b0 * xblock + jnp.arange(xblock, dtype=jnp.int32)     # [W]
+        xw = xs[None, None, :]                                     # [1,1,W]
+        Pl = jnp.take_along_axis(
+            Ps, jnp.broadcast_to(xw, (N, C, xblock)), axis=2)      # [N,C,W]
+        Pl_i = jnp.take_along_axis(
+            Pi, jnp.broadcast_to(xw, (N, C, xblock)), axis=2)
+        # right-side prefix at xr = x + I  (per pair) on both pen planes
+        xr = jnp.minimum(xw[:, :, None, :] + I[:, :, :, None], L)  # [N,C,C,W]
+        Pr = jnp.take_along_axis(
+            jnp.broadcast_to(Ps[:, None, :, :], (N, C, C, L + 1)), xr, axis=3)
+        Pr_i = jnp.take_along_axis(
+            jnp.broadcast_to(Pi[:, None, :, :], (N, C, C, L + 1)), xr, axis=3)
+        Sr = tot_s[:, None, :, None] - Pr
+        Sr_i = tot_i[:, None, :, None] - Pr_i
+
+        dc = jnp.take_along_axis(
+            dcode, jnp.broadcast_to(xw, (N, C, xblock)), axis=2)   # [N,C,W]
+        # acceptor dinucleotide of the intron's right end sits at the RIGHT
+        # diagonal, split position x (chars x-2, x-1 relative to it)
+        ac = jnp.take_along_axis(
+            acode, jnp.broadcast_to(xw, (N, C, xblock)), axis=2)
+        dl = dc[:, :, None, :]                                     # [N,C,1,W]
+        ar = ac[:, None, :, :]                                     # [N,1,C,W]
+        # 0x23=GT 0x02=AG 0x13=CT(rc of AG) 0x01=AC(rc of GT) 0x21=GC
+        # 0x03=AT 0x20=GA; constants mirror hi_aligner.h:1454-1458 literally
+        can_fw = (dl == 0x23) & (ar == 0x02)
+        can_rc = (dl == 0x13) & (ar == 0x01)
+        semi_fw = ((dl == 0x21) & (ar == 0x02)) | ((dl == 0x03) & (ar == 0x01))
+        semi_rc = ((dl == 0x13) & (ar == 0x21)) | ((dl == 0x20) & (ar == 0x03))
+        spldir = jnp.where(
+            can_fw, SPL_FW,
+            jnp.where(can_rc, SPL_RC,
+                      jnp.where(semi_fw, SPL_SEMI_FW,
+                                jnp.where(semi_rc, SPL_SEMI_RC, SPL_UNKNOWN))))
+        canonical = can_fw | can_rc
+        has_dir = spldir != SPL_UNKNOWN
+        spl_pen = jnp.where(canonical, prm.pen_can, prm.pen_noncan)
+
+        # PWM score of the junction (canonical only, like the reference)
+        dsf = jnp.take_along_axis(
+            dsum_fw, jnp.broadcast_to(xw, (N, C, xblock)), axis=2)
+        asf = jnp.take_along_axis(
+            asum_fw, jnp.broadcast_to(xw, (N, C, xblock)), axis=2)
+        dsr = jnp.take_along_axis(
+            dsum_rc, jnp.broadcast_to(xw, (N, C, xblock)), axis=2)
+        asr = jnp.take_along_axis(
+            asum_rc, jnp.broadcast_to(xw, (N, C, xblock)), axis=2)
+        prod = jnp.where(can_fw,
+                         dsf[:, :, None, :] * asf[:, None, :, :],
+                         dsr[:, None, :, :] * asr[:, :, None, :])
+        splsc = jnp.where(canonical, 1.0 / (1.0 + prod), 0.0)
+
+        lens4 = lens[:, None, None, None]
+        x4 = jnp.broadcast_to(xw[:, :, None, :], (N, C, C, xblock))
+        sp4 = jnp.broadcast_to(is_spl[:, :, :, None], x4.shape)
+        score = jnp.where(
+            sp4,
+            -(Pl[:, :, None, :] + Sr) - jnp.where(has_dir & canonical,
+                                                  prm.pen_can, 0)
+            - jnp.where(~canonical, prm.pen_noncan, 0),
+            -(Pl_i[:, :, None, :] + Sr_i) - gap_pen[:, :, :, None])
+        vx = (x4 >= 1) & (x4 + I[:, :, :, None] <= lens4 - 1) & (x4 <= L)
+        score = jnp.where(vx & pmask[:, :, :, None], score, -_BIG)
+        hd = jnp.where(sp4, has_dir.astype(jnp.int32), 0)
+        ssc = jnp.where(sp4, splsc, 0.0)
+
+        # reference preference (hi_aligner.h:1588-1603): classified dir wins
+        # over unclassified; then score; then PWM prob; first x on ties
+        def fold(c, t):
+            bs, bx, bd, bp = c
+            s, x, d, p = t
+            better = (d > bd) | ((d == bd) & ((s > bs) | (
+                (s == bs) & (p > bp))))
+            return (jnp.where(better, s, bs), jnp.where(better, x, bx),
+                    jnp.where(better, d, bd), jnp.where(better, p, bp)), None
+
+        dirs = jnp.where(vx & pmask[:, :, :, None], spldir, 0)
+        for w in range(xblock):
+            (bs, bx, bd, bp), _ = fold(
+                (bs, bx, bd, bp),
+                (score[:, :, :, w], x4[:, :, :, w], hd[:, :, :, w],
+                 ssc[:, :, :, w]))
+        # track best spldir alongside: recompute below from bx (cheap)
+        del dirs
+        return (bs, bx, bd, bp), None
+
+    init = (jnp.full((N, C, C), -_BIG, jnp.int32),
+            jnp.zeros((N, C, C), jnp.int32),
+            jnp.zeros((N, C, C), jnp.int32),
+            jnp.zeros((N, C, C), jnp.float32))
+    (bs, bx, bd, bp), _ = jax.lax.scan(
+        blk, init, jnp.arange(nblk, dtype=jnp.int32))
+
+    # recover spldir/kind at the chosen x (dcode indexed by LEFT diagonal i,
+    # acode by RIGHT diagonal j)
+    dl = jnp.take_along_axis(
+        jnp.broadcast_to(dcode[:, :, None, :], (N, C, C, L + 1)
+                         ).reshape(N, C * C, L + 1),
+        bx.reshape(N, C * C, 1), axis=2).reshape(N, C, C)
+    ar = jnp.take_along_axis(
+        jnp.broadcast_to(acode[:, None, :, :], (N, C, C, L + 1)
+                         ).reshape(N, C * C, L + 1),
+        bx.reshape(N, C * C, 1), axis=2).reshape(N, C, C)
+    can_fw = (dl == 0x23) & (ar == 0x02)
+    can_rc = (dl == 0x13) & (ar == 0x01)
+    semi_fw = ((dl == 0x21) & (ar == 0x02)) | ((dl == 0x03) & (ar == 0x01))
+    semi_rc = ((dl == 0x13) & (ar == 0x21)) | ((dl == 0x20) & (ar == 0x03))
+    spldir = jnp.where(
+        can_fw, SPL_FW,
+        jnp.where(can_rc, SPL_RC,
+                  jnp.where(semi_fw, SPL_SEMI_FW,
+                            jnp.where(semi_rc, SPL_SEMI_RC, SPL_UNKNOWN))))
+    spldir = jnp.where(is_spl, spldir, SPL_UNKNOWN)
+    kind = jnp.where(is_spl, KIND_SPL,
+                     jnp.where(is_del, KIND_DEL,
+                               jnp.where(is_ins, KIND_INS, KIND_NONE)))
+
+    # --- gates (novel junctions; calculateScore hi_aligner.h:3569-3641
+    #     + combineWith pre-gate hi_aligner.h:1662-1678) ---
+    lens2 = lens[:, None, None]
+    canonical = (spldir == SPL_FW) | (spldir == SPL_RC)
+    x = bx
+    mm_l = jnp.take_along_axis(
+        jnp.broadcast_to(Pm[:, :, None, :], (N, C, C, L + 1)
+                         ).reshape(N, C * C, L + 1),
+        x.reshape(N, C * C, 1), axis=2).reshape(N, C, C)
+    xr = jnp.minimum(x + I, L)
+    tot_m = jnp.take_along_axis(Pm, jnp.broadcast_to(lens3, (N, C, 1)),
+                                axis=2)[:, :, 0]
+    mm_r = tot_m[:, None, :] - jnp.take_along_axis(
+        jnp.broadcast_to(Pm[:, None, :, :], (N, C, C, L + 1)
+                         ).reshape(N, C * C, L + 1),
+        xr.reshape(N, C * C, 1), axis=2).reshape(N, C, C)
+
+    ok = bs > -_BIG // 2
+    shorter_raw = jnp.minimum(x, lens2 - x)
+    # combineWith pre-gate
+    pre_can = (shorter_raw < prm.min_anchor) & (intron_len_prob(
+        shorter_raw, D, prm.max_intron) > 0.01)
+    pre_non = (shorter_raw < prm.min_anchor_noncan) & (intron_len_prob_noncan(
+        shorter_raw, D, prm.max_intron) > 0.01)
+    spl_ok = jnp.where(canonical, ~pre_can, ~pre_non)
+    # calculateScore gates with mm-adjusted anchors
+    adj_l = x - 2 * mm_l
+    adj_r = (lens2 - x) - 2 * mm_r
+    shorter = jnp.maximum(jnp.minimum(adj_l, adj_r), 1)
+    thresh = jnp.where(canonical,
+                       max_intron_len(shorter, prm.min_anchor),
+                       max_intron_len_noncan(shorter, prm.min_anchor_noncan))
+    gated = thresh < prm.max_intron
+    spl_ok &= ~(gated & (D > thresh))
+    # PWM probability thresholds scale with intron length
+    pth = jnp.where(D >= (1 << 16), 0.99,
+                    jnp.where(D >= (1 << 15), 0.97,
+                              jnp.where(D >= (1 << 14), 0.94,
+                                        jnp.where(D >= (1 << 13), 0.91,
+                                                  jnp.where(D >= (1 << 12),
+                                                            0.88, 0.8)))))
+    spl_ok &= ~(gated & canonical & (bp < pth))
+    # the shorter side must be clean (no mismatches) when gated
+    short_is_left = adj_l <= adj_r
+    mm_short = jnp.where(short_is_left, mm_l, mm_r)
+    spl_ok &= ~(gated & (mm_short > 0))
+    # intron length penalty: trunc(max(0, lenpen_const + coef*ln(D)))
+    lenpen = jnp.maximum(
+        (prm.lenpen_const
+         + prm.lenpen_coef * jnp.log(jnp.maximum(D, 1).astype(jnp.float32))
+         ).astype(jnp.int32), 0)
+    score = jnp.where(kind == KIND_SPL, bs - lenpen, bs)
+    ok &= jnp.where(kind == KIND_SPL, spl_ok, True)
+    ok &= score >= minsc[:, None, None]
+    score = jnp.where(ok, score, -_BIG)
+    return PairResult(score=score, x=x, kind=kind, spldir=spldir,
+                      splscore=bp)
+
+
+def select_pairs(res: PairResult, starts, top: int = 4):
+    """Flatten [N, C, C] pair results and take the top `top` per lane by
+    score (ties by flattened index = leftmost diagonals first)."""
+    N, C, _ = res.score.shape
+    flat = res.score.reshape(N, C * C)
+    val, idx = jax.lax.top_k(flat, top)                     # [N, T]
+    i = idx // C
+    j = idx % C
+    gather = lambda a: jnp.take_along_axis(a.reshape(N, C * C), idx, axis=1)
+    return dict(score=val, i=i, j=j,
+                d1=jnp.take_along_axis(starts, i, axis=1),
+                d2=jnp.take_along_axis(starts, j, axis=1),
+                x=gather(res.x), kind=gather(res.kind),
+                spldir=gather(res.spldir), splscore=gather(res.splscore))

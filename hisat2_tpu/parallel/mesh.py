@@ -54,20 +54,26 @@ def sharded_align_step(aligner, mesh: Mesh):
     """Build a pjit'd alignment step: index replicated, reads sharded on
     'dp', outputs sharded on 'dp'; summary counters all-reduced.
 
-    Returns fn(dev_index, mm_pen, clip_pen, reads, quals, lens) ->
-    (candidate arrays..., counters) with counters = [aligned_lanes] summed
-    over the mesh (the psum replaces MERGE_METRICS)."""
+    Returns fn(dev_index, params, reads, quals, lens, minsc) ->
+    (candidate dict, n_cand) with n_cand summed over the mesh (the psum
+    replaces MERGE_METRICS)."""
 
-    def step(d, mm_pen, clip_pen, snv1, snv2, reads, quals, lens):
-        out = aligner._align_device(d, mm_pen, clip_pen, snv1, snv2,
-                                    reads, quals, lens)
-        valid = out[6]  # the candidate validity mask
-        n_cand = valid.sum()  # global (XLA inserts the cross-shard reduce)
-        return out + (n_cand,)
+    def step(d, params, reads, quals, lens, minsc):
+        out = aligner._align_device(d, params, reads, quals, lens, minsc)
+        n_cand = out["valid"].sum()  # XLA inserts the cross-shard reduce
+        return out, n_cand
 
     repl = NamedSharding(mesh, P())
     dp = NamedSharding(mesh, P("dp"))
+    params_spec = jax.tree.map(lambda _: repl, aligner.params)
+    out_spec = jax.eval_shape(
+        step, aligner.dev, aligner.params,
+        jax.ShapeDtypeStruct((8, 32), "int32"),
+        jax.ShapeDtypeStruct((8, 32), "int32"),
+        jax.ShapeDtypeStruct((8,), "int32"),
+        jax.ShapeDtypeStruct((8,), "int32"))
     return jax.jit(
         step,
-        in_shardings=(repl, repl, repl, repl, repl, dp, dp, dp),
-        out_shardings=(dp, dp, dp, dp, dp, dp, dp, dp, repl))
+        in_shardings=(jax.tree.map(lambda _: repl, aligner.dev),
+                      params_spec, dp, dp, dp, dp),
+        out_shardings=(jax.tree.map(lambda _: dp, out_spec[0]), repl))
