@@ -51,11 +51,16 @@ def run_align(args) -> int:
     ref_fn = lambda pos, span: aligner.ref_codes[pos:pos + span]  # noqa: E731
 
     n_batches = 0
+    rdid0 = 0  # global read ids (pat.h rdid assignment; gates temp
+    #            splice-site visibility across batches)
     if args.unpaired:
         for path in args.unpaired.split(","):
             for b in read_batches(path, args.batch_size,
                                   skip=args.skip, limit=args.upto):
-                res = aligner.align_batch(b.codes, b.quals, b.lens)
+                rdids = rdid0 + np.arange(len(b.names), dtype=np.int64)
+                rdid0 += len(b.names)
+                res = aligner.align_batch(b.codes, b.quals, b.lens,
+                                          rdids=rdids)
                 n_batches += 1
                 for i, name in enumerate(b.names):
                     L = int(b.lens[i])
@@ -71,8 +76,10 @@ def run_align(args) -> int:
             it2 = read_batches(p2, args.batch_size, skip=args.skip,
                                limit=args.upto)
             for b1, b2 in zip(it1, it2):
+                rdids = rdid0 + np.arange(len(b1.names), dtype=np.int64)
+                rdid0 += len(b1.names)
                 _align_pair_batch(aligner, writer, policy, scoring,
-                                  args.khits, b1, b2, ref_fn)
+                                  args.khits, b1, b2, ref_fn, rdids)
                 n_batches += 1
     else:
         print("error: provide -U or -1/-2", file=sys.stderr)
@@ -92,7 +99,8 @@ def run_align(args) -> int:
     return 0
 
 
-def _align_pair_batch(aligner, writer, policy, scoring, k, b1, b2, ref_fn):
+def _align_pair_batch(aligner, writer, policy, scoring, k, b1, b2, ref_fn,
+                      rdids=None):
     """Align both mates in one device batch, then pair on host."""
     B = len(b1.names)
     assert len(b2.names) == B, "mate files out of sync"
@@ -112,7 +120,10 @@ def _align_pair_batch(aligner, writer, policy, scoring, k, b1, b2, ref_fn):
     codes = np.concatenate([c1, c2])
     quals = np.concatenate([q1, q2])
     lens = np.concatenate([b1.lens, b2.lens])
-    res = aligner.align_batch(codes, quals, lens)
+    if rdids is None:
+        rdids = np.arange(B, dtype=np.int64)
+    res = aligner.align_batch(codes, quals, lens,
+                              rdids=np.concatenate([rdids, rdids]))
 
     for i in range(B):
         name = b1.names[i]

@@ -100,12 +100,15 @@ class TPUAligner:
                  k: int = 5, max_hits: int = 4, min_hit_len: int = 16,
                  cand_per_hit: int = 4, no_fw: bool = False,
                  no_rc: bool = False, variants=None, spliced: bool = False,
-                 max_pairs: int = 4):
+                 max_pairs: int = 4, splice_db=None, ss_slots: int = 2):
         self.meta = index.meta
         self.scoring = scoring or Scoring()
         self.k = k
         self.max_hits = max_hits
-        self.min_hit_len = min_hit_len
+        # spliced mode records short boundary anchors (>= 8 bp, the
+        # reference's _minK_local — hi_aligner.h:3813) so the junction sweep
+        # can pair a long anchor with a short one across an intron
+        self.min_hit_len = 8 if spliced else min_hit_len
         self.cand_per_hit = cand_per_hit
         # unique candidates extended per (read, orientation); >= k so that
         # -k reporting isn't starved, small so extension stays cheap
@@ -152,10 +155,19 @@ class TPUAligner:
             self.params["tab_donor"] = jnp.asarray(td)
             self.params["tab_acc1"] = jnp.asarray(ta1)
             self.params["tab_acc2"] = jnp.asarray(ta2)
+            from .splice_db import SpliceSiteDB
+            self.splice_db = (splice_db if splice_db is not None
+                              else SpliceSiteDB(index))
+            if variants is not None and len(variants.ss_ref):
+                self.splice_db.add_from_variants(variants)
+        else:
+            self.splice_db = None
+        self.ss_slots = ss_slots
         self._device_step = jax.jit(self._align_device)
 
     # ------------------------------------------------------------------
-    def _align_device(self, d, params, reads, quals, lens, minsc):
+    def _align_device(self, d, params, reads, quals, lens, minsc,
+                      rdids=None, ss=None):
         """Device computation for one batch: [B, L] -> candidate dict.
 
         Lanes 0..B-1 are forward, B..2B-1 reverse-complement.
@@ -209,6 +221,19 @@ class TPUAligner:
         comp = jnp.argsort(~uniq, axis=1, stable=True)[:, :C]
         cstart = jnp.take_along_axis(skey, comp, axis=1)          # [2B, C]
         cvalid = jnp.take_along_axis(uniq, comp, axis=1)
+        if self.spliced:
+            # anchor length per compact candidate: short (8-15 bp) anchors
+            # feed ONLY the junction sweep, not ungapped reporting (the
+            # reference uses them solely inside hybridSearch recombination)
+            hlen = (hits.hi - hits.lo)[:, :, None]                # [2B,H,1]
+            hlen_flat = jnp.broadcast_to(
+                hlen, (2 * B, H, P)).reshape(2 * B, H * P)
+            same = cstart[:, :, None] == starts[:, None, :]       # [2B,C,HP]
+            same &= cv[:, None, :]
+            clen = jnp.where(same, hlen_flat[:, None, :], 0).max(axis=2)
+            cvalid_long = cvalid & (clen >= 16)
+        else:
+            cvalid_long = cvalid
         planes = extend_ops.pen_planes(
             d.ref_words, meta.n, ar, aq, al,
             jnp.where(cvalid, cstart, -1), params["mm_pen"],
@@ -223,7 +248,7 @@ class TPUAligner:
             planes=planes)
         out = {"starts": cstart, "score": ext.score, "n_mm": ext.n_mm,
                "n_n": ext.n_n, "clip_l": ext.clip_l, "clip_r": ext.clip_r,
-               "valid": cvalid & ext.ok, "alt_score": ext.alt_score}
+               "valid": cvalid_long & ext.ok, "alt_score": ext.alt_score}
         if self.spliced:
             ch = splice_ops.diag_chars(
                 d.ref_words, meta.n, cstart, L, 16)
@@ -234,7 +259,33 @@ class TPUAligner:
                  params["tab_acc2"]),
                 self.splice_params)
             sel = splice_ops.select_pairs(res, cstart, top=self.max_pairs)
-            out.update({"p_" + k2: v for k2, v in sel.items()})
+            # known/temp splice-site injection
+            rd2 = jnp.concatenate([rdids, rdids]).astype(jnp.int32)
+            C = cstart.shape[1]
+            zero3 = jnp.zeros((2 * B, C, 1), jnp.int32)
+            P_raw = jnp.concatenate(
+                [zero3, jnp.cumsum(planes.pen_raw, axis=2)], axis=2)
+            Pm = jnp.concatenate(
+                [zero3, jnp.cumsum(planes.mm_raw.astype(jnp.int32), axis=2)],
+                axis=2)
+            al3 = jnp.broadcast_to(al[:, None, None], (2 * B, C, 1))
+            tot_raw = jnp.take_along_axis(P_raw, al3, axis=2)[:, :, 0]
+            tot_m = jnp.take_along_axis(Pm, al3, axis=2)[:, :, 0]
+            inj = splice_ops.inject_known(
+                d.ref_words, meta.n, ar, aq, al, rd2,
+                cstart, cvalid, P_raw, tot_raw, Pm, tot_m,
+                ss["ss_kd"], ss["ss_ka"], ss["ss_rdid"],
+                ss["ss_ka_s"], ss["ss_kd_s"], ss["ss_rdid_a"],
+                params["mm_pen"], self.scoring.n_pen, am,
+                slots=self.ss_slots)
+            J = inj["score"].shape[1]
+            for k2 in ("score", "d1", "d2", "x", "kind", "spldir",
+                       "splscore"):
+                out["p_" + k2] = jnp.concatenate(
+                    [sel[k2], inj[k2]], axis=1)
+            out["p_known"] = jnp.concatenate(
+                [jnp.zeros((2 * B, self.max_pairs), jnp.int32),
+                 jnp.ones((2 * B, J), jnp.int32)], axis=1)
         return out
 
     # ------------------------------------------------------------------
@@ -269,8 +320,30 @@ class TPUAligner:
 
     # ------------------------------------------------------------------
     def align_batch(self, codes: np.ndarray, quals: np.ndarray,
-                    lens: np.ndarray) -> BatchResult:
-        """Align one padded batch; returns per-read alignment lists."""
+                    lens: np.ndarray, rdids: np.ndarray = None
+                    ) -> BatchResult:
+        """Align one padded batch; returns per-read alignment lists.
+
+        In spliced mode the batch re-runs until the splice-site DB reaches a
+        fixed point: novel junctions reported by earlier reads become
+        zero-penalty known sites for later reads (readid-gated on device),
+        replicating the reference's sequential temp-splice-site semantics
+        (useTempSpliceSite, hisat2.cpp:3180-3203,3559) batch-synchronously."""
+        B = codes.shape[0]
+        if rdids is None:
+            rdids = np.arange(B, dtype=np.int64)
+        if not self.spliced or self.splice_db is None:
+            return self._run_batch(codes, quals, lens, rdids)
+        res = None
+        for _ in range(4):
+            res = self._run_batch(codes, quals, lens, rdids)
+            if not self.splice_db.collect_from_alignments(
+                    res.alignments, rdids, lens, codes, self.ref_codes):
+                break
+        return res
+
+    def _run_batch(self, codes: np.ndarray, quals: np.ndarray,
+                   lens: np.ndarray, rdids: np.ndarray) -> BatchResult:
         B = codes.shape[0]
         C = self.max_cands
         minsc = np.array([self.scoring.min_score(int(l)) for l in lens],
@@ -278,9 +351,11 @@ class TPUAligner:
         out = self._device_step(
             self.dev, self.params,
             jnp.asarray(codes, jnp.int32), jnp.asarray(quals, jnp.int32),
-            jnp.asarray(lens, jnp.int32), jnp.asarray(minsc, jnp.int32))
+            jnp.asarray(lens, jnp.int32), jnp.asarray(minsc, jnp.int32),
+            jnp.asarray(rdids, jnp.int32) if self.spliced else None,
+            self.splice_db.device_tables() if self.spliced else None)
         o_np = {k2: np.asarray(v) for k2, v in out.items()}
-        T = self.max_pairs if self.spliced else 0
+        T = o_np["p_score"].shape[1] if "p_score" in o_np else 0
         K = C + T
         z2 = np.zeros((2 * B, T), np.int64)
 
@@ -302,10 +377,24 @@ class TPUAligner:
         junc_x = flat(np.zeros((2 * B, C)), o_np.get("p_x", z2))
         d2 = flat(o_np["starts"], o_np.get("p_d2", z2))
         spl_dir = flat(np.zeros((2 * B, C)), o_np.get("p_spldir", z2))
+        junc_known = flat(np.zeros((2 * B, C)), o_np.get("p_known", z2))
         BIGV = 2 ** 29
         if T:
             pv = o_np["p_score"] > -BIGV
-            valid = np.concatenate([o_np["valid"], pv], axis=1).reshape(-1)
+            # suppress clipped ungapped candidates subsumed by a junction
+            # candidate on the same diagonal: the reference only produces
+            # trimmed GenomeHits as fallbacks, never alongside the combined
+            # alignment they are a prefix/suffix of (hybridSearch trims only
+            # when recursion fails; redundant() drops same-coord repeats)
+            ug = o_np["valid"]
+            ug_clip = (o_np["clip_l"] + o_np["clip_r"]) > 0
+            m_d1 = o_np["starts"][:, :, None] == o_np["p_d1"][:, None, :]
+            m_d2 = o_np["starts"][:, :, None] == o_np["p_d2"][:, None, :]
+            beats = (o_np["p_score"][:, None, :]
+                     >= o_np["score"][:, :, None]) & pv[:, None, :]
+            sub = ((m_d1 | m_d2) & beats).any(axis=2)
+            ug = ug & ~(ug_clip & sub)
+            valid = np.concatenate([ug, pv], axis=1).reshape(-1)
         else:
             valid = o_np["valid"].reshape(-1)
 
@@ -364,15 +453,20 @@ class TPUAligner:
         sel = np.flatnonzero(valid)
         if not sel.size:
             return BatchResult(alignments=per_read, n_reads=B)
-        # dedup identical (read, orient, start, junction); keep first
+        # dedup identical (read, orient, start, junction), keeping the BEST
+        # score per placement (a known splice site and the novel sweep can
+        # produce the same junction; the known, unpenalized one must win)
         r = read_of_lane[sel]
         o = is_rc[sel].astype(np.int64)
         s = starts[sel].astype(np.int64)
         key = ((((((r * 2 + o) << 33) + s) << 2) + junc_kind[sel]) << 7) \
             + junc_x[sel]
-        kd = np.stack([key, junc_len[sel]], axis=1)
-        _, first = np.unique(kd, axis=0, return_index=True)
-        idx = sel[np.sort(first)]
+        kd2 = junc_len[sel]
+        perm = np.lexsort((-score[sel], kd2, key))
+        kk, kk2 = key[perm], kd2[perm]
+        firstmask = np.ones(len(perm), bool)
+        firstmask[1:] = (kk[1:] != kk[:-1]) | (kk2[1:] != kk2[:-1])
+        idx = sel[perm[firstmask]]
         r, o = read_of_lane[idx], is_rc[idx].astype(np.int64)
         s = starts[idx].astype(np.int64)
         sc = score[idx].astype(np.int64)
@@ -435,5 +529,6 @@ class TPUAligner:
                 zs=(int(seg_zs[seg_of[i]])
                     if has_sec[seg_of[i]] else None),
                 junc_kind=jk, junc_x=int(junc_x[g]), junc_len=jl,
-                junc_d2=int(d2[g]), spl_dir=int(spl_dir[g])))
+                junc_d2=int(d2[g]), spl_dir=int(spl_dir[g]),
+                junc_known=bool(junc_known[g])))
         return BatchResult(alignments=per_read, n_reads=B)

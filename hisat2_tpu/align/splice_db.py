@@ -1,0 +1,200 @@
+"""Splice-site database: known (.ss / --known-splicesite-infile) + novel
+sites discovered during the run (SpliceSiteDB equivalent,
+/root/reference/splice_site.{h,cpp}).
+
+The reference keeps per-chromosome red-black trees behind mutexes and lets
+every worker thread query/update them per read (splice_site.h:519-615).
+Here the DB is a host-side dict merged BATCH-SYNCHRONOUSLY: alignment passes
+see a frozen site table (uploaded as sorted device arrays for the injection
+kernel, ops/splice.py inject_known); newly reported junctions are folded in
+between passes.  Single-thread reference semantics (-p 1: mindist=0,
+hisat2.cpp:3559) are preserved exactly by re-running the batch with
+discovery-readid gating until no new site appears: a site discovered by
+read R is visible only to reads with rdid > R.
+
+Novel-site admission mirrors SpliceSiteDB::addSpliceSite
+(splice_site.cpp:190-300): only untrimmed alignments contribute, and each
+junction's flanking anchors must be >= minAnchorLen + 2*mm (+6 if the
+junction direction is unknown).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.splice import SPL_UNKNOWN
+
+_SENTINEL = np.int32(2 ** 30)
+
+
+class SpliceSiteDB:
+    def __init__(self, index, min_anchor: int = 15):
+        self.meta = index.meta
+        self.frag_joined = np.asarray(index.frag_joined)
+        self.frag_ref = np.asarray(index.frag_ref)
+        self.frag_off = np.asarray(index.frag_off)
+        self.min_anchor = min_anchor
+        # site dict: (ref, left, right) -> [dir, rdid(min), fromfile, nreads]
+        self.sites = {}
+        self._tables = None         # cached device tables
+        self._capacity = 0
+
+    # ------------------------------------------------------------------
+    def _to_joined(self, ref_id: int, pos: int) -> int:
+        sel = np.flatnonzero(self.frag_ref == ref_id)
+        if not sel.size:
+            return -1
+        starts = self.frag_off[sel]
+        f = int(np.searchsorted(starts, pos, "right")) - 1
+        if f < 0:
+            return -1
+        fi = sel[f]
+        span = self.frag_joined[fi + 1] - self.frag_joined[fi]
+        off = pos - starts[f]
+        if off >= span:
+            return -1
+        return int(self.frag_joined[fi] + off)
+
+    # ------------------------------------------------------------------
+    def add_known(self, ref_id: int, left: int, right: int, strand: int):
+        """A from-file site (always visible).  left = last base of the left
+        exon, right = first base of the right exon (0-based, ref coords —
+        the .ss convention, hisat2_extract_splice_sites.py:85)."""
+        key = (int(ref_id), int(left), int(right))
+        if key not in self.sites:
+            self.sites[key] = [SPL_UNKNOWN, -1, True, 0]
+            self._tables = None
+        else:
+            self.sites[key][2] = True
+            self.sites[key][1] = -1
+
+    def add_from_variants(self, vdb) -> None:
+        for i in range(len(vdb.ss_ref)):
+            self.add_known(vdb.ss_ref[i], vdb.ss_left[i], vdb.ss_right[i],
+                           int(vdb.ss_strand[i]))
+
+    def add_from_file(self, path: str) -> None:
+        names = {nm: i for i, nm in enumerate(self.meta.ref_names)}
+        with open(path) as f:
+            for line in f:
+                p = line.split()
+                if len(p) < 3 or p[0] not in names:
+                    continue
+                self.add_known(names[p[0]], int(p[1]), int(p[2]),
+                               1 if (len(p) < 4 or p[3] == "+") else -1)
+
+    # ------------------------------------------------------------------
+    def add_novel(self, ref_id: int, left: int, right: int, spl_dir: int,
+                  rdid: int) -> bool:
+        """Record a junction from a reported alignment; returns True if the
+        site is new (triggers a re-pass)."""
+        key = (int(ref_id), int(left), int(right))
+        cur = self.sites.get(key)
+        if cur is None:
+            self.sites[key] = [int(spl_dir), int(rdid), False, 1]
+            self._tables = None
+            return True
+        cur[3] += 1
+        if not cur[2] and rdid < cur[1]:
+            cur[1] = int(rdid)
+            self._tables = None
+        return False
+
+    def collect_from_alignments(self, per_read, rdids, lens, codes,
+                                ref_codes) -> bool:
+        """Scan reported alignments for novel junctions (addSpliceSite
+        admission rules, splice_site.cpp:190: untrimmed alignments only,
+        anchors >= minAnchorLen + 2*mm per side, +6 for direction-less
+        junctions).  Returns True if any new site was added."""
+        added = False
+        for alns in per_read:
+            for a in alns:
+                if a.junc_kind != 1 or a.clip_l or a.clip_r:
+                    continue
+                rd = int(rdids[a.read_idx])
+                L = int(lens[a.read_idx])
+                x = a.junc_x
+                seq = codes[a.read_idx, :L]
+                if a.rc:
+                    seq = np.where(seq < 4, 3 - seq, 4)[::-1]
+                mm_l = int((seq[:x] != ref_codes[
+                    a.joined_pos:a.joined_pos + x]).sum())
+                mm_r = int((seq[x:] != ref_codes[
+                    a.junc_d2 + x:a.junc_d2 + L]).sum())
+                extra = 6 if a.spl_dir == SPL_UNKNOWN else 0
+                if x < self.min_anchor + 2 * mm_l + extra:
+                    continue
+                if (L - x) < self.min_anchor + 2 * mm_r + extra:
+                    continue
+                left = a.ref_pos + x - 1
+                right = left + a.junc_len + 1
+                if self.add_novel(a.ref_id, left, right, a.spl_dir, rd):
+                    added = True
+        return added
+
+    # ------------------------------------------------------------------
+    @property
+    def n_sites(self):
+        return len(self.sites)
+
+    def device_tables(self):
+        """Sorted site arrays (joined coords) padded to a power-of-two
+        capacity so jit signatures stay stable as sites accumulate."""
+        import jax.numpy as jnp
+        if self._tables is not None:
+            return self._tables
+        kd, ka, rdid = [], [], []
+        for (ref, left, right), (sdir, srd, ff, nr) in self.sites.items():
+            jl = self._to_joined(ref, left)
+            jr = self._to_joined(ref, right)
+            if jl < 0 or jr < 0:
+                continue
+            kd.append(jl)
+            ka.append(jr)
+            rdid.append(srd)
+        n = len(kd)
+        cap = 64
+        while cap < n + 1:
+            cap *= 2
+        if cap < self._capacity:
+            cap = self._capacity
+        self._capacity = cap
+        akd = np.full(cap, _SENTINEL, np.int32)
+        aka = np.full(cap, _SENTINEL, np.int32)
+        ard = np.full(cap, -1, np.int32)
+        if n:
+            kd = np.asarray(kd, np.int32)
+            ka = np.asarray(ka, np.int32)
+            rdid = np.asarray(rdid, np.int32)
+            o = np.lexsort((ka, kd))
+            akd[:n], aka[:n], ard[:n] = kd[o], ka[o], rdid[o]
+            o2 = np.lexsort((kd, ka))
+            akd2 = np.full(cap, _SENTINEL, np.int32)
+            aka2 = np.full(cap, _SENTINEL, np.int32)
+            ard2 = np.full(cap, -1, np.int32)
+            aka2[:n], akd2[:n], ard2[:n] = ka[o2], kd[o2], rdid[o2]
+        else:
+            akd2, aka2, ard2 = akd.copy(), aka.copy(), ard.copy()
+        self._tables = {
+            "ss_kd": jnp.asarray(akd), "ss_ka": jnp.asarray(aka),
+            "ss_rdid": jnp.asarray(ard),
+            "ss_ka_s": jnp.asarray(aka2), "ss_kd_s": jnp.asarray(akd2),
+            "ss_rdid_a": jnp.asarray(ard2),
+        }
+        return self._tables
+
+    # ------------------------------------------------------------------
+    def write_novel(self, path: str) -> None:
+        """--novel-splicesite-outfile (hisat2.cpp:3955-3963): novel sites in
+        .ss format with strand from the junction direction."""
+        rows = []
+        for (ref, left, right), (sdir, srd, ff, nr) in self.sites.items():
+            if ff:
+                continue
+            strand = "+" if sdir in (1, 3) else ("-" if sdir in (2, 4)
+                                                 else ".")
+            rows.append((self.meta.ref_names[ref], left, right, strand))
+        rows.sort()
+        with open(path, "w") as f:
+            for nm, left, right, strand in rows:
+                f.write(f"{nm}\t{left}\t{right}\t{strand}\n")

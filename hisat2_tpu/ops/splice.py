@@ -449,6 +449,149 @@ def pair_sweep(ch, pen_spl, pen_ind, ismm, starts, valid, lens, minsc,
                       splscore=bp)
 
 
+def inject_known(ref_words, n_text: int, reads, quals, lens, rdids,
+                 starts, valid, P_raw, tot_raw, Pm, tot_m,
+                 kd, ka, krdid, ka_s, kd_s, krdid_a,
+                 mm_pen, n_pen: int, minsc, slots: int = 2):
+    """Known/temp splice-site directed candidates (the TPU-native equivalent
+    of the reference's splice-site-driven re-alignment,
+    spliced_aligner.h:296-407 getLeftSpliceSites / :409-500,1213-1338
+    getRightSpliceSites): instead of recursive local search, each candidate
+    diagonal enumerates nearby splice sites and INJECTS the complementary
+    diagonal with the junction position fully determined by the site.
+
+    Covers short-anchor junctions (below the FM search's min hit length) and
+    gives known junctions their zero-penalty, gate-free scoring
+    (edit.knownSpl, hi_aligner.h:3574).
+
+    kd/ka:   int32 [S] donor (last left-exonic) / acceptor (first
+             right-exonic) JOINED positions, sorted by kd
+    krdid:   int64 [S] discovery read id (-1 = from file, always usable);
+             a site is visible only to reads with rdid > its discovery rdid
+             (mindist=0 single-thread semantics, hisat2.cpp:3559,
+             spliced_aligner.h:305)
+    ka_s/kd_s/krdid_a: the same sites sorted by acceptor position
+    P_raw/tot_raw: SNP-unforgiving penalty prefixes/totals on the base
+             candidate diagonals; Pm/tot_m their mismatch-count versions
+    Returns dict of [N, 2*C*slots] candidate arrays.
+    """
+    from . import extend as extend_ops
+    N, C = starts.shape
+    L = reads.shape[1]
+    S = kd.shape[0]
+    rd2 = rdids[:, None]                                         # [N, 1]
+    lens2 = lens[:, None]
+
+    # --- donor-keyed: src diagonal is the LEFT side --------------------
+    lo = jnp.searchsorted(kd, starts)                            # [N, C]
+    cand_x, cand_d2, cand_ok, cand_srcp = [], [], [], []
+    for t in range(slots):
+        idx = jnp.minimum(lo + t, S - 1)
+        site_rd = krdid[idx]
+        okd = (lo + t < S) & valid & (kd[idx] >= starts) \
+            & (kd[idx] <= starts + lens2 - 2) \
+            & ((site_rd < 0) | (site_rd < rd2))
+        x = jnp.where(okd, kd[idx] - starts + 1, 1)
+        cand_x.append(x)
+        cand_d2.append(ka[idx] - x)
+        cand_ok.append(okd)
+        cand_srcp.append(jnp.arange(C, dtype=jnp.int32)[None, :]
+                         .repeat(N, 0))
+    # --- acceptor-keyed: src diagonal is the RIGHT side ----------------
+    lo2 = jnp.searchsorted(ka_s, starts + 1)
+    for t in range(slots):
+        idx = jnp.minimum(lo2 + t, S - 1)
+        site_rd = krdid_a[idx]
+        oka = (lo2 + t < S) & valid & (ka_s[idx] >= starts + 1) \
+            & (ka_s[idx] <= starts + lens2 - 1) \
+            & ((site_rd < 0) | (site_rd < rd2))
+        x = jnp.where(oka, ka_s[idx] - starts, 1)
+        cand_x.append(x)
+        cand_d2.append(kd_s[idx] - x + 1)   # here d2 = the LEFT diagonal
+        cand_ok.append(oka)
+        cand_srcp.append(jnp.arange(C, dtype=jnp.int32)[None, :]
+                         .repeat(N, 0))
+    J1 = C * slots                       # donor-keyed block
+    x_all = jnp.concatenate(cand_x, axis=1)                     # [N, J]
+    fresh = jnp.concatenate(cand_d2, axis=1)
+    ok_all = jnp.concatenate(cand_ok, axis=1)
+    src = jnp.concatenate(cand_srcp, axis=1)
+    J = x_all.shape[1]
+
+    planes = extend_ops.pen_planes(
+        ref_words, n_text, reads, quals, lens,
+        jnp.where(ok_all, fresh, -1), mm_pen, n_pen)
+    zero3 = jnp.zeros((N, J, 1), jnp.int32)
+    Pf = jnp.concatenate([zero3, jnp.cumsum(planes.pen_raw, axis=2)], axis=2)
+    Pfm = jnp.concatenate(
+        [zero3, jnp.cumsum(planes.mm_raw.astype(jnp.int32), axis=2)], axis=2)
+    lens3 = jnp.broadcast_to(lens[:, None, None], (N, J, 1))
+    tot_f = jnp.take_along_axis(Pf, lens3, axis=2)[:, :, 0]
+    tot_fm = jnp.take_along_axis(Pfm, lens3, axis=2)[:, :, 0]
+    pf_x = jnp.take_along_axis(Pf, x_all[:, :, None], axis=2)[:, :, 0]
+    pfm_x = jnp.take_along_axis(Pfm, x_all[:, :, None], axis=2)[:, :, 0]
+    # src-plane prefixes at x
+    ps_x = jnp.take_along_axis(
+        jnp.take_along_axis(P_raw, src[:, :, None], axis=1),
+        x_all[:, :, None], axis=2)[:, :, 0]
+    pm_x = jnp.take_along_axis(
+        jnp.take_along_axis(Pm, src[:, :, None], axis=1),
+        x_all[:, :, None], axis=2)[:, :, 0]
+    tot_src = jnp.take_along_axis(tot_raw, src, axis=1)
+    tot_srcm = jnp.take_along_axis(tot_m, src, axis=1)
+    src_start = jnp.take_along_axis(starts, src, axis=1)
+
+    is_donor_block = jnp.arange(J, dtype=jnp.int32)[None, :] < J1
+    # donor-keyed: left = src prefix, right = fresh suffix
+    score_d = -(ps_x + (tot_f - pf_x))
+    mm_new_d = tot_fm - pfm_x
+    anchor_d = lens2 - x_all
+    d1_d, d2_d = src_start, fresh
+    # acceptor-keyed: left = fresh prefix, right = src suffix
+    score_a = -(pf_x + (tot_src - ps_x))
+    mm_new_a = pfm_x
+    anchor_a = x_all
+    d1_a, d2_a = fresh, src_start
+    score = jnp.where(is_donor_block, score_d, score_a)
+    mm_new = jnp.where(is_donor_block, mm_new_d, mm_new_a)
+    anchor_new = jnp.where(is_donor_block, anchor_d, anchor_a)
+    d1 = jnp.where(is_donor_block, d1_d, d1_a)
+    d2 = jnp.where(is_donor_block, d2_d, d2_a)
+
+    # junction classification from the site's flanking dinucleotides
+    jl = d1 + x_all                       # first intron base (joined)
+    jr = d2 + x_all - 1                   # last intron base
+    def ref_at(p):
+        from . import rank as rk
+        oobp = (p < 0) | (p >= n_text)
+        c = rk.ref_char(ref_words, jnp.clip(p, 0, n_text - 1))
+        return jnp.where(oobp, jnp.int32(4), c)
+    dl = jnp.where((ref_at(jl) < 4) & (ref_at(jl + 1) < 4),
+                   ref_at(jl) * 16 + ref_at(jl + 1), 255)
+    ar = jnp.where((ref_at(jr - 1) < 4) & (ref_at(jr) < 4),
+                   ref_at(jr - 1) * 16 + ref_at(jr), 255)
+    can_fw = (dl == 0x23) & (ar == 0x02)
+    can_rc = (dl == 0x13) & (ar == 0x01)
+    semi_fw = ((dl == 0x21) & (ar == 0x02)) | ((dl == 0x03) & (ar == 0x01))
+    semi_rc = ((dl == 0x13) & (ar == 0x21)) | ((dl == 0x20) & (ar == 0x03))
+    spldir = jnp.where(
+        can_fw, SPL_FW,
+        jnp.where(can_rc, SPL_RC,
+                  jnp.where(semi_fw, SPL_SEMI_FW,
+                            jnp.where(semi_rc, SPL_SEMI_RC, SPL_UNKNOWN))))
+
+    ok_all &= (x_all >= 1) & (x_all <= lens2 - 1) & (d2 > d1)
+    # anchor-quality: the injected side must be clean enough
+    # (nedits <= anchorLen / 4, spliced_aligner.h:391)
+    ok_all &= mm_new <= anchor_new // 4
+    ok_all &= score >= minsc[:, None]
+    score = jnp.where(ok_all, score, -_BIG)
+    return dict(score=score, d1=d1, d2=d2, x=x_all,
+                kind=jnp.where(ok_all, KIND_SPL, KIND_NONE),
+                spldir=spldir,
+                splscore=jnp.zeros_like(score, jnp.float32))
+
+
 def select_pairs(res: PairResult, starts, top: int = 4):
     """Flatten [N, C, C] pair results and take the top `top` per lane by
     score (ties by flattened index = leftmost diagonals first)."""

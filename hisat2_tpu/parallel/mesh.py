@@ -58,22 +58,29 @@ def sharded_align_step(aligner, mesh: Mesh):
     (candidate dict, n_cand) with n_cand summed over the mesh (the psum
     replaces MERGE_METRICS)."""
 
-    def step(d, params, reads, quals, lens, minsc):
-        out = aligner._align_device(d, params, reads, quals, lens, minsc)
+    def step(d, params, reads, quals, lens, minsc, rdids, ss):
+        out = aligner._align_device(d, params, reads, quals, lens, minsc,
+                                    rdids, ss)
         n_cand = out["valid"].sum()  # XLA inserts the cross-shard reduce
         return out, n_cand
 
     repl = NamedSharding(mesh, P())
     dp = NamedSharding(mesh, P("dp"))
     params_spec = jax.tree.map(lambda _: repl, aligner.params)
+    ss_tables = (aligner.splice_db.device_tables()
+                 if aligner.splice_db is not None else None)
+    ss_spec = jax.tree.map(lambda _: repl, ss_tables)
+    nd = 8
     out_spec = jax.eval_shape(
         step, aligner.dev, aligner.params,
-        jax.ShapeDtypeStruct((8, 32), "int32"),
-        jax.ShapeDtypeStruct((8, 32), "int32"),
-        jax.ShapeDtypeStruct((8,), "int32"),
-        jax.ShapeDtypeStruct((8,), "int32"))
+        jax.ShapeDtypeStruct((nd, 32), "int32"),
+        jax.ShapeDtypeStruct((nd, 32), "int32"),
+        jax.ShapeDtypeStruct((nd,), "int32"),
+        jax.ShapeDtypeStruct((nd,), "int32"),
+        jax.ShapeDtypeStruct((nd,), "int32"),
+        ss_tables)
     return jax.jit(
         step,
         in_shardings=(jax.tree.map(lambda _: repl, aligner.dev),
-                      params_spec, dp, dp, dp, dp),
+                      params_spec, dp, dp, dp, dp, dp, ss_spec),
         out_shardings=(jax.tree.map(lambda _: dp, out_spec[0]), repl))

@@ -36,15 +36,19 @@ def test_sharded_matches_single_device(small_index):
     quals = np.full((B, L), 40, np.int32)
     lens = np.full(B, L, np.int32)
     minsc = np.full(B, -20, np.int32)
+    rdids = np.arange(B, dtype=np.int32)
+    ss = al.splice_db.device_tables()
 
-    single = al._device_step(al.dev, al.params, reads, quals, lens, minsc)
+    single = al._device_step(al.dev, al.params, reads, quals, lens, minsc,
+                             rdids, ss)
 
     m = pmesh.make_mesh(n_dp=8)
     step = pmesh.sharded_align_step(al, m)
     d = pmesh.replicate(m, al.dev)
     params = pmesh.replicate(m, al.params)
-    r, q, l, ms = pmesh.shard_batch(m, reads, quals, lens, minsc)
-    sharded, n_cand = step(d, params, r, q, l, ms)
+    ss_r = pmesh.replicate(m, ss)
+    r, q, l, ms, ri = pmesh.shard_batch(m, reads, quals, lens, minsc, rdids)
+    sharded, n_cand = step(d, params, r, q, l, ms, ri, ss_r)
     jax.block_until_ready(n_cand)
     for k in single:
         np.testing.assert_array_equal(np.asarray(single[k]),
