@@ -68,6 +68,7 @@ class Alignment:
     junc_d2: int = 0           # joined diagonal of the right segment
     spl_dir: int = 0           # splice_ops.SPL_*
     junc_known: bool = False   # known splice site / known ALT indel
+    junc_snp: int = -1         # VariantDB snp index of a known ALT indel
 
     @property
     def aln_start(self) -> int:
@@ -109,14 +110,23 @@ class TPUAligner:
         # reference's _minK_local — hi_aligner.h:3813) so the junction sweep
         # can pair a long anchor with a short one across an intron
         self.min_hit_len = 8 if spliced else min_hit_len
-        self.cand_per_hit = cand_per_hit
         # unique candidates extended per (read, orientation); >= k so that
-        # -k reporting isn't starved, small so extension stays cheap
-        self.max_cands = max(k + 1, 6)
+        # -k reporting isn't starved, small so extension stays cheap;
+        # spliced mode adds slots for short-anchor diagonals and resolves
+        # up to 6 rows per hit (the reference resolves short-segment ranges
+        # only when nelt <= 5, spliced_aligner.h:951)
+        self.max_cands = max(k + 1, 6) + (8 if spliced else 0)
+        self.cand_per_hit = max(cand_per_hit, 6) if spliced else cand_per_hit
         self.no_fw = no_fw
         self.no_rc = no_rc
         self.spliced = spliced
         self.max_pairs = max_pairs
+        # _minK (hi_aligner.h:3807-3813): #base-4 digits of the genome length
+        n = index.meta.n
+        self.min_k = 0
+        while n > 0:
+            n >>= 2
+            self.min_k += 1
         self.dev = index.to_device()
         # host copies for SAM field generation (MD/ref lookup)
         self.ref_codes = bitops.unpack_2bit(
@@ -132,11 +142,19 @@ class TPUAligner:
         }
         # variant (ALT) database -> device planes + host Zs lookup tables
         self.variants = variants
+        self.has_indels = False
+        self.indel_row_db = None
         if variants is not None and variants.n_snps:
-            from ..index.graph import build_graph_arrays
+            from ..index.graph import build_graph_arrays, indel_device_tables
             self.graph = build_graph_arrays(index, variants)
             self.params["snv1"] = jnp.asarray(self.graph.snv_delta1)
             self.params["snv2"] = jnp.asarray(self.graph.snv_delta2)
+            if len(self.graph.indel_pos):
+                tabs = indel_device_tables(self.graph)
+                self.indel_row_db = tabs.pop("_row_db")
+                self.params.update(
+                    {k2: jnp.asarray(v) for k2, v in tabs.items()})
+                self.has_indels = True
         else:
             self.graph = None
             self.params["snv1"] = jnp.zeros(1, jnp.uint32)
@@ -149,12 +167,16 @@ class TPUAligner:
             rd_gap_open=self.scoring.rd_gap_open,
             rd_gap_ext=self.scoring.rd_gap_ext,
             rf_gap_open=self.scoring.rf_gap_open,
-            rf_gap_ext=self.scoring.rf_gap_ext)
+            rf_gap_ext=self.scoring.rf_gap_ext,
+            allow_spliced=spliced)
+        # the junction sweep always runs: --no-spliced-alignment still
+        # discovers novel indels (combineWith's ins/del branch is not gated
+        # by no_spliced_alignment, hi_aligner.h:1344-1367)
+        td, ta1, ta2 = splice_ops.junction_prob_tables()
+        self.params["tab_donor"] = jnp.asarray(td)
+        self.params["tab_acc1"] = jnp.asarray(ta1)
+        self.params["tab_acc2"] = jnp.asarray(ta2)
         if spliced:
-            td, ta1, ta2 = splice_ops.junction_prob_tables()
-            self.params["tab_donor"] = jnp.asarray(td)
-            self.params["tab_acc1"] = jnp.asarray(ta1)
-            self.params["tab_acc2"] = jnp.asarray(ta2)
             from .splice_db import SpliceSiteDB
             self.splice_db = (splice_db if splice_db is not None
                               else SpliceSiteDB(index))
@@ -190,13 +212,19 @@ class TPUAligner:
         al = jnp.concatenate([lens, lens]).astype(jnp.int32)
         am = jnp.concatenate([minsc, minsc]).astype(jnp.int32)
 
+        # enough hit slots for anchor-stop segmentation: unique anchors
+        # close every min_k+12 bp (hi_aligner.h:5603)
+        H = max(self.max_hits, L // (self.min_k + 12) + 2)
         hits = search_ops.partial_search(
             d.bwt_words, d.occ, d.fchr, meta.zrow, meta.rows, ar, al,
-            self.max_hits, self.min_hit_len)
+            H, self.min_hit_len, self.min_k)
 
-        H, P = self.max_hits, self.cand_per_hit
+        P = self.cand_per_hit
         w = hits.bot - hits.top                                   # [2B, H]
         hv = jnp.arange(H, dtype=jnp.int32)[None, :] < hits.nh[:, None]
+        # short segments with too many occurrences are never resolved
+        # (globalGFMSearch's nelt <= 5 gate, spliced_aligner.h:951)
+        hv &= ((hits.hi - hits.lo) >= 16) | (w <= 5)
         j = jnp.arange(P, dtype=jnp.int32)
         rowm = hits.top[:, :, None] + j[None, None, :]            # [2B,H,P]
         cval = hv[:, :, None] & (j[None, None, :] < w[:, :, None])
@@ -212,28 +240,50 @@ class TPUAligner:
         # duplicates or invalid.  Sort per lane, mark uniques, compact the
         # unique starts into the first C slots — the extension then runs on
         # a 16/C-times smaller candidate matrix.
+        # align-path eligibility per slot (getAnchorHits, hi_aligner.h:
+        # 4341-4351): hits longer than minK+2 only; after an anchor stop
+        # the search is mid-read, so only width-1 hits resolve (max_size=1)
         BIG = np.int32(2**30)
-        key = jnp.where(cv, starts, BIG)
+        SHORTBIT = np.int32(2**30)
+        hlen = (hits.hi - hits.lo)[:, :, None]                    # [2B,H,1]
+        hlen_flat = jnp.broadcast_to(
+            hlen, (2 * B, H, P)).reshape(2 * B, H * P)
+        w_flat = jnp.broadcast_to(
+            w[:, :, None], (2 * B, H, P)).reshape(2 * B, H * P)
+        align_slot = (hlen_flat > self.min_k + 2) \
+            & ((w_flat == 1) | ~hits.stopped[:, None])
+        # compaction key: align-capable candidates claim slots first
+        # (sweep-only short/wide anchors must not crowd out real diagonals)
+        is_short = ~align_slot
+        key = jnp.where(cv, starts + jnp.where(is_short, SHORTBIT, 0),
+                        np.int32(2**31 - 2))
         skey = jnp.sort(key, axis=1)
-        uniq = (skey != BIG) & jnp.concatenate(
+        uniq = (skey != np.int32(2**31 - 2)) & jnp.concatenate(
             [jnp.ones((2 * B, 1), bool), skey[:, 1:] != skey[:, :-1]], axis=1)
         C = self.max_cands
         comp = jnp.argsort(~uniq, axis=1, stable=True)[:, :C]
-        cstart = jnp.take_along_axis(skey, comp, axis=1)          # [2B, C]
+        ckey = jnp.take_along_axis(skey, comp, axis=1)            # [2B, C]
+        cstart = ckey & (SHORTBIT - 1)
+        cshort = ckey >= SHORTBIT
         cvalid = jnp.take_along_axis(uniq, comp, axis=1)
-        if self.spliced:
-            # anchor length per compact candidate: short (8-15 bp) anchors
-            # feed ONLY the junction sweep, not ungapped reporting (the
-            # reference uses them solely inside hybridSearch recombination)
-            hlen = (hits.hi - hits.lo)[:, :, None]                # [2B,H,1]
-            hlen_flat = jnp.broadcast_to(
-                hlen, (2 * B, H, P)).reshape(2 * B, H * P)
-            same = cstart[:, :, None] == starts[:, None, :]       # [2B,C,HP]
-            same &= cv[:, None, :]
-            clen = jnp.where(same, hlen_flat[:, None, :], 0).max(axis=2)
-            cvalid_long = cvalid & (clen >= 16)
-        else:
-            cvalid_long = cvalid
+        # a diagonal present as both long and short keeps only the long slot
+        dup_short = cshort & jnp.any(
+            (cstart[:, :, None] == cstart[:, None, :])
+            & ~cshort[:, None, :] & cvalid[:, None, :], axis=2)
+        cvalid &= ~dup_short
+        # provenance per compact candidate: min "actual rounds before"
+        # (search-budget replay) and post-anchor-stop flag
+        ab_flat = jnp.broadcast_to(
+            hits.abefore[:, :, None], (2 * B, H, P)).reshape(2 * B, H * P)
+        post_flat = jnp.broadcast_to(
+            hits.post[:, :, None], (2 * B, H, P)).reshape(2 * B, H * P)
+        same = cstart[:, :, None] == starts[:, None, :]           # [2B,C,HP]
+        same &= cv[:, None, :]
+        cab = jnp.where(same, ab_flat[:, None, :], BIG).min(axis=2)
+        cpost = ~jnp.any(same & ~post_flat[:, None, :], axis=2)
+        # sweep-only candidates (short or wide-while-stopped) never become
+        # ungapped alignments themselves
+        cvalid_long = cvalid & jnp.any(same & align_slot[:, None, :], axis=2)
         planes = extend_ops.pen_planes(
             d.ref_words, meta.n, ar, aq, al,
             jnp.where(cvalid, cstart, -1), params["mm_pen"],
@@ -248,28 +298,37 @@ class TPUAligner:
             planes=planes)
         out = {"starts": cstart, "score": ext.score, "n_mm": ext.n_mm,
                "n_n": ext.n_n, "clip_l": ext.clip_l, "clip_r": ext.clip_r,
-               "valid": cvalid_long & ext.ok, "alt_score": ext.alt_score}
-        if self.spliced:
-            ch = splice_ops.diag_chars(
-                d.ref_words, meta.n, cstart, L, 16)
-            res = splice_ops.pair_sweep(
-                ch, planes.pen_raw, planes.pen, planes.mm_raw,
-                cstart, cvalid, al, am,
-                (params["tab_donor"], params["tab_acc1"],
-                 params["tab_acc2"]),
-                self.splice_params)
-            sel = splice_ops.select_pairs(res, cstart, top=self.max_pairs)
-            # known/temp splice-site injection
-            rd2 = jnp.concatenate([rdids, rdids]).astype(jnp.int32)
+               "valid": cvalid_long & ext.ok, "alt_score": ext.alt_score,
+               "ab": cab, "post": cpost}
+        # --- junction candidates: novel sweep + event injections ---
+        ch = splice_ops.diag_chars(d.ref_words, meta.n, cstart, L, 16)
+        res = splice_ops.pair_sweep(
+            ch, planes.pen_raw, planes.pen, planes.mm_raw,
+            cstart, cvalid, al, am,
+            (params["tab_donor"], params["tab_acc1"], params["tab_acc2"]),
+            self.splice_params)
+        sel = splice_ops.select_pairs(res, cstart, top=self.max_pairs)
+        T0 = self.max_pairs
+        sel["ab"] = jnp.maximum(
+            jnp.take_along_axis(cab, sel["i"], axis=1),
+            jnp.take_along_axis(cab, sel["j"], axis=1))
+        sel["post"] = jnp.take_along_axis(cpost, sel["i"], axis=1) \
+            & jnp.take_along_axis(cpost, sel["j"], axis=1)
+        blocks = [dict(sel, known=jnp.zeros((2 * B, T0), jnp.int32),
+                       event=jnp.full((2 * B, T0), -1, jnp.int32))]
+        if self.spliced or self.has_indels:
             C = cstart.shape[1]
             zero3 = jnp.zeros((2 * B, C, 1), jnp.int32)
+            al3 = jnp.broadcast_to(al[:, None, None], (2 * B, C, 1))
             P_raw = jnp.concatenate(
                 [zero3, jnp.cumsum(planes.pen_raw, axis=2)], axis=2)
+            tot_raw = jnp.take_along_axis(P_raw, al3, axis=2)[:, :, 0]
+        if self.spliced:
+            # known/temp splice-site injection
+            rd2 = jnp.concatenate([rdids, rdids]).astype(jnp.int32)
             Pm = jnp.concatenate(
                 [zero3, jnp.cumsum(planes.mm_raw.astype(jnp.int32), axis=2)],
                 axis=2)
-            al3 = jnp.broadcast_to(al[:, None, None], (2 * B, C, 1))
-            tot_raw = jnp.take_along_axis(P_raw, al3, axis=2)[:, :, 0]
             tot_m = jnp.take_along_axis(Pm, al3, axis=2)[:, :, 0]
             inj = splice_ops.inject_known(
                 d.ref_words, meta.n, ar, aq, al, rd2,
@@ -279,44 +338,84 @@ class TPUAligner:
                 params["mm_pen"], self.scoring.n_pen, am,
                 slots=self.ss_slots)
             J = inj["score"].shape[1]
-            for k2 in ("score", "d1", "d2", "x", "kind", "spldir",
-                       "splscore"):
-                out["p_" + k2] = jnp.concatenate(
-                    [sel[k2], inj[k2]], axis=1)
-            out["p_known"] = jnp.concatenate(
-                [jnp.zeros((2 * B, self.max_pairs), jnp.int32),
-                 jnp.ones((2 * B, J), jnp.int32)], axis=1)
+            src_i = inj.pop("src")
+            inj["ab"] = jnp.take_along_axis(cab, src_i, axis=1)
+            inj["post"] = jnp.take_along_axis(cpost, src_i, axis=1)
+            blocks.append(dict(inj, known=jnp.ones((2 * B, J), jnp.int32),
+                               event=jnp.full((2 * B, J), -1, jnp.int32)))
+        if self.has_indels:
+            # known ALT indel injection
+            P_snv = jnp.concatenate(
+                [zero3, jnp.cumsum(planes.pen, axis=2)], axis=2)
+            tot_snv = jnp.take_along_axis(P_snv, al3, axis=2)[:, :, 0]
+            injd = splice_ops.inject_indels(
+                d.ref_words, meta.n, ar, aq, al,
+                cstart, cvalid, P_snv, tot_snv,
+                params["ind_ip"], params["ind_len"], params["ind_chars"],
+                params["ind_rkey"], params["ind_rlen"], params["ind_rrow"],
+                params["mm_pen"], self.scoring.n_pen, am,
+                snv_delta1=params["snv1"], snv_delta2=params["snv2"],
+                slots=self.ss_slots)
+            Ji = injd["score"].shape[1]
+            src_i = injd.pop("src")
+            injd["ab"] = jnp.take_along_axis(cab, src_i, axis=1)
+            injd["post"] = jnp.take_along_axis(cpost, src_i, axis=1)
+            blocks.append(dict(injd,
+                               known=jnp.ones((2 * B, Ji), jnp.int32)))
+        for k2 in ("score", "d1", "d2", "x", "kind", "spldir",
+                   "splscore", "known", "event", "ab", "post"):
+            out["p_" + k2] = jnp.concatenate(
+                [b[k2] for b in blocks], axis=1)
         return out
 
     # ------------------------------------------------------------------
     def annotate_snps(self, a, rd_aligned):
-        """(Zs:Z string, offsets of SNP-matched columns) for one alignment.
+        """(Zs:Z string, aligned-read offsets of SNV-matched columns).
 
         The offsets are excluded from NM/XM, mirroring how the reference
         marks snpID edits and skips them in mismatch accounting
-        (aligner_result.cpp NM computation; sam.h:978 Zs emission)."""
+        (aligner_result.cpp NM computation; sam.h:978 Zs emission).
+        Junction alignments scan both segments; a known ALT indel adds its
+        own D/I entry at the junction offset."""
         if self.graph is None:
             return None, ()
         g = self.graph
-        start = a.joined_pos + a.clip_l
-        lo = int(np.searchsorted(g.snv_joined, start))
-        hi = int(np.searchsorted(g.snv_joined, start + a.aln_span))
-        if lo == hi:
-            return None, ()
-        offs, names = [], []
-        for t in range(lo, hi):
-            off = int(g.snv_joined[t]) - start
-            if 0 <= off < len(rd_aligned) and \
-                    rd_aligned[off] == g.snv_alt[t]:
-                offs.append(off)
-                names.append(self.variants.snp_names[int(g.snv_id[t])])
-        if not offs:
-            return None, ()
+        entries = []
+        snv_offs = []
+        cl = a.clip_l
+        L_al = len(rd_aligned)
+        if a.junc_kind == 0:
+            segs = [(a.aln_start, 0, L_al)]
+        else:
+            ins = max(-a.junc_len, 0)
+            seg_l = a.junc_x - cl
+            off_r = a.junc_x + ins - cl
+            segs = [(a.aln_start, 0, seg_l),
+                    (a.junc_d2 + a.junc_x + ins, off_r, L_al - off_r)]
+        for (jstart, off0, slen) in segs:
+            if slen <= 0:
+                continue
+            lo = int(np.searchsorted(g.snv_joined, jstart))
+            hi = int(np.searchsorted(g.snv_joined, jstart + slen))
+            for t in range(lo, hi):
+                off = off0 + int(g.snv_joined[t]) - jstart
+                if 0 <= off < L_al and rd_aligned[off] == g.snv_alt[t]:
+                    entries.append(
+                        (off, "S",
+                         self.variants.snp_names[int(g.snv_id[t])]))
+                    snv_offs.append(off)
+        if a.junc_kind in (2, 3) and a.junc_known and a.junc_snp >= 0:
+            ch = "D" if a.junc_kind == 2 else "I"
+            entries.append((a.junc_x - cl, ch,
+                            self.variants.snp_names[a.junc_snp]))
+        if not entries:
+            return None, tuple(snv_offs)
+        entries.sort()
         parts, prev = [], -1
-        for o, nm in zip(offs, names):
-            parts.append(f"{o - prev - 1}|S|{nm}")
+        for o, ch, nm in entries:
+            parts.append(f"{o - prev - 1}|{ch}|{nm}")
             prev = o
-        return ",".join(parts), tuple(offs)
+        return ",".join(parts), tuple(snv_offs)
 
     # ------------------------------------------------------------------
     def align_batch(self, codes: np.ndarray, quals: np.ndarray,
@@ -378,23 +477,17 @@ class TPUAligner:
         d2 = flat(o_np["starts"], o_np.get("p_d2", z2))
         spl_dir = flat(np.zeros((2 * B, C)), o_np.get("p_spldir", z2))
         junc_known = flat(np.zeros((2 * B, C)), o_np.get("p_known", z2))
+        junc_event = flat(np.full((2 * B, C), -1),
+                          o_np.get("p_event", z2 - 1))
+        # map indel-event table rows to VariantDB snp indices
+        junc_snp = np.full(len(junc_event), -1, np.int64)
+        if self.indel_row_db is not None:
+            has_ev = junc_event >= 0
+            junc_snp[has_ev] = self.indel_row_db[junc_event[has_ev]]
         BIGV = 2 ** 29
         if T:
             pv = o_np["p_score"] > -BIGV
-            # suppress clipped ungapped candidates subsumed by a junction
-            # candidate on the same diagonal: the reference only produces
-            # trimmed GenomeHits as fallbacks, never alongside the combined
-            # alignment they are a prefix/suffix of (hybridSearch trims only
-            # when recursion fails; redundant() drops same-coord repeats)
-            ug = o_np["valid"]
-            ug_clip = (o_np["clip_l"] + o_np["clip_r"]) > 0
-            m_d1 = o_np["starts"][:, :, None] == o_np["p_d1"][:, None, :]
-            m_d2 = o_np["starts"][:, :, None] == o_np["p_d2"][:, None, :]
-            beats = (o_np["p_score"][:, None, :]
-                     >= o_np["score"][:, :, None]) & pv[:, None, :]
-            sub = ((m_d1 | m_d2) & beats).any(axis=2)
-            ug = ug & ~(ug_clip & sub)
-            valid = np.concatenate([ug, pv], axis=1).reshape(-1)
+            valid = np.concatenate([o_np["valid"], pv], axis=1).reshape(-1)
         else:
             valid = o_np["valid"].reshape(-1)
 
@@ -448,6 +541,70 @@ class TPUAligner:
                      np.where(junc_kind == splice_ops.KIND_INS,
                               -(starts - d2), 0)))
         valid &= ~((junc_kind == splice_ops.KIND_SPL) & (junc_len < 1))
+
+        # search-budget replay (nextBWT give-up, hi_aligner.h:3988-4035):
+        # once an alignment scoring `best` exists, the reference performs at
+        # most maxmm(best) + #splices(best) + 1 further non-unique search
+        # rounds per orientation; candidates born in later rounds are never
+        # generated.  `ab` = non-unique rounds before a candidate's earliest
+        # source segment.
+        ab = flat(o_np["ab"], o_np.get("p_ab", z2))
+        post = flat(o_np["post"], o_np.get("p_post", z2)).astype(bool)
+        vsel = np.flatnonzero(valid)
+        if vsel.size:
+            bestr = np.full(B, -2 ** 40, np.int64)
+            np.maximum.at(bestr, read_of_lane[vsel], score[vsel])
+            is_best = score == bestr[read_of_lane]
+            best_spl = np.zeros(B, np.int64)
+            spl_best = vsel[(junc_kind[vsel] == splice_ops.KIND_SPL)
+                            & is_best[vsel]]
+            best_spl[read_of_lane[spl_best]] = 1
+            maxmm = -(-np.maximum(-bestr, 0) // max(self.scoring.mm_max, 1))
+            allowed = maxmm + best_spl + 1
+            valid &= (ab <= allowed[read_of_lane]) | is_best
+            # post-anchor-stop candidates exist only when the pre-stop
+            # anchor's extension leaves part of the read uncovered
+            # (hybridSearch re-search); a full-coverage candidate in the
+            # same lane means the reference never searched further
+            full0 = np.zeros(2 * B, bool)
+            f_idx = np.flatnonzero(valid & ~post
+                                   & (clip_l + clip_r == 0))
+            full0[lane[f_idx]] = True
+            valid &= ~(post & full0[lane])
+
+        # positional merge (align()'s `overlapped` rule, hi_aligner.h:
+        # 4408-4419): candidates whose diagonals lie within maxIntronLen of
+        # a better candidate in the same lane collapse into that candidate's
+        # region; the best-scoring representation survives (ties: leftmost,
+        # ungapped before junction forms).  Same-score exact multimaps are
+        # exempt - the reference adds same-hit coordinates without merging,
+        # so equal-score repeats are all reported (verified vs oracle on an
+        # 800 bp-apart duplicated unit).
+        W = self.scoring.max_intron_len
+        Km = K
+        validm = valid.reshape(2 * B, Km)
+        s_m = starts.reshape(2 * B, Km)
+        sc_m = np.where(validm, score.reshape(2 * B, Km), -2 ** 40)
+        jk_m = junc_kind.reshape(2 * B, Km)
+        ordm = np.lexsort((jk_m, s_m, -sc_m), axis=1)
+        s_sorted = np.take_along_axis(s_m, ordm, axis=1)
+        v_sorted = np.take_along_axis(validm, ordm, axis=1)
+        sc_sorted = np.take_along_axis(sc_m, ordm, axis=1)
+        kept = np.zeros((2 * B, Km), bool)
+        kept_pos = np.full((2 * B, Km), -2 ** 60, np.int64)
+        kept_sc = np.full((2 * B, Km), -2 ** 40, np.int64)
+        for r in range(Km):
+            cand = s_sorted[:, r]
+            csc = sc_sorted[:, r]
+            near = ((np.abs(kept_pos - cand[:, None]) <= W)
+                    & (kept_sc > csc[:, None])).any(axis=1)
+            keep_r = v_sorted[:, r] & ~near
+            kept[:, r] = keep_r
+            kept_pos[:, r] = np.where(keep_r, cand, -2 ** 60)
+            kept_sc[:, r] = np.where(keep_r, csc, -2 ** 40)
+        vm = np.zeros((2 * B, Km), bool)
+        np.put_along_axis(vm, ordm, kept, axis=1)
+        valid &= vm.reshape(-1)
 
         per_read = [[] for _ in range(B)]
         sel = np.flatnonzero(valid)
@@ -530,5 +687,6 @@ class TPUAligner:
                     if has_sec[seg_of[i]] else None),
                 junc_kind=jk, junc_x=int(junc_x[g]), junc_len=jl,
                 junc_d2=int(d2[g]), spl_dir=int(spl_dir[g]),
-                junc_known=bool(junc_known[g])))
+                junc_known=bool(junc_known[g]),
+                junc_snp=int(junc_snp[g])))
         return BatchResult(alignments=per_read, n_reads=B)

@@ -61,12 +61,22 @@ def build_graph_arrays(index, db: VariantDB) -> GraphArrays:
     delta = (alt - ref) & 3
     ok = delta != 0          # alt == ref would be a no-op record
     pos, alt, delta, sgl = pos[ok], alt[ok], delta[ok], sgl[ok]
-    # first plane wins; duplicates (multi-allelic) go to plane 2
-    first = plane1[pos] == 0
-    plane1[pos[first]] = delta[first]
-    dup = ~first
-    plane2[pos[dup]] = np.where(plane2[pos[dup]] == 0, delta[dup],
-                                plane2[pos[dup]])
+    # multi-allelic sites: first record at a position -> plane 1, second
+    # (with a DIFFERENT delta) -> plane 2.  Rank within each position group
+    # must be computed before any write (a vectorized `plane1[pos]==0` test
+    # misses duplicates inside one batch).
+    order = np.argsort(pos, kind="stable")
+    ps, ds = pos[order], delta[order]
+    new_grp = np.empty(len(ps), bool)
+    if len(ps):
+        new_grp[0] = True
+        new_grp[1:] = ps[1:] != ps[:-1]
+    grp_start = np.maximum.accumulate(
+        np.where(new_grp, np.arange(len(ps)), 0))
+    rank = np.arange(len(ps)) - grp_start
+    plane1[ps[rank == 0]] = ds[rank == 0]
+    second = (rank == 1) & (ds != ds[np.maximum(grp_start, 0)])
+    plane2[ps[second]] = ds[second]
 
     def pack2(plane):
         p = plane.reshape(nwords, 16).astype(np.uint32)
@@ -89,3 +99,43 @@ def build_graph_arrays(index, db: VariantDB) -> GraphArrays:
         snv_joined=pos[so].astype(np.int32),
         snv_alt=alt[so].astype(np.int8),
         snv_id=sgl[so].astype(np.int32))
+
+
+def indel_device_tables(graph: GraphArrays, max_ins: int = 16) -> dict:
+    """Padded, sorted indel-event tables for the injection kernel
+    (ops/splice.py inject_indels).  Events sorted by joined position plus a
+    right-side permutation sorted by pos + len (so a right-anchored
+    candidate diagonal can binary-search events ending near it).
+    Insertions longer than max_ins are dropped (none exist in dbSNP-derived
+    inputs; ALT::seq caps at 32 bp, alt.h:60)."""
+    keep = np.flatnonzero(-graph.indel_len <= max_ins)
+    ip = graph.indel_pos[keep]
+    il = graph.indel_len[keep]
+    seq = graph.indel_seq[keep]
+    n = len(ip)
+    cap = 8
+    while cap < n + 1:
+        cap *= 2
+    BIGP = np.int32(2 ** 30)
+    t_ip = np.full(cap, BIGP, np.int32)
+    t_il = np.zeros(cap, np.int32)
+    t_ch = np.zeros((cap, max_ins), np.int32)
+    t_rkey = np.full(cap, BIGP, np.int32)
+    t_ril = np.zeros(cap, np.int32)
+    t_rrow = np.zeros(cap, np.int32)
+    row_db = np.zeros(cap, np.int32)
+    if n:
+        o = np.argsort(ip, kind="stable")
+        ip, il, seq = ip[o], il[o], seq[o]
+        row_db[:n] = graph.indel_id[keep][o]
+        t_ip[:n], t_il[:n] = ip, il
+        for j in range(max_ins):
+            t_ch[:n, j] = (seq >> (2 * j)) & 3
+        rkey = ip + il
+        o2 = np.argsort(rkey, kind="stable")
+        t_rkey[:n] = rkey[o2]
+        t_ril[:n] = il[o2]
+        t_rrow[:n] = o2.astype(np.int32)
+    return dict(ind_ip=t_ip, ind_len=t_il, ind_chars=t_ch,
+                ind_rkey=t_rkey, ind_rlen=t_ril, ind_rrow=t_rrow,
+                _row_db=row_db)

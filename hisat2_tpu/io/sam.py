@@ -140,17 +140,25 @@ class SamWriter:
                        if a.junc_kind == 2 else None)
             md, nm = md_and_nm_gapped(rd_l, ref_l, rd_r, ref_r,
                                       del_ref=del_ref, ins_len=ins)
-            xm = nm - (jl if a.junc_kind == 2 else 0) - ins
+            gapb = jl if a.junc_kind == 2 else (ins if a.junc_kind == 3
+                                                else 0)
+            xm = nm - gapb
             xo = 1 if a.junc_kind in (2, 3) else 0
-            xg = (jl if a.junc_kind == 2 else ins) if xo else 0
+            xg = gapb
             rd_aligned = rd[cl:L - cr]
             if a.junc_kind == 1 and a.spl_dir:
                 xs_tag = "+" if a.spl_dir in (1, 3) else "-"
         zs_tag = None
-        if self.annotator is not None and a.junc_kind == 0:
+        if self.annotator is not None:
             zs_tag, snp_offs = self.annotator(a, rd_aligned)
             nm -= len(snp_offs)  # known-SNP matches don't count as edits
-            xm = nm
+            xm = nm if a.junc_kind == 0 else xm - len(snp_offs)
+            if a.junc_kind in (2, 3) and a.junc_known and a.junc_snp >= 0:
+                # a known ALT indel is not an edit (snpID-tagged gaps score
+                # 0 and are excluded from NM/XO/XG — verified vs oracle:
+                # 50M2D50M with NM:i:0 XO:i:0 XG:i:0 Zs:Z:50|D|rsid)
+                nm -= gapb
+                xo = xg = 0
         # tag order mirrors AlnSinkSam::appendMate (sam.h):
         # AS ZS XN XM XO XG NM MD YS XS YT NH Zs
         tags = [f"AS:i:{a.score}"]

@@ -9,13 +9,23 @@ lanes advance one LF step per scan iteration: per-lane state is
 
 Semantics per lane, scanning pos = len-1 .. 0:
   - extend current range with read[pos]; if still non-empty, continue;
+  - ANCHOR STOP (hi_aligner.h:5603-5608): once a segment is >= min_k+12 bp
+    with a WIDTH-1 range, close it and restart — the reference stops its
+    whole per-orientation search here and leaves the rest of the read to
+    extension/recombination; we keep scanning so later segments exist for
+    the junction sweep, but tag every segment with how many NON-UNIQUE
+    rounds preceded it (numActualPartialSearch, hi_aligner.h:265-268) so the
+    reporting layer can replay the reference's search budget
+    (nextBWT give-up rule, hi_aligner.h:3988-4035).
+    The stop is disarmed for a segment that still has >= 4 rows at
+    min_k+8 bp (repetitive anchors keep extending — hi_aligner.h:5588).
   - otherwise close the current hit [pos+1, rb) (recorded if it spans
     >= min_hit_len bases) and restart at pos: the new range is the
     single-char range [fchr[c], fchr[c+1]) (so position pos starts the next
     hit), or the full range if read[pos] is N/absent (the char is skipped,
     mirroring partialSearch's N handling).
-The hits partition the read into non-overlapping maximal match segments,
-exactly like the reference's ReadBWTHit bookkeeping (hi_aligner.h:216-390).
+The hits partition the read into non-overlapping segments, exactly like the
+reference's ReadBWTHit bookkeeping (hi_aligner.h:216-390).
 """
 
 from __future__ import annotations
@@ -30,22 +40,49 @@ from . import rank as rk
 
 
 class PartialHits(NamedTuple):
-    top: jnp.ndarray    # int32 [B, H]
-    bot: jnp.ndarray    # int32 [B, H]
-    lo: jnp.ndarray     # int32 [B, H]  leftmost read pos covered
-    hi: jnp.ndarray     # int32 [B, H]  one past rightmost read pos covered
-    nh: jnp.ndarray     # int32 [B]
+    top: jnp.ndarray      # int32 [B, H]
+    bot: jnp.ndarray      # int32 [B, H]
+    lo: jnp.ndarray       # int32 [B, H]  leftmost read pos covered
+    hi: jnp.ndarray       # int32 [B, H]  one past rightmost read pos covered
+    nh: jnp.ndarray       # int32 [B]
+    abefore: jnp.ndarray  # int32 [B, H]  # non-unique rounds before this one
+    uniq: jnp.ndarray     # bool  [B, H]  anchor-stop / terminal segment
+    post: jnp.ndarray     # bool  [B, H]  segment begins after an anchor stop
+    #   (the reference never searches these in partialSearch — they model
+    #    hybridSearch's re-search of uncovered regions, hi_aligner.h:4061)
+    stopped: jnp.ndarray  # bool  [B]  lane had an anchor stop (search ended
+    #   before consuming the whole read: getAnchorHits then resolves only
+    #   width-1 hits — max_size=1, hi_aligner.h:4341)
 
 
 def partial_search(bwt_words, occ, fchr, zrow: int, rows: int,
                    reads, lens, max_hits: int = 8,
-                   min_hit_len: int = 16) -> PartialHits:
+                   min_hit_len: int = 16, min_k: int = 16) -> PartialHits:
     """reads: int32 [B, L] codes (0-4), left-aligned; lens: int32 [B]."""
     B, L = reads.shape
     H = max_hits
+    a_stop_len = np.int32(min_k + 12)
+    a_cancel_len = np.int32(min_k + 8)
+
+    def write_hit(st, cond, top, bot, lo_v, hi_v, uq, stopped):
+        ht, hb, hl, hh, ha, hu, hp, nh, na = st
+        write = cond & (nh < H)
+        sel = (jnp.arange(H, dtype=jnp.int32)[None, :] == nh[:, None]) \
+            & write[:, None]
+        ht = jnp.where(sel, top[:, None], ht)
+        hb = jnp.where(sel, bot[:, None], hb)
+        hl = jnp.where(sel, lo_v[:, None], hl)
+        hh = jnp.where(sel, hi_v[:, None], hh)
+        ha = jnp.where(sel, na[:, None], ha)
+        hu = jnp.where(sel, uq[:, None], hu)
+        hp = jnp.where(sel, stopped[:, None], hp)
+        nh = nh + write.astype(jnp.int32)
+        na = na + (cond & ~uq).astype(jnp.int32)
+        return (ht, hb, hl, hh, ha, hu, hp, nh, na)
 
     def step(state, s):
-        top, bot, lo, rb, ht, hb, hl, hh, nh = state
+        (top, bot, lo, rb, arm, stopped,
+         ht, hb, hl, hh, ha, hu, hp, nh, na) = state
         pos = lens - 1 - s                           # [B]
         active = pos >= 0
         c = jnp.take_along_axis(
@@ -54,46 +91,61 @@ def partial_search(bwt_words, occ, fchr, zrow: int, rows: int,
         valid_c = (c < 4) & active
         t2, b2 = rk.lf_range(bwt_words, occ, fchr, zrow, top, bot, cc)
         ok = valid_c & (b2 > t2)
+        seg = rb - pos                               # segment len incl. char
+        width = b2 - t2
+        # disarm the anchor stop for repetitive segments
+        arm = arm & ~(ok & (seg - 1 >= a_cancel_len) & (width >= 4))
+        astop = ok & arm & active & (seg >= a_stop_len) & (width == 1)
         fail = active & ~ok
-        # close current hit [pos+1, rb)
-        close = fail & (rb - (pos + 1) >= min_hit_len)
-        write = close & (nh < H)
-        sel = (jnp.arange(H, dtype=jnp.int32)[None, :] == nh[:, None]) \
-            & write[:, None]
-        ht = jnp.where(sel, top[:, None], ht)
-        hb = jnp.where(sel, bot[:, None], hb)
-        hl = jnp.where(sel, (pos + 1)[:, None], hl)
-        hh = jnp.where(sel, rb[:, None], hh)
-        nh = nh + write.astype(jnp.int32)
-        # restart: single-char range if possible, else skip the char
+        # close on mismatch/empty: [pos+1, rb)
+        close_f = fail & (rb - (pos + 1) >= min_hit_len)
+        st = (ht, hb, hl, hh, ha, hu, hp, nh, na)
+        st = write_hit(st, close_f, top, bot, pos + 1, rb,
+                       jnp.zeros((B,), bool), stopped)
+        # close on anchor stop: [pos, rb) with the post-consume range
+        st = write_hit(st, astop, t2, b2, pos, rb, jnp.ones((B,), bool),
+                       stopped)
+        ht, hb, hl, hh, ha, hu, hp, nh, na = st
+        stopped = stopped | astop
+        # non-recorded failed segments still count as rounds when they were
+        # actual searches (the reference records every round's hit; short
+        # ones just never become candidates)
+        na = na + (fail & (rb - (pos + 1) < min_hit_len)
+                   & (rb > pos + 1)).astype(jnp.int32)
+        # restart: after a mismatch, the failing char starts the next
+        # segment; after an anchor stop, the next segment starts at pos-1
         fc_t = fchr[cc]
         fc_b = fchr[cc + 1]
         re_c = fail & valid_c & (fc_b > fc_t)
-        top = jnp.where(ok, t2, jnp.where(re_c, fc_t, np.int32(0)))
-        bot = jnp.where(ok, b2, jnp.where(re_c, fc_b, np.int32(rows)))
-        rb_new = jnp.where(ok, rb, jnp.where(re_c, pos + 1, pos))
-        rb = jnp.where(active, rb_new, rb)
+        top_n = jnp.where(ok, t2, jnp.where(re_c, fc_t, np.int32(0)))
+        bot_n = jnp.where(ok, b2, jnp.where(re_c, fc_b, np.int32(rows)))
+        rb_n = jnp.where(ok, rb, jnp.where(re_c, pos + 1, pos))
+        top_n = jnp.where(astop, np.int32(0), top_n)
+        bot_n = jnp.where(astop, np.int32(rows), bot_n)
+        rb_n = jnp.where(astop, pos, rb_n)
+        arm = jnp.where(fail | astop, True, arm)
+        top = jnp.where(active, top_n, top)
+        bot = jnp.where(active, bot_n, bot)
+        rb = jnp.where(active, rb_n, rb)
         lo = jnp.where(active, pos, lo)
-        top = jnp.where(active, top, state[0])
-        bot = jnp.where(active, bot, state[1])
-        return (top, bot, lo, rb, ht, hb, hl, hh, nh), None
+        return (top, bot, lo, rb, arm, stopped,
+                ht, hb, hl, hh, ha, hu, hp, nh, na), None
 
     z = jnp.zeros((B,), jnp.int32)
     zh = jnp.zeros((B, H), jnp.int32)
-    # initial (top, bot) = full range; lo = rb = len (empty hit)
+    zb = jnp.zeros((B, H), bool)
     init = (z, jnp.full((B,), rows, jnp.int32),
             lens.astype(jnp.int32), lens.astype(jnp.int32),
-            zh, zh, zh, zh, z)
-    (top, bot, lo, rb, ht, hb, hl, hh, nh), _ = jax.lax.scan(
-        step, init, jnp.arange(L, dtype=jnp.int32))
-    # close the final open hit [lo, rb)
+            jnp.ones((B,), bool), jnp.zeros((B,), bool),
+            zh, zh, zh, zh, zh, zb, zb, z, z)
+    (top, bot, lo, rb, arm, stopped,
+     ht, hb, hl, hh, ha, hu, hp, nh, na), _ = \
+        jax.lax.scan(step, init, jnp.arange(L, dtype=jnp.int32))
+    # close the final open hit [lo, rb): a terminal full round is "unique"
+    # (hi_aligner.h:5667-5670 counts the cur>=len CANDIDATE round as unique)
     close = (rb - lo) >= min_hit_len
-    write = close & (nh < H)
-    sel = (jnp.arange(H, dtype=jnp.int32)[None, :] == nh[:, None]) \
-        & write[:, None]
-    ht = jnp.where(sel, top[:, None], ht)
-    hb = jnp.where(sel, bot[:, None], hb)
-    hl = jnp.where(sel, lo[:, None], hl)
-    hh = jnp.where(sel, rb[:, None], hh)
-    nh = nh + write.astype(jnp.int32)
-    return PartialHits(ht, hb, hl, hh, nh)
+    st = (ht, hb, hl, hh, ha, hu, hp, nh, na)
+    st = write_hit(st, close, top, bot, lo, rb, jnp.ones((B,), bool),
+                   stopped)
+    ht, hb, hl, hh, ha, hu, hp, nh, na = st
+    return PartialHits(ht, hb, hl, hh, nh, ha, hu, hp, stopped)

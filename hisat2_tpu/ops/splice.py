@@ -157,6 +157,7 @@ class SpliceParams(NamedTuple):
     rf_gap_open: int = 5         # insertion (ref gap)
     rf_gap_ext: int = 3
     max_gap: int = 10            # static insertion-length cap (maxReadGaps)
+    allow_spliced: bool = True   # False = --no-spliced-alignment (indel-only)
 
 
 class PairResult(NamedTuple):
@@ -258,7 +259,8 @@ def pair_sweep(ch, pen_spl, pen_ind, ismm, starts, valid, lens, minsc,
     starts_l = starts[:, :, None]                                  # [N,C,1]
     starts_r = starts[:, None, :]                                  # [N,1,C]
     D = starts_r - starts_l                                        # [N,C,C]
-    is_spl = (D >= prm.min_intron) & (D <= prm.max_intron)
+    is_spl = (D >= prm.min_intron) & (D <= prm.max_intron) \
+        & prm.allow_spliced
     is_del = (D >= 1) & (D < prm.min_intron)
     is_ins = (D <= -1) & (D >= -prm.max_gap)
     pmask = valid[:, :, None] & valid[:, None, :] & (is_spl | is_del | is_ins)
@@ -589,7 +591,129 @@ def inject_known(ref_words, n_text: int, reads, quals, lens, rdids,
     return dict(score=score, d1=d1, d2=d2, x=x_all,
                 kind=jnp.where(ok_all, KIND_SPL, KIND_NONE),
                 spldir=spldir,
-                splscore=jnp.zeros_like(score, jnp.float32))
+                splscore=jnp.zeros_like(score, jnp.float32),
+                src=src)
+
+
+MAX_INS = 16     # longest known insertion handled by the injection kernel
+
+
+def inject_indels(ref_words, n_text: int, reads, quals, lens,
+                  starts, valid, P_snv, tot_snv,
+                  ip, ilen, ins_chars, rkey, r_ilen, r_row,
+                  mm_pen, n_pen: int, minsc,
+                  snv_delta1=None, snv_delta2=None, slots: int = 2):
+    """Known ALT indel (ins/del) candidates by event injection — the
+    TPU-native counterpart of alignWithALTs_recur branching into compatible
+    indel ALTs (/root/reference/hi_aligner.h:2586-3377): for each candidate
+    diagonal, nearby indel events determine the junction position and the
+    complementary diagonal exactly; the variant costs nothing
+    (snpID-tagged edits score 0, hi_aligner.h:3670-3686).
+
+    ip/ilen: events sorted by joined position (ilen > 0 deletion,
+    < 0 insertion); ins_chars: int32 [E, MAX_INS] unpacked alleles;
+    rkey/r_ilen/r_row: the same events sorted by right-side key ip + ilen
+    (r_row = index back into the left-sorted arrays).  The returned `event`
+    field is the LEFT-sorted table row (host maps it to variant ids).
+    P_snv/tot_snv: SNP-forgiving penalty prefixes on base diagonals."""
+    from . import extend as extend_ops
+    N, C = starts.shape
+    L = reads.shape[1]
+    E = ip.shape[0]
+    lens2 = lens[:, None]
+
+    xs_, d2_, ok_, src_, ev_, ln_ = [], [], [], [], [], []
+    # left-keyed: src diagonal is the LEFT side; x = ip - d
+    lo = jnp.searchsorted(ip, starts + 1)
+    for t in range(slots):
+        idx = jnp.minimum(lo + t, E - 1)
+        okd = (lo + t < E) & valid & (ip[idx] >= starts + 1) \
+            & (ip[idx] <= starts + lens2 - 1)
+        x = jnp.where(okd, ip[idx] - starts, 1)
+        xs_.append(x)
+        d2_.append(starts + ilen[idx])
+        ok_.append(okd)
+        ev_.append(idx)
+        ln_.append(ilen[idx])
+        src_.append(jnp.broadcast_to(
+            jnp.arange(C, dtype=jnp.int32)[None, :], (N, C)))
+    # right-keyed: src diagonal is the RIGHT side; x = (ip + ilen) - d
+    lo2 = jnp.searchsorted(rkey, starts + 1)
+    for t in range(slots):
+        idx = jnp.minimum(lo2 + t, E - 1)
+        okd = (lo2 + t < E) & valid & (rkey[idx] >= starts + 1) \
+            & (rkey[idx] <= starts + lens2 - 1)
+        x = jnp.where(okd, rkey[idx] - starts, 1)
+        xs_.append(x)
+        d2_.append(starts - r_ilen[idx])   # = d1, the LEFT diagonal
+        ok_.append(okd)
+        ev_.append(r_row[idx])
+        ln_.append(r_ilen[idx])
+        src_.append(jnp.broadcast_to(
+            jnp.arange(C, dtype=jnp.int32)[None, :], (N, C)))
+    J1 = C * slots
+    x_all = jnp.concatenate(xs_, axis=1)
+    fresh = jnp.concatenate(d2_, axis=1)
+    ok_all = jnp.concatenate(ok_, axis=1)
+    event = jnp.concatenate(ev_, axis=1)
+    elen = jnp.concatenate(ln_, axis=1)      # +del / -ins
+    src = jnp.concatenate(src_, axis=1)
+    J = x_all.shape[1]
+    is_left = jnp.arange(J, dtype=jnp.int32)[None, :] < J1
+    I = jnp.maximum(-elen, 0)
+
+    planes = extend_ops.pen_planes(
+        ref_words, n_text, reads, quals, lens,
+        jnp.where(ok_all, fresh, -1), mm_pen, n_pen,
+        snv_delta1=snv_delta1, snv_delta2=snv_delta2)
+    zero3 = jnp.zeros((N, J, 1), jnp.int32)
+    Pf = jnp.concatenate([zero3, jnp.cumsum(planes.pen, axis=2)], axis=2)
+    lens3 = jnp.broadcast_to(lens[:, None, None], (N, J, 1))
+    tot_f = jnp.take_along_axis(Pf, lens3, axis=2)[:, :, 0]
+    # prefix gathers: left side uses prefix at x, right side at x + inslen
+    xr = jnp.minimum(x_all + I, L)
+    pf_x = jnp.take_along_axis(Pf, x_all[:, :, None], axis=2)[:, :, 0]
+    pf_xr = jnp.take_along_axis(Pf, xr[:, :, None], axis=2)[:, :, 0]
+    ps_x = jnp.take_along_axis(
+        jnp.take_along_axis(P_snv, src[:, :, None], axis=1),
+        x_all[:, :, None], axis=2)[:, :, 0]
+    ps_xr = jnp.take_along_axis(
+        jnp.take_along_axis(P_snv, src[:, :, None], axis=1),
+        xr[:, :, None], axis=2)[:, :, 0]
+    tot_src = jnp.take_along_axis(tot_snv, src, axis=1)
+    src_start = jnp.take_along_axis(starts, src, axis=1)
+    # left-keyed: left = src prefix at x, right = fresh suffix from x+I
+    score_l = -(ps_x + (tot_f - pf_xr))
+    # right-keyed: left = fresh prefix at x, right = src suffix from x+I
+    score_r = -(pf_x + (tot_src - ps_xr))
+    score = jnp.where(is_left, score_l, score_r)
+    d1 = jnp.where(is_left, src_start, fresh)
+    d2 = jnp.where(is_left, fresh, src_start)
+
+    # insertions: the skipped read bases must equal the variant allele
+    ins_ok = jnp.ones((N, J), bool)
+    if E > 0:
+        col = jnp.arange(MAX_INS, dtype=jnp.int32)[None, None, :]
+        rpos = x_all[:, :, None] + col                   # [N, J, MAX_INS]
+        rb = jnp.take_along_axis(
+            jnp.broadcast_to(reads[:, None, :], (N, J, L)),
+            jnp.minimum(rpos, L - 1), axis=2)
+        ev_chars = ins_chars[jnp.maximum(event, 0)]      # [N, J, MAX_INS]
+        need = col < I[:, :, None]
+        ins_ok = jnp.where(need, rb == ev_chars, True).all(axis=2)
+        ins_ok |= elen > 0
+
+    ok_all &= (x_all >= 1) & (x_all + I <= lens2 - 1) & ins_ok
+    ok_all &= score >= minsc[:, None]
+    score = jnp.where(ok_all, score, -_BIG)
+    return dict(score=score, d1=d1, d2=d2, x=x_all,
+                kind=jnp.where(ok_all,
+                               jnp.where(elen > 0, KIND_DEL, KIND_INS),
+                               KIND_NONE),
+                spldir=jnp.zeros_like(score),
+                splscore=jnp.zeros_like(score, jnp.float32),
+                event=jnp.where(ok_all, event, -1),
+                src=src)
 
 
 def select_pairs(res: PairResult, starts, top: int = 4):
