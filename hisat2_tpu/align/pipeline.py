@@ -185,7 +185,44 @@ class TPUAligner:
         else:
             self.splice_db = None
         self.ss_slots = ss_slots
-        self._device_step = jax.jit(self._align_device)
+        # the TPU may sit behind a network tunnel: 20+ small D2H copies
+        # dominate wall time, so the device step returns ONE packed int32
+        # buffer (floats bit-cast) fetched in a single transfer
+        self._out_specs = None
+        self._device_step = jax.jit(self._align_device_packed)
+
+    def _align_device_packed(self, d, params, reads, quals, lens, minsc,
+                             rdids=None, ss=None):
+        out = self._align_device(d, params, reads, quals, lens, minsc,
+                                 rdids, ss)
+        cols, specs = [], []
+        for k in sorted(out):
+            v = out[k]
+            dt = v.dtype
+            if dt == jnp.float32:
+                v = jax.lax.bitcast_convert_type(v, jnp.int32)
+            elif dt == jnp.bool_:
+                v = v.astype(jnp.int32)
+            v2 = v.reshape(v.shape[0], -1)
+            specs.append((k, str(dt), v.shape[1:], v2.shape[1]))
+            cols.append(v2.astype(jnp.int32))
+        self._out_specs = specs          # static; set at trace time
+        return jnp.concatenate(cols, axis=1)
+
+    def _fetch_out(self, packed) -> dict:
+        buf = np.asarray(packed)         # ONE device->host transfer
+        out = {}
+        off = 0
+        for k, dt, shape, w in self._out_specs:
+            v = np.ascontiguousarray(buf[:, off:off + w]).reshape(
+                (buf.shape[0],) + shape)
+            if dt == "float32":
+                v = v.view(np.float32)
+            elif dt == "bool":
+                v = v != 0
+            out[k] = v
+            off += w
+        return out
 
     # ------------------------------------------------------------------
     def _align_device(self, d, params, reads, quals, lens, minsc,
@@ -447,13 +484,13 @@ class TPUAligner:
         C = self.max_cands
         minsc = np.array([self.scoring.min_score(int(l)) for l in lens],
                          np.int64)
-        out = self._device_step(
+        packed = self._device_step(
             self.dev, self.params,
             jnp.asarray(codes, jnp.int32), jnp.asarray(quals, jnp.int32),
             jnp.asarray(lens, jnp.int32), jnp.asarray(minsc, jnp.int32),
             jnp.asarray(rdids, jnp.int32) if self.spliced else None,
             self.splice_db.device_tables() if self.spliced else None)
-        o_np = {k2: np.asarray(v) for k2, v in out.items()}
+        o_np = self._fetch_out(packed)
         T = o_np["p_score"].shape[1] if "p_score" in o_np else 0
         K = C + T
         z2 = np.zeros((2 * B, T), np.int64)

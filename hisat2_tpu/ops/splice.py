@@ -236,25 +236,28 @@ def pair_sweep(ch, pen_spl, pen_ind, ismm, starts, valid, lens, minsc,
                                 axis=2)[:, :, 0]
 
     # --- per-diagonal junction features over x = 0..L ---
-    d0 = jax.lax.dynamic_slice_in_dim(ch, M + 0, L + 1, axis=2)
-    d1 = jax.lax.dynamic_slice_in_dim(ch, M + 1, L + 1, axis=2)
-    a0 = jax.lax.dynamic_slice_in_dim(ch, M - 2, L + 1, axis=2)
-    a1_ = jax.lax.dynamic_slice_in_dim(ch, M - 1, L + 1, axis=2)
-    dcode = jnp.where((d0 < 4) & (d1 < 4), d0 * 16 + d1, 255)  # first 2 intron
-    acode = jnp.where((a0 < 4) & (a1_ < 4), a0 * 16 + a1_, 255)  # last 2
+    # (splice classification + PWM only when spliced joins are allowed;
+    #  --no-spliced-alignment sweeps indels only)
+    if prm.allow_spliced:
+        d0 = jax.lax.dynamic_slice_in_dim(ch, M + 0, L + 1, axis=2)
+        d1 = jax.lax.dynamic_slice_in_dim(ch, M + 1, L + 1, axis=2)
+        a0 = jax.lax.dynamic_slice_in_dim(ch, M - 2, L + 1, axis=2)
+        a1_ = jax.lax.dynamic_slice_in_dim(ch, M - 1, L + 1, axis=2)
+        dcode = jnp.where((d0 < 4) & (d1 < 4), d0 * 16 + d1, 255)
+        acode = jnp.where((a0 < 4) & (a1_ < 4), a0 * 16 + a1_, 255)
 
-    # PWM probabilities per diagonal (rolling windows; fw uses the left
-    # diagonal for the donor and right for the acceptor, rc swaps+revcomps)
-    dsum_fw = donor_sum[_pack_window(ch, M, range(-3, 6))]
-    dsum_rc = donor_sum[_pack_window(ch, M, range(-6, 3), rc=True)]
-    af1 = acc1t[_pack_window(ch, M, range(-14, -7))]
-    af2 = acc2t[_pack_window(ch, M, range(-7, 1))]
-    asum_fw = af1 * af2
-    # rc acceptor: revcomp of left-diagonal window [x-1 .. x+13]; the packed
-    # 15-mer's top 7 chars are the REVERSED tail (x+13 down to x+7)
-    ar1 = acc1t[_pack_window(ch, M, range(13, 6, -1), rc=True)]
-    ar2 = acc2t[_pack_window(ch, M, range(6, -2, -1), rc=True)]
-    asum_rc = ar1 * ar2
+        # PWM probabilities per diagonal (rolling windows; fw uses the left
+        # diagonal for the donor and right for the acceptor, rc swaps+rc's)
+        dsum_fw = donor_sum[_pack_window(ch, M, range(-3, 6))]
+        dsum_rc = donor_sum[_pack_window(ch, M, range(-6, 3), rc=True)]
+        af1 = acc1t[_pack_window(ch, M, range(-14, -7))]
+        af2 = acc2t[_pack_window(ch, M, range(-7, 1))]
+        asum_fw = af1 * af2
+        # rc acceptor: revcomp of left-diagonal window [x-1 .. x+13]; the
+        # packed 15-mer's top 7 chars are the REVERSED tail (x+13 .. x+7)
+        ar1 = acc1t[_pack_window(ch, M, range(13, 6, -1), rc=True)]
+        ar2 = acc2t[_pack_window(ch, M, range(6, -2, -1), rc=True)]
+        asum_rc = ar1 * ar2
 
     starts_l = starts[:, :, None]                                  # [N,C,1]
     starts_r = starts[:, None, :]                                  # [N,1,C]
@@ -272,122 +275,142 @@ def pair_sweep(ch, pen_spl, pen_ind, ismm, starts, valid, lens, minsc,
         jnp.where(is_ins, prm.rf_gap_open + prm.rf_gap_ext * (-D), 0))
 
     nblk = (L + xblock) // xblock
+    V = min(prm.max_gap, L - 1)
+    # pad the x axis by V + xblock so every shifted contiguous slice below
+    # stays in bounds; padded prefix columns repeat the total (=> suffix 0)
+    pad = V + xblock
+    Pi_p = jnp.concatenate(
+        [Pi, jnp.broadcast_to(tot_i[:, :, None], (N, C, pad))], axis=2)
+    Ps_p = jnp.concatenate(
+        [Ps, jnp.broadcast_to(tot_s[:, :, None], (N, C, pad))], axis=2)
+    # per-diagonal suffix penalties S[c, x] = total - prefix
+    SSi = tot_i[:, :, None] - Pi_p                                # [N,C,Lp]
+    SSs = tot_s[:, :, None] - Ps_p
+    if prm.allow_spliced:
+        # pad classification/PWM planes to the same sliceable length
+        zpadi = jnp.full((N, C, pad), 255, jnp.int32)
+        zpadf = jnp.zeros((N, C, pad), jnp.float32)
+        dcode = jnp.concatenate([dcode, zpadi], axis=2)
+        acode = jnp.concatenate([acode, zpadi], axis=2)
+        dsum_fw = jnp.concatenate([dsum_fw, zpadf], axis=2)
+        dsum_rc = jnp.concatenate([dsum_rc, zpadf], axis=2)
+        asum_fw = jnp.concatenate([asum_fw, zpadf], axis=2)
+        asum_rc = jnp.concatenate([asum_rc, zpadf], axis=2)
+
+    # precompute per-(pair, insertion-shift) one-hot masks outside the scan
+    ins_sel = [(is_ins & (I == v)) for v in range(1, V + 1)]
 
     def blk(carry, b0):
-        bs, bx, bd, bp = carry
-        xs = b0 * xblock + jnp.arange(xblock, dtype=jnp.int32)     # [W]
-        xw = xs[None, None, :]                                     # [1,1,W]
-        Pl = jnp.take_along_axis(
-            Ps, jnp.broadcast_to(xw, (N, C, xblock)), axis=2)      # [N,C,W]
-        Pl_i = jnp.take_along_axis(
-            Pi, jnp.broadcast_to(xw, (N, C, xblock)), axis=2)
-        # right-side prefix at xr = x + I  (per pair) on both pen planes
-        xr = jnp.minimum(xw[:, :, None, :] + I[:, :, :, None], L)  # [N,C,C,W]
-        Pr = jnp.take_along_axis(
-            jnp.broadcast_to(Ps[:, None, :, :], (N, C, C, L + 1)), xr, axis=3)
-        Pr_i = jnp.take_along_axis(
-            jnp.broadcast_to(Pi[:, None, :, :], (N, C, C, L + 1)), xr, axis=3)
-        Sr = tot_s[:, None, :, None] - Pr
-        Sr_i = tot_i[:, None, :, None] - Pr_i
+        bk, bx, bp = carry
+        x0 = b0 * xblock
+        xs = x0 + jnp.arange(xblock, dtype=jnp.int32)              # [W]
+        x4 = xs[None, None, None, :]                               # [1,1,1,W]
+        sl = lambda a, off: jax.lax.dynamic_slice_in_dim(  # noqa: E731
+            a, x0 + off, xblock, axis=2)
+        lens4 = lens[:, None, None, None]
+        vx = (x4 >= 1) & (x4 + I[:, :, :, None] <= lens4 - 1) & (x4 <= L)
 
-        dc = jnp.take_along_axis(
-            dcode, jnp.broadcast_to(xw, (N, C, xblock)), axis=2)   # [N,C,W]
-        # acceptor dinucleotide of the intron's right end sits at the RIGHT
-        # diagonal, split position x (chars x-2, x-1 relative to it)
-        ac = jnp.take_along_axis(
-            acode, jnp.broadcast_to(xw, (N, C, xblock)), axis=2)
-        dl = dc[:, :, None, :]                                     # [N,C,1,W]
-        ar = ac[:, None, :, :]                                     # [N,1,C,W]
-        # 0x23=GT 0x02=AG 0x13=CT(rc of AG) 0x01=AC(rc of GT) 0x21=GC
-        # 0x03=AT 0x20=GA; constants mirror hi_aligner.h:1454-1458 literally
+        # indel scores: left prefix on SNP-forgiving plane + shifted suffix
+        # (the shift handles insertions without any per-pair gather)
+        Pl_i = sl(Pi_p, 0)[:, :, None, :]                          # [N,C,1,W]
+        score_ind = -(Pl_i + sl(SSi, 0)[:, None, :, :])
+        for v in range(1, V + 1):
+            sv = -(Pl_i + sl(SSi, v)[:, None, :, :])
+            score_ind = jnp.where(ins_sel[v - 1][:, :, :, None],
+                                  sv, score_ind)
+        score_ind = score_ind - gap_pen[:, :, :, None]
+
+        if prm.allow_spliced:
+            s_spl = -(sl(Ps_p, 0)[:, :, None, :]
+                      + sl(SSs, 0)[:, None, :, :])
+            dl = sl(dcode, 0)[:, :, None, :]                       # [N,C,1,W]
+            ar = sl(acode, 0)[:, None, :, :]                       # [N,1,C,W]
+            # 0x23=GT 0x02=AG 0x13=CT(rc AG) 0x01=AC(rc GT) 0x21=GC
+            # 0x03=AT 0x20=GA; constants mirror hi_aligner.h:1454-1458
+            can_fw = (dl == 0x23) & (ar == 0x02)
+            can_rc = (dl == 0x13) & (ar == 0x01)
+            semi_fw = ((dl == 0x21) & (ar == 0x02)) \
+                | ((dl == 0x03) & (ar == 0x01))
+            semi_rc = ((dl == 0x13) & (ar == 0x21)) \
+                | ((dl == 0x20) & (ar == 0x03))
+            canonical = can_fw | can_rc
+            has_dir = canonical | semi_fw | semi_rc
+            # PWM score of the junction (canonical only)
+            prod = jnp.where(
+                can_fw,
+                sl(dsum_fw, 0)[:, :, None, :]
+                * sl(asum_fw, 0)[:, None, :, :],
+                sl(dsum_rc, 0)[:, None, :, :]
+                * sl(asum_rc, 0)[:, :, None, :])
+            splsc = jnp.where(canonical, 1.0 / (1.0 + prod), 0.0)
+            sp4 = is_spl[:, :, :, None]
+            score = jnp.where(
+                sp4,
+                s_spl - jnp.where(canonical, prm.pen_can, prm.pen_noncan),
+                score_ind)
+            hd = jnp.where(sp4 & has_dir, 1, 0)
+            ssc = jnp.where(sp4, splsc, 0.0)
+        else:
+            score = score_ind
+            hd = jnp.zeros_like(score)
+            ssc = jnp.zeros_like(score, jnp.float32)
+
+        valid4 = vx & pmask[:, :, :, None]
+        # composite key encodes the reference preference (hi_aligner.h:
+        # 1588-1603): classified dir > score > PWM prob > first (lowest) x.
+        # score fits 22 bits after clamping to [-2^21, 0].
+        k1 = jnp.where(valid4,
+                       (hd << 23) + jnp.maximum(score, -(2 ** 21))
+                       + (2 ** 21), -1)
+        m1 = k1.max(axis=3)                                        # [N,C,C]
+        tie1 = k1 == m1[:, :, :, None]
+        s2 = jnp.where(tie1, ssc, -1.0).max(axis=3)
+        tie2 = tie1 & (jnp.where(tie1, ssc, -1.0) == s2[:, :, :, None])
+        xbest = jnp.where(tie2, jnp.broadcast_to(x4, tie2.shape),
+                          _BIG).min(axis=3)
+        # merge with carry: same preference order, carry wins ties (first x)
+        better = (m1 > bk) | ((m1 == bk) & (s2 > bp))
+        bk = jnp.where(better, m1, bk)
+        bp = jnp.where(better, s2, bp)
+        bx = jnp.where(better, xbest, bx)
+        return (bk, bx, bp), None
+
+    init = (jnp.full((N, C, C), -1, jnp.int32),
+            jnp.zeros((N, C, C), jnp.int32),
+            jnp.full((N, C, C), -1.0, jnp.float32))
+    (bk, bx, bp), _ = jax.lax.scan(
+        blk, init, jnp.arange(nblk, dtype=jnp.int32))
+    # decompose the winning key back into score (dir bit recomputed below)
+    bs = jnp.where(bk >= 0, (bk & ((1 << 23) - 1)) - 2 ** 21,
+                   -_BIG)
+    bp = jnp.maximum(bp, 0.0)
+
+    # recover spldir/kind at the chosen x (dcode indexed by LEFT diagonal i,
+    # acode by RIGHT diagonal j)
+    if prm.allow_spliced:
+        dl = jnp.take_along_axis(
+            jnp.broadcast_to(dcode[:, :, None, :L + 1], (N, C, C, L + 1)
+                             ).reshape(N, C * C, L + 1),
+            bx.reshape(N, C * C, 1), axis=2).reshape(N, C, C)
+        ar = jnp.take_along_axis(
+            jnp.broadcast_to(acode[:, None, :, :L + 1], (N, C, C, L + 1)
+                             ).reshape(N, C * C, L + 1),
+            bx.reshape(N, C * C, 1), axis=2).reshape(N, C, C)
         can_fw = (dl == 0x23) & (ar == 0x02)
         can_rc = (dl == 0x13) & (ar == 0x01)
-        semi_fw = ((dl == 0x21) & (ar == 0x02)) | ((dl == 0x03) & (ar == 0x01))
-        semi_rc = ((dl == 0x13) & (ar == 0x21)) | ((dl == 0x20) & (ar == 0x03))
+        semi_fw = ((dl == 0x21) & (ar == 0x02)) \
+            | ((dl == 0x03) & (ar == 0x01))
+        semi_rc = ((dl == 0x13) & (ar == 0x21)) \
+            | ((dl == 0x20) & (ar == 0x03))
         spldir = jnp.where(
             can_fw, SPL_FW,
             jnp.where(can_rc, SPL_RC,
                       jnp.where(semi_fw, SPL_SEMI_FW,
-                                jnp.where(semi_rc, SPL_SEMI_RC, SPL_UNKNOWN))))
-        canonical = can_fw | can_rc
-        has_dir = spldir != SPL_UNKNOWN
-        spl_pen = jnp.where(canonical, prm.pen_can, prm.pen_noncan)
-
-        # PWM score of the junction (canonical only, like the reference)
-        dsf = jnp.take_along_axis(
-            dsum_fw, jnp.broadcast_to(xw, (N, C, xblock)), axis=2)
-        asf = jnp.take_along_axis(
-            asum_fw, jnp.broadcast_to(xw, (N, C, xblock)), axis=2)
-        dsr = jnp.take_along_axis(
-            dsum_rc, jnp.broadcast_to(xw, (N, C, xblock)), axis=2)
-        asr = jnp.take_along_axis(
-            asum_rc, jnp.broadcast_to(xw, (N, C, xblock)), axis=2)
-        prod = jnp.where(can_fw,
-                         dsf[:, :, None, :] * asf[:, None, :, :],
-                         dsr[:, None, :, :] * asr[:, :, None, :])
-        splsc = jnp.where(canonical, 1.0 / (1.0 + prod), 0.0)
-
-        lens4 = lens[:, None, None, None]
-        x4 = jnp.broadcast_to(xw[:, :, None, :], (N, C, C, xblock))
-        sp4 = jnp.broadcast_to(is_spl[:, :, :, None], x4.shape)
-        score = jnp.where(
-            sp4,
-            -(Pl[:, :, None, :] + Sr) - jnp.where(has_dir & canonical,
-                                                  prm.pen_can, 0)
-            - jnp.where(~canonical, prm.pen_noncan, 0),
-            -(Pl_i[:, :, None, :] + Sr_i) - gap_pen[:, :, :, None])
-        vx = (x4 >= 1) & (x4 + I[:, :, :, None] <= lens4 - 1) & (x4 <= L)
-        score = jnp.where(vx & pmask[:, :, :, None], score, -_BIG)
-        hd = jnp.where(sp4, has_dir.astype(jnp.int32), 0)
-        ssc = jnp.where(sp4, splsc, 0.0)
-
-        # reference preference (hi_aligner.h:1588-1603): classified dir wins
-        # over unclassified; then score; then PWM prob; first x on ties
-        def fold(c, t):
-            bs, bx, bd, bp = c
-            s, x, d, p = t
-            better = (d > bd) | ((d == bd) & ((s > bs) | (
-                (s == bs) & (p > bp))))
-            return (jnp.where(better, s, bs), jnp.where(better, x, bx),
-                    jnp.where(better, d, bd), jnp.where(better, p, bp)), None
-
-        dirs = jnp.where(vx & pmask[:, :, :, None], spldir, 0)
-        for w in range(xblock):
-            (bs, bx, bd, bp), _ = fold(
-                (bs, bx, bd, bp),
-                (score[:, :, :, w], x4[:, :, :, w], hd[:, :, :, w],
-                 ssc[:, :, :, w]))
-        # track best spldir alongside: recompute below from bx (cheap)
-        del dirs
-        return (bs, bx, bd, bp), None
-
-    init = (jnp.full((N, C, C), -_BIG, jnp.int32),
-            jnp.zeros((N, C, C), jnp.int32),
-            jnp.zeros((N, C, C), jnp.int32),
-            jnp.zeros((N, C, C), jnp.float32))
-    (bs, bx, bd, bp), _ = jax.lax.scan(
-        blk, init, jnp.arange(nblk, dtype=jnp.int32))
-
-    # recover spldir/kind at the chosen x (dcode indexed by LEFT diagonal i,
-    # acode by RIGHT diagonal j)
-    dl = jnp.take_along_axis(
-        jnp.broadcast_to(dcode[:, :, None, :], (N, C, C, L + 1)
-                         ).reshape(N, C * C, L + 1),
-        bx.reshape(N, C * C, 1), axis=2).reshape(N, C, C)
-    ar = jnp.take_along_axis(
-        jnp.broadcast_to(acode[:, None, :, :], (N, C, C, L + 1)
-                         ).reshape(N, C * C, L + 1),
-        bx.reshape(N, C * C, 1), axis=2).reshape(N, C, C)
-    can_fw = (dl == 0x23) & (ar == 0x02)
-    can_rc = (dl == 0x13) & (ar == 0x01)
-    semi_fw = ((dl == 0x21) & (ar == 0x02)) | ((dl == 0x03) & (ar == 0x01))
-    semi_rc = ((dl == 0x13) & (ar == 0x21)) | ((dl == 0x20) & (ar == 0x03))
-    spldir = jnp.where(
-        can_fw, SPL_FW,
-        jnp.where(can_rc, SPL_RC,
-                  jnp.where(semi_fw, SPL_SEMI_FW,
-                            jnp.where(semi_rc, SPL_SEMI_RC, SPL_UNKNOWN))))
-    spldir = jnp.where(is_spl, spldir, SPL_UNKNOWN)
+                                jnp.where(semi_rc, SPL_SEMI_RC,
+                                          SPL_UNKNOWN))))
+        spldir = jnp.where(is_spl, spldir, SPL_UNKNOWN)
+    else:
+        spldir = jnp.zeros((N, C, C), jnp.int32)
     kind = jnp.where(is_spl, KIND_SPL,
                      jnp.where(is_del, KIND_DEL,
                                jnp.where(is_ins, KIND_INS, KIND_NONE)))

@@ -39,8 +39,9 @@ def test_sharded_matches_single_device(small_index):
     rdids = np.arange(B, dtype=np.int32)
     ss = al.splice_db.device_tables()
 
-    single = al._device_step(al.dev, al.params, reads, quals, lens, minsc,
-                             rdids, ss)
+    single = al._fetch_out(
+        al._device_step(al.dev, al.params, reads, quals, lens, minsc,
+                        rdids, ss))
 
     m = pmesh.make_mesh(n_dp=8)
     step = pmesh.sharded_align_step(al, m)
