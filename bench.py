@@ -72,22 +72,33 @@ def main():
     log(f"[bench] warmup (compile) {time.time() - t0:.1f}s, "
         f"aligned {res.n_aligned}/{B}")
 
-    # timed: full pipeline including SAM rendering to an in-memory sink
-    K = 3
+    # timed: full pipeline including SAM rendering to an in-memory sink,
+    # with the production one-deep dispatch pipeline (device crunches batch
+    # i+1 while the host renders batch i)
+    K = 6
     t0 = time.time()
     total = 0
-    for _ in range(K):
-        res = aligner.align_batch(codes, quals, lens)
+    ref_fn = lambda p, s: aligner.ref_codes[p:p + s]  # noqa: E731
+
+    def emit(handle):
+        res = aligner.collect(handle)
         sink = io.StringIO()
         w = SamWriter(sink, index.meta.ref_names, index.meta.ref_lens,
                       no_head=True)
-        ref_fn = lambda p, s: aligner.ref_codes[p:p + s]  # noqa: E731
         for i in range(B):
             L = int(lens[i])
             w.write_read(batch.names[i % len(batch.names)],
                          codes[i, :L], quals[i, :L],
                          res.alignments[i], ref_fn)
+
+    pending = None
+    for _ in range(K):
+        h = aligner.dispatch(codes, quals, lens)
+        if pending is not None:
+            emit(pending)
+        pending = h
         total += B
+    emit(pending)
     dt = time.time() - t0
     value = total / dt
     log(f"[bench] {total} reads in {dt:.2f}s")

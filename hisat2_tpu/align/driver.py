@@ -54,18 +54,28 @@ def run_align(args) -> int:
     rdid0 = 0  # global read ids (pat.h rdid assignment; gates temp
     #            splice-site visibility across batches)
     if args.unpaired:
+        def emit(pend):
+            res = aligner.collect(pend[0])
+            b = pend[1]
+            for i, name in enumerate(b.names):
+                L = int(b.lens[i])
+                writer.write_read(name, b.codes[i, :L], b.quals[i, :L],
+                                  res.alignments[i], ref_fn)
+
+        pending = None   # one-deep pipeline: the device crunches batch
+        #                  i+1 while the host renders batch i's SAM
         for path in args.unpaired.split(","):
             for b in read_batches(path, args.batch_size,
                                   skip=args.skip, limit=args.upto):
                 rdids = rdid0 + np.arange(len(b.names), dtype=np.int64)
                 rdid0 += len(b.names)
-                res = aligner.align_batch(b.codes, b.quals, b.lens,
-                                          rdids=rdids)
+                handle = aligner.dispatch(b.codes, b.quals, b.lens, rdids)
                 n_batches += 1
-                for i, name in enumerate(b.names):
-                    L = int(b.lens[i])
-                    writer.write_read(name, b.codes[i, :L], b.quals[i, :L],
-                                      res.alignments[i], ref_fn)
+                if pending is not None:
+                    emit(pending)
+                pending = (handle, b)
+        if pending is not None:
+            emit(pending)
     elif args.m1 and args.m2:
         policy = PairPolicy(minins=args.minins, maxins=args.maxins,
                             orient=args.orient, no_mixed=args.no_mixed,

@@ -465,23 +465,48 @@ class TPUAligner:
         zero-penalty known sites for later reads (readid-gated on device),
         replicating the reference's sequential temp-splice-site semantics
         (useTempSpliceSite, hisat2.cpp:3180-3203,3559) batch-synchronously."""
-        B = codes.shape[0]
+        return self.collect(self.dispatch(codes, quals, lens, rdids))
+
+    def dispatch(self, codes: np.ndarray, quals: np.ndarray,
+                 lens: np.ndarray, rdids: np.ndarray = None):
+        """Enqueue one batch on the device (returns immediately; JAX
+        dispatch is asynchronous).  Pair with collect() to overlap device
+        compute with host-side processing of the previous batch."""
         if rdids is None:
-            rdids = np.arange(B, dtype=np.int64)
+            rdids = np.arange(codes.shape[0], dtype=np.int64)
+        minsc = np.array([self.scoring.min_score(int(l)) for l in lens],
+                         np.int64)
+        ver = self.splice_db.n_sites if self.splice_db is not None else 0
+        packed = self._device_step(
+            self.dev, self.params,
+            jnp.asarray(codes, jnp.int32), jnp.asarray(quals, jnp.int32),
+            jnp.asarray(lens, jnp.int32), jnp.asarray(minsc, jnp.int32),
+            jnp.asarray(rdids, jnp.int32) if self.spliced else None,
+            self.splice_db.device_tables() if self.spliced else None)
+        return (packed, codes, quals, lens, rdids, minsc, ver)
+
+    def collect(self, handle) -> BatchResult:
+        """Finish a dispatched batch: fetch, run the host phase, and (in
+        spliced mode) iterate the splice-table fixed point — re-running the
+        device pass when the dispatched one used a stale site table."""
+        packed, codes, quals, lens, rdids, minsc, ver = handle
+        res = self._host_phase(self._fetch_out(packed), codes, quals,
+                               lens, minsc)
         if not self.spliced or self.splice_db is None:
-            return self._run_batch(codes, quals, lens, rdids)
-        res = None
+            return res
         for _ in range(4):
-            res = self._run_batch(codes, quals, lens, rdids)
-            if not self.splice_db.collect_from_alignments(
-                    res.alignments, rdids, lens, codes, self.ref_codes):
+            added = self.splice_db.collect_from_alignments(
+                res.alignments, rdids, lens, codes, self.ref_codes)
+            if not added and self.splice_db.n_sites == ver:
                 break
+            ver = self.splice_db.n_sites
+            h = self.dispatch(codes, quals, lens, rdids)
+            res = self._host_phase(self._fetch_out(h[0]), codes, quals,
+                                   lens, minsc)
         return res
 
     def _run_batch(self, codes: np.ndarray, quals: np.ndarray,
                    lens: np.ndarray, rdids: np.ndarray) -> BatchResult:
-        B = codes.shape[0]
-        C = self.max_cands
         minsc = np.array([self.scoring.min_score(int(l)) for l in lens],
                          np.int64)
         packed = self._device_step(
@@ -490,7 +515,13 @@ class TPUAligner:
             jnp.asarray(lens, jnp.int32), jnp.asarray(minsc, jnp.int32),
             jnp.asarray(rdids, jnp.int32) if self.spliced else None,
             self.splice_db.device_tables() if self.spliced else None)
-        o_np = self._fetch_out(packed)
+        return self._host_phase(self._fetch_out(packed), codes, quals,
+                                lens, minsc)
+
+    def _host_phase(self, o_np: dict, codes: np.ndarray, quals: np.ndarray,
+                    lens: np.ndarray, minsc: np.ndarray) -> BatchResult:
+        B = codes.shape[0]
+        C = self.max_cands
         T = o_np["p_score"].shape[1] if "p_score" in o_np else 0
         K = C + T
         z2 = np.zeros((2 * B, T), np.int64)
