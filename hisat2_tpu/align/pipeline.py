@@ -259,9 +259,13 @@ class TPUAligner:
         P = self.cand_per_hit
         w = hits.bot - hits.top                                   # [2B, H]
         hv = jnp.arange(H, dtype=jnp.int32)[None, :] < hits.nh[:, None]
-        # short segments with too many occurrences are never resolved
-        # (globalGFMSearch's nelt <= 5 gate, spliced_aligner.h:951)
-        hv &= ((hits.hi - hits.lo) >= 16) | (w <= 5)
+        # row-count gates: align-path hits resolve at most max(khits,kseeds)
+        # rows (getAnchorHits skips wider hits entirely, hi_aligner.h:4348);
+        # short re-search segments resolve only when nelt <= 5
+        # (spliced_aligner.h:951)
+        islong_h = (hits.hi - hits.lo) > self.min_k + 2
+        maxsize = max(self.k, 2 * self.k, 5)
+        hv &= jnp.where(islong_h, w <= maxsize, w <= 5)
         j = jnp.arange(P, dtype=jnp.int32)
         rowm = hits.top[:, :, None] + j[None, None, :]            # [2B,H,P]
         cval = hv[:, :, None] & (j[None, None, :] < w[:, :, None])

@@ -239,10 +239,14 @@ class SamWriter:
                     rnext=rn2, pnext=a1.ref_pos + 1, tlen=-tlen1, yt=yt,
                     mate_score=a1.score))
             return
-        # mixed mode: report mates independently (YT:Z:UP)
-        for codes, quals, alns, other, fmate in (
-                (codes1, quals1, alns1, alns2, FLAG_FIRST),
-                (codes2, quals2, alns2, alns1, FLAG_SECOND)):
+        # mixed mode: report mates independently (YT:Z:UP); when exactly one
+        # mate aligns the reference emits the ALIGNED record first
+        # (AlnSinkWrap::finishRead mate ordering)
+        mates = [(codes1, quals1, alns1, alns2, FLAG_FIRST),
+                 (codes2, quals2, alns2, alns1, FLAG_SECOND)]
+        if not alns1 and alns2:
+            mates.reverse()
+        for codes, quals, alns, other, fmate in mates:
             base = FLAG_PAIRED | fmate
             if alns:
                 if alns[0].nh == 1:
