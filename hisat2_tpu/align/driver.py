@@ -135,12 +135,64 @@ def _align_pair_batch(aligner, writer, policy, scoring, k, b1, b2, ref_fn,
     res = aligner.align_batch(codes, quals, lens,
                               rdids=np.concatenate([rdids, rdids]))
 
+    # mate rescue (HI_Aligner::go, hi_aligner.h:3912-3952): when no
+    # concordant pair exists but one mate aligned, search the other mate in
+    # a window anchored at the aligned mate's position (batched)
+    jobs = []        # (pair idx, rescued mate# (0/1), anchor, rc expected)
+    all_pairs = []
+    for i in range(B):
+        alns1 = res.alignments[i]
+        alns2 = res.alignments[B + i]
+        pairs = best_pairs(alns1, alns2, int(b1.lens[i]), int(b2.lens[i]),
+                           policy, k)
+        all_pairs.append(pairs)
+        if pairs or (not alns1 and not alns2):
+            continue
+        for m, (anch, other) in enumerate(((alns1, alns2),
+                                           (alns2, alns1))):
+            if not anch:
+                continue
+            for a in anch[:2]:
+                # --fr: the other mate sits on the opposite strand
+                exp_rc = not a.rc if policy.orient == "fr" else a.rc
+                jobs.append((i, 1 - m, a.joined_pos, exp_rc))
+    if jobs:
+        R = len(jobs)
+        Lr = max(b1.codes.shape[1], b2.codes.shape[1])
+        jc = np.full((R, Lr), 4, np.uint8)
+        jq = np.zeros((R, Lr), np.uint8)
+        jl = np.zeros(R, np.int32)
+        ja = np.zeros(R, np.int64)
+        jrc = np.zeros(R, bool)
+        for t, (i, m, anch, exp_rc) in enumerate(jobs):
+            bm = b1 if m == 0 else b2
+            Lm = int(bm.lens[i])
+            jc[t, :Lm] = bm.codes[i, :Lm]
+            jq[t, :Lm] = bm.quals[i, :Lm]
+            jl[t] = Lm
+            ja[t] = anch
+            jrc[t] = exp_rc
+        rescued = aligner.rescue_mates(jc, jq, jl, ja, jrc, policy.maxins)
+        for t, (i, m, anch, exp_rc) in enumerate(jobs):
+            if not rescued[t]:
+                continue
+            lst = res.alignments[i if m == 0 else B + i]
+            have = {(a.joined_pos, a.rc) for a in lst}
+            for a in rescued[t]:
+                if (a.joined_pos, a.rc) not in have:
+                    lst.append(dataclasses.replace(
+                        a, read_idx=i if m == 0 else B + i))
+            # re-pair with the rescued candidates
+            all_pairs[i] = best_pairs(
+                res.alignments[i], res.alignments[B + i],
+                int(b1.lens[i]), int(b2.lens[i]), policy, k)
+
     for i in range(B):
         name = b1.names[i]
         l1, l2 = int(b1.lens[i]), int(b2.lens[i])
         alns1 = res.alignments[i]
         alns2 = res.alignments[B + i]
-        pairs = best_pairs(alns1, alns2, l1, l2, policy, k)
+        pairs = all_pairs[i]
         if pairs:
             # pair-level NH / MAPQ (AlnSinkWrap::finishRead paired summary)
             best = pairs[0][0].score + pairs[0][1].score

@@ -185,6 +185,7 @@ class TPUAligner:
         else:
             self.splice_db = None
         self.ss_slots = ss_slots
+        self._rescue_jits = {}
         # the TPU may sit behind a network tunnel: 20+ small D2H copies
         # dominate wall time, so the device step returns ONE packed int32
         # buffer (floats bit-cast) fetched in a single transfer
@@ -407,6 +408,118 @@ class TPUAligner:
                    "splscore", "known", "event", "ab", "post"):
             out["p_" + k2] = jnp.concatenate(
                 [b[k2] for b in blocks], axis=1)
+        return out
+
+    # ------------------------------------------------------------------
+    def rescue_mates(self, codes, quals, lens, anchors, rc_flags,
+                     maxins: int):
+        """Anchored mate rescue (alignMate equivalent): align each mate in
+        a window around its partner's position.  codes/quals [R, L] in the
+        ORIGINAL read orientation; rc_flags marks mates whose expected
+        strand is reverse-complement.  Returns list[list[Alignment]] with
+        read_idx = job index."""
+        R, L = codes.shape
+        if R == 0:
+            return []
+        # the reference searches the whole 57,344 bp local-index window
+        # containing the anchor (alignMate -> getLocalGFM)
+        WIN_IVAL, WIN_LEN = 56320, 57344
+        CHUNK = 128
+        Rp = min(CHUNK, 1 << (max(R - 1, 1)).bit_length())
+        # orient reads to the expected strand on host
+        oc = codes.astype(np.int32).copy()
+        oq = quals.astype(np.int32).copy()
+        for i in np.flatnonzero(rc_flags):
+            Lr = int(lens[i])
+            seq = oc[i, :Lr]
+            oc[i, :Lr] = np.where(seq < 4, 3 - seq, 4)[::-1]
+            oq[i, :Lr] = oq[i, :Lr][::-1]
+        ws_all = (np.asarray(anchors, np.int64) // WIN_IVAL) * WIN_IVAL
+        key = (Rp, L)
+        fn = self._rescue_jits.get(key)
+        if fn is None:
+            from ..ops import rescue as rescue_ops
+
+            def _run(d, params, reads, quals_, lens_, wstart):
+                return rescue_ops.rescue_candidates(
+                    d.ref_words, self.meta.n, reads, quals_, lens_, wstart,
+                    WIN_LEN, params["mm_pen"], params["clip_pen"],
+                    self.scoring.n_pen,
+                    allow_softclip=not self.scoring.no_softclip,
+                    snv_delta1=(params["snv1"] if self.graph is not None
+                                else None),
+                    snv_delta2=(params["snv2"] if self.graph is not None
+                                else None))
+            fn = jax.jit(_run)
+            self._rescue_jits[key] = fn
+        starts_l, sc_l, cl_l, cr_l, mm_l, nn_l, ok_l = \
+            [], [], [], [], [], [], []
+        for c0 in range(0, R, Rp):
+            c1 = min(c0 + Rp, R)
+            ocp = np.full((Rp, L), 4, np.int32)
+            oqp = np.zeros((Rp, L), np.int32)
+            olp = np.ones(Rp, np.int32)
+            owp = np.zeros(Rp, np.int32)
+            ocp[:c1 - c0] = oc[c0:c1]
+            oqp[:c1 - c0] = oq[c0:c1]
+            olp[:c1 - c0] = lens[c0:c1]
+            owp[:c1 - c0] = ws_all[c0:c1]
+            starts_d, ext = fn(self.dev, self.params, jnp.asarray(ocp),
+                               jnp.asarray(oqp), jnp.asarray(olp),
+                               jnp.asarray(owp))
+            m = c1 - c0
+            starts_l.append(np.asarray(starts_d)[:m])
+            sc_l.append(np.asarray(ext.score)[:m])
+            cl_l.append(np.asarray(ext.clip_l)[:m])
+            cr_l.append(np.asarray(ext.clip_r)[:m])
+            mm_l.append(np.asarray(ext.n_mm)[:m])
+            nn_l.append(np.asarray(ext.n_n)[:m])
+            ok_l.append(np.asarray(ext.ok)[:m])
+        starts = np.concatenate(starts_l)
+        sc = np.concatenate(sc_l)
+        clip_l = np.concatenate(cl_l)
+        clip_r = np.concatenate(cr_l)
+        n_mm = np.concatenate(mm_l)
+        n_n = np.concatenate(nn_l)
+        okm = np.concatenate(ok_l)
+        out = []
+        nfr = len(self.frag_ref)
+        for i in range(R):
+            Lr = int(lens[i])
+            minsc = self.scoring.min_score(Lr)
+            recs = []
+            seen = set()
+            order = np.argsort(-sc[i], kind="stable")
+            for t in order:
+                if not okm[i, t] or sc[i, t] < minsc:
+                    continue
+                s = int(starts[i, t])
+                if s in seen:
+                    continue
+                seen.add(s)
+                astart = s + int(clip_l[i, t])
+                span = Lr - int(clip_l[i, t]) - int(clip_r[i, t])
+                f = min(max(int(np.searchsorted(
+                    self.frag_joined, astart, "right")) - 1, 0), nfr - 1)
+                if not (astart >= self.frag_joined[f]
+                        and astart + span <= self.frag_joined[f + 1]):
+                    continue
+                recs.append(Alignment(
+                    read_idx=i, rc=bool(rc_flags[i]),
+                    ref_id=int(self.frag_ref[f]),
+                    ref_pos=int(self.frag_off[f] + astart
+                                - self.frag_joined[f]),
+                    joined_pos=s, clip_l=int(clip_l[i, t]),
+                    clip_r=int(clip_r[i, t]), aln_span=span,
+                    score=int(sc[i, t]), n_mm=int(n_mm[i, t]),
+                    n_n=int(n_n[i, t]), mapq=0, nh=1, secondary=False))
+            if len(recs) >= 2:
+                # other in-window placements surface as ZS (secbest)
+                recs[0] = dataclasses.replace(recs[0], zs=recs[1].score)
+                for t2 in range(1, len(recs)):
+                    recs[t2] = dataclasses.replace(recs[t2],
+                                                   zs=recs[0].score)
+            out.append(recs)
         return out
 
     # ------------------------------------------------------------------
