@@ -23,10 +23,27 @@ from .scoring import Scoring, SimpleFunc
 
 def make_scoring(args) -> Scoring:
     mp_max, mp_min = (int(x) for x in args.mp.split(","))
+    sp_max, sp_min = (int(x) for x in args.sp.split(","))
+    rdg_o, rdg_e = (int(x) for x in args.rdg.split(","))
+    rfg_o, rfg_e = (int(x) for x in args.rfg.split(","))
+    dta = getattr(args, "dta", False)
     return Scoring(mm_max=mp_max, mm_min=mp_min, n_pen=args.npen,
+                   sp_max=sp_max, sp_min=sp_min,
+                   rd_gap_open=rdg_o, rd_gap_ext=rdg_e,
+                   rf_gap_open=rfg_o, rf_gap_ext=rfg_e,
+                   no_softclip=args.no_softclip,
                    score_min=SimpleFunc.parse(args.score_min),
                    n_ceil=SimpleFunc.parse(args.n_ceil),
-                   ignore_quals=args.ignore_quals)
+                   ignore_quals=args.ignore_quals,
+                   pen_can_splice=args.pen_cansplice,
+                   pen_noncan_splice=args.pen_noncansplice,
+                   pen_noncan_intron_len=(SimpleFunc("G", -8.0, 2.0)
+                                          if dta else
+                                          SimpleFunc("G", -8.0, 1.0)),
+                   min_intron_len=args.min_intronlen,
+                   max_intron_len=args.max_intronlen,
+                   min_anchor=15 if dta else 7,
+                   min_anchor_noncan=20 if dta else 14)
 
 
 def run_align(args) -> int:
@@ -41,13 +58,22 @@ def run_align(args) -> int:
                          no_fw=args.nofw, no_rc=args.norc,
                          variants=variants,
                          spliced=not args.no_spliced_alignment)
+    if aligner.splice_db is not None:
+        if args.known_splicesite_infile:
+            aligner.splice_db.add_from_file(args.known_splicesite_infile)
+        if args.novel_splicesite_infile:
+            aligner.splice_db.add_from_file(args.novel_splicesite_infile)
+        # --no-temp-splicesite is accepted for compatibility: with a single
+        # worker the reference's mindist is 0 either way (hisat2.cpp:3559),
+        # so temp-site usage is identical
     out = open(args.sam, "w") if args.sam else sys.stdout
     writer = SamWriter(out, index.meta.ref_names, index.meta.ref_lens,
                        cmdline=" ".join(sys.argv[1:]),
                        no_head=args.no_hd, no_unal=args.no_unal,
                        rg_id=args.rg_id, rg=args.rg,
                        annotator=(aligner.annotate_snps
-                                  if variants is not None else None))
+                                  if variants is not None else None),
+                       rna_strandness=args.rna_strandness)
     ref_fn = lambda pos, span: aligner.ref_codes[pos:pos + span]  # noqa: E731
 
     n_batches = 0
@@ -95,6 +121,8 @@ def run_align(args) -> int:
         print("error: provide -U or -1/-2", file=sys.stderr)
         return 1
 
+    if aligner.splice_db is not None and args.novel_splicesite_outfile:
+        aligner.splice_db.write_novel(args.novel_splicesite_outfile)
     summ = writer.summary()
     if not args.quiet:
         sys.stderr.write(summ)

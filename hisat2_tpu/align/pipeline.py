@@ -164,6 +164,12 @@ class TPUAligner:
             max_intron=self.scoring.max_intron_len,
             pen_can=self.scoring.pen_can_splice,
             pen_noncan=self.scoring.pen_noncan_splice,
+            lenpen_const=self.scoring.pen_can_intron_len.const,
+            lenpen_coef=self.scoring.pen_can_intron_len.coef,
+            lenpen_nc_const=self.scoring.pen_noncan_intron_len.const,
+            lenpen_nc_coef=self.scoring.pen_noncan_intron_len.coef,
+            min_anchor=self.scoring.min_anchor,
+            min_anchor_noncan=self.scoring.min_anchor_noncan,
             rd_gap_open=self.scoring.rd_gap_open,
             rd_gap_ext=self.scoring.rd_gap_ext,
             rf_gap_open=self.scoring.rf_gap_open,

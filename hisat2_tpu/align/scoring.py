@@ -64,6 +64,10 @@ class Scoring:
     pen_noncan_intron_len: SimpleFunc = SimpleFunc("G", -8.0, 1.0)
     min_intron_len: int = 20
     max_intron_len: int = 500000
+    # novel-splice anchor minimums (tpol ctor, hisat2.cpp:3845-3848;
+    # --dta raises them to 15/20 and noncan length penalty to G,-8,2)
+    min_anchor: int = 7
+    min_anchor_noncan: int = 14
 
     def mm_pen_table(self) -> np.ndarray:
         """Penalty per quality value 0..63 (scoring.h initPens, QUAL model)."""

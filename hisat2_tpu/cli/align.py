@@ -38,9 +38,25 @@ def build_parser():
     p.add_argument("--mp", default="6,2", help="max,min mismatch penalty")
     p.add_argument("--np", dest="npen", type=int, default=1,
                    help="penalty per read N")
+    p.add_argument("--sp", default="2,1", help="max,min soft-clip penalty")
+    p.add_argument("--no-softclip", action="store_true")
+    p.add_argument("--rdg", default="5,3", help="read gap open,extend")
+    p.add_argument("--rfg", default="5,3", help="ref gap open,extend")
     p.add_argument("--score-min", default="L,0,-0.2")
     p.add_argument("--n-ceil", default="L,0,0.15")
     p.add_argument("--ignore-quals", action="store_true")
+    p.add_argument("--pen-cansplice", type=int, default=0)
+    p.add_argument("--pen-noncansplice", type=int, default=12)
+    p.add_argument("--min-intronlen", type=int, default=20)
+    p.add_argument("--max-intronlen", type=int, default=500000)
+    p.add_argument("--known-splicesite-infile", default=None)
+    p.add_argument("--novel-splicesite-outfile", default=None)
+    p.add_argument("--novel-splicesite-infile", default=None)
+    p.add_argument("--no-temp-splicesite", action="store_true")
+    p.add_argument("--rna-strandness", default="unstranded",
+                   choices=["unstranded", "F", "R", "FR", "RF"])
+    p.add_argument("--dta", "--downstream-transcriptome-assembly",
+                   dest="dta", action="store_true")
     p.add_argument("--nofw", action="store_true")
     p.add_argument("--norc", action="store_true")
     p.add_argument("--no-unal", action="store_true",

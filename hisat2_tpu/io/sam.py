@@ -65,7 +65,9 @@ def md_and_nm_gapped(rd_l, ref_l, rd_r, ref_r, del_ref=None, ins_len=0):
 class SamWriter:
     def __init__(self, out, ref_names, ref_lens, cmdline: str = "",
                  no_head: bool = False, no_unal: bool = False,
-                 rg_id: str = None, rg: list = None, annotator=None):
+                 rg_id: str = None, rg: list = None, annotator=None,
+                 rna_strandness: str = "unstranded"):
+        self.rna_strandness = rna_strandness
         self.out = out if hasattr(out, "write") else open(out, "w")
         self.ref_names = ref_names
         self.ref_lens = ref_lens
@@ -148,6 +150,18 @@ class SamWriter:
             rd_aligned = rd[cl:L - cr]
             if a.junc_kind == 1 and a.spl_dir:
                 xs_tag = "+" if a.spl_dir in (1, 3) else "-"
+        if self.rna_strandness != "unstranded":
+            # stranded libraries tag EVERY alignment (sam.h:918-945): the
+            # transcript strand follows the mate orientation and protocol
+            mate2 = bool(flag_extra & FLAG_SECOND)
+            s = self.rna_strandness
+            if not mate2:
+                minus = (not a.rc and s in ("R", "RF")) \
+                    or (a.rc and s in ("F", "FR"))
+            else:
+                minus = (not a.rc and s in ("F", "FR")) \
+                    or (a.rc and s in ("R", "RF"))
+            xs_tag = "-" if minus else "+"
         zs_tag = None
         if self.annotator is not None:
             zs_tag, snp_offs = self.annotator(a, rd_aligned)

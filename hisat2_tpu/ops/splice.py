@@ -150,6 +150,8 @@ class SpliceParams(NamedTuple):
     # intron length penalty G,-8,1: trunc(max(0, -8 + ln(D)))
     lenpen_const: float = -8.0
     lenpen_coef: float = 1.0
+    lenpen_nc_const: float = -8.0   # noncanonical (G,-8,2 under --dta)
+    lenpen_nc_coef: float = 1.0
     min_anchor: int = 7          # novel canonical  (tpol ctor hisat2.cpp:3845)
     min_anchor_noncan: int = 14
     rd_gap_open: int = 5         # deletion (read gap)
@@ -461,11 +463,13 @@ def pair_sweep(ch, pen_spl, pen_ind, ismm, starts, valid, lens, minsc,
     short_is_left = adj_l <= adj_r
     mm_short = jnp.where(short_is_left, mm_l, mm_r)
     spl_ok &= ~(gated & (mm_short > 0))
-    # intron length penalty: trunc(max(0, lenpen_const + coef*ln(D)))
-    lenpen = jnp.maximum(
-        (prm.lenpen_const
-         + prm.lenpen_coef * jnp.log(jnp.maximum(D, 1).astype(jnp.float32))
-         ).astype(jnp.int32), 0)
+    # intron length penalty: trunc(max(0, const + coef*ln(D)))
+    logd = jnp.log(jnp.maximum(D, 1).astype(jnp.float32))
+    lenpen = jnp.where(
+        canonical,
+        (prm.lenpen_const + prm.lenpen_coef * logd).astype(jnp.int32),
+        (prm.lenpen_nc_const + prm.lenpen_nc_coef * logd).astype(jnp.int32))
+    lenpen = jnp.maximum(lenpen, 0)
     score = jnp.where(kind == KIND_SPL, bs - lenpen, bs)
     ok &= jnp.where(kind == KIND_SPL, spl_ok, True)
     ok &= score >= minsc[:, None, None]
