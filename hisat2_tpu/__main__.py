@@ -21,9 +21,18 @@ def main():
         from .cli.build import main as m
     elif cmd == "inspect":
         from .cli.inspect import main as m
+    elif cmd == "extract-splice-sites":
+        from .tools.gtf import main_ss as m
+    elif cmd == "extract-exons":
+        from .tools.gtf import main_exons as m
+    elif cmd == "extract-snps-haplotypes":
+        from .tools.variants import main as m
+    elif cmd == "simulate-reads":
+        from .tools.simulate import main as m
     else:
-        print(f"unknown command {cmd!r}: expected align|build|inspect",
-              file=sys.stderr)
+        print(f"unknown command {cmd!r}: expected align|build|inspect|"
+              "extract-splice-sites|extract-exons|extract-snps-haplotypes|"
+              "simulate-reads", file=sys.stderr)
         return 2
     return m(argv)
 

@@ -168,11 +168,13 @@ def _align_pair_batch(aligner, writer, policy, scoring, k, b1, b2, ref_fn,
     # a window anchored at the aligned mate's position (batched)
     jobs = []        # (pair idx, rescued mate# (0/1), anchor, rc expected)
     all_pairs = []
+    intron_fn = (aligner.splice_db.max_intron_in
+                 if aligner.splice_db is not None else None)
     for i in range(B):
         alns1 = res.alignments[i]
         alns2 = res.alignments[B + i]
         pairs = best_pairs(alns1, alns2, int(b1.lens[i]), int(b2.lens[i]),
-                           policy, k)
+                           policy, k, intron_fn, int(rdids[i]))
         all_pairs.append(pairs)
         if pairs or (not alns1 and not alns2):
             continue
@@ -213,7 +215,8 @@ def _align_pair_batch(aligner, writer, policy, scoring, k, b1, b2, ref_fn,
             # re-pair with the rescued candidates
             all_pairs[i] = best_pairs(
                 res.alignments[i], res.alignments[B + i],
-                int(b1.lens[i]), int(b2.lens[i]), policy, k)
+                int(b1.lens[i]), int(b2.lens[i]), policy, k,
+                intron_fn, int(rdids[i]))
 
     for i in range(B):
         name = b1.names[i]

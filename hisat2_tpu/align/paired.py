@@ -21,52 +21,73 @@ class PairPolicy:
     no_mixed: bool = False
     no_discordant: bool = False
 
-    def concordant(self, a1, a2, len1: int, len2: int):
+    def concordant(self, a1, a2, len1: int, len2: int, intron_fn=None,
+                   rdid: int = 0):
         """a1, a2: Alignment (mate1, mate2).  Returns (ok, tlen1) where
-        tlen1 is the signed TLEN for mate1.  Fragment extents include
-        soft-clipped bases (the reference's template-length adjustment,
-        on by default; --no-templatelen-adjustment disables it)."""
+        tlen1 is the signed TLEN for mate1.
+
+        Template length follows AlnRes::setFragmentLength
+        (aligner_result.h:1601-1650): per-mate extents include trimmed
+        bases; a spliced mate contributes its RIGHT-anchored non-intron
+        window (so its own intron falls out geometrically); when the inner
+        gap between mates exceeds 100 bp, the largest known/temp splice
+        site strictly inside the fragment is subtracted (the reference's
+        template-length adjustment, on by default)."""
         if a1.ref_id != a2.ref_id:
             return False, 0
-        # determine upstream/downstream by unclipped read-start position
         p1, p2 = a1.joined_pos, a2.joined_pos
-        e1, e2 = p1 + len1, p2 + len2
-        left_is_1 = (p1 < p2) or (p1 == p2 and e1 <= e2)
+
+        def coords(a, ln):
+            # extended coords: st/en left-anchored, st2/en2 right-anchored
+            # windows of the non-intron extent
+            eff = a.junc_len if a.junc_kind else 0
+            x = ln + (eff if a.junc_kind in (2, 3) else 0)
+            right = a.joined_pos + ln + eff - 1
+            return (a.joined_pos, a.joined_pos + x - 1,
+                    right - x + 1, right)
+
+        st, en, st2, en2 = coords(a1, len1)
+        ost, oen, ost2, oen2 = coords(a2, len2)
+        left_is_1 = (st < ost) or (st == ost and en2 <= oen2)
         if self.orient == "fr":
             # upstream mate forward, downstream mate reverse-complement
-            if left_is_1:
-                ok = (not a1.rc) and a2.rc
-            else:
-                ok = (not a2.rc) and a1.rc
+            ok = ((not a1.rc) and a2.rc) if left_is_1 \
+                else ((not a2.rc) and a1.rc)
         elif self.orient == "rf":
-            if left_is_1:
-                ok = a1.rc and (not a2.rc)
-            else:
-                ok = a2.rc and (not a1.rc)
+            ok = (a1.rc and not a2.rc) if left_is_1 \
+                else (a2.rc and not a1.rc)
         else:  # ff: mate1 upstream forward, mate2 downstream forward
             ok = (not a1.rc) and (not a2.rc) and left_is_1
         if not ok:
             return False, 0
-        frag = max(e1, e2) - min(p1, p2)
-        # containment counts as frag = longer mate (pe.h default allows it)
+        if left_is_1:
+            up, up_right = min(st2, ost), min(en2, oen)
+            dn_left, dn = max(st2, ost), max(en2, oen)
+        else:
+            up, up_right = min(st, ost2), min(en, oen2)
+            dn_left, dn = max(st, ost2), max(en, oen2)
+        intron = 0
+        if intron_fn is not None and up_right + 100 < dn_left:
+            intron = intron_fn(a1.ref_id, up, dn, rdid)
+        frag = 1 + dn - up - intron
         if frag < max(self.minins, 1) and self.minins > 0:
             return False, 0
         if frag < self.minins or frag > self.maxins:
             return False, 0
         tlen1 = frag if left_is_1 else -frag
-        if p1 == p2 and e1 == e2:
-            tlen1 = frag  # leftmost-equal: mate1 positive (SAM convention)
         return True, tlen1
 
 
-def best_pairs(cands1, cands2, len1, len2, policy: PairPolicy, k: int):
+def best_pairs(cands1, cands2, len1, len2, policy: PairPolicy, k: int,
+               intron_fn=None, rdid: int = 0):
     """Cross candidate lists (small, <= k each) -> sorted concordant pairs.
 
     Returns list of (a1, a2, tlen1) sorted by pair score desc, position."""
     out = []
     for a1 in cands1:
         for a2 in cands2:
-            ok, tlen1 = policy.concordant(a1, a2, len1, len2)
+            ok, tlen1 = policy.concordant(a1, a2, len1, len2,
+                                          intron_fn, rdid)
             if ok:
                 out.append((a1, a2, tlen1))
     out.sort(key=lambda t: (-(t[0].score + t[1].score),

@@ -763,39 +763,94 @@ class TPUAligner:
             full0[lane[f_idx]] = True
             valid &= ~(post & full0[lane])
 
-        # positional merge (align()'s `overlapped` rule, hi_aligner.h:
-        # 4408-4419): candidates whose diagonals lie within maxIntronLen of
-        # a better candidate in the same lane collapse into that candidate's
-        # region; the best-scoring representation survives (ties: leftmost,
-        # ungapped before junction forms).  Same-score exact multimaps are
-        # exempt - the reference adds same-hit coordinates without merging,
-        # so equal-score repeats are all reported (verified vs oracle on an
-        # 800 bp-apart duplicated unit).
+        # candidate-region merge (getAnchorHits `overlapped`, hi_aligner.h:
+        # 4408-4419): a coordinate within maxIntronLen of a STRICTLY better
+        # candidate merges into it (equal-score multimaps all survive -
+        # verified vs oracle on an 800 bp-apart duplicated unit)
         W = self.scoring.max_intron_len
+        Km0 = K
+        validm0 = valid.reshape(2 * B, Km0)
+        s_m0 = starts.reshape(2 * B, Km0)
+        sc_m0 = np.where(validm0, score.reshape(2 * B, Km0), -2 ** 40)
+        jk_m0 = junc_kind.reshape(2 * B, Km0)
+        ordm0 = np.lexsort((-jk_m0, s_m0, -sc_m0), axis=1)
+        s_s0 = np.take_along_axis(s_m0, ordm0, axis=1)
+        v_s0 = np.take_along_axis(validm0, ordm0, axis=1)
+        sc_s0 = np.take_along_axis(sc_m0, ordm0, axis=1)
+        kept0 = np.zeros((2 * B, Km0), bool)
+        kept_pos0 = np.full((2 * B, Km0), -2 ** 60, np.int64)
+        kept_sc0 = np.full((2 * B, Km0), -2 ** 40, np.int64)
+        for r in range(Km0):
+            cand = s_s0[:, r]
+            csc = sc_s0[:, r]
+            near = ((np.abs(kept_pos0 - cand[:, None]) <= W)
+                    & (kept_sc0 > csc[:, None])).any(axis=1)
+            keep_r = v_s0[:, r] & ~near
+            kept0[:, r] = keep_r
+            kept_pos0[:, r] = np.where(keep_r, cand, -2 ** 60)
+            kept_sc0[:, r] = np.where(keep_r, csc, -2 ** 40)
+        vm0 = np.zeros((2 * B, Km0), bool)
+        np.put_along_axis(vm0, ordm0, kept0, axis=1)
+        valid &= vm0.reshape(-1)
+
+        # redundancy rule (HI_Aligner::redundant): a candidate whose
+        # leftmost aligned position falls WITHIN the reference extent of an
+        # already-reported alignment of the same mate (either orientation)
+        # is never reported.  Processing order approximates the reference's
+        # best-first reporting: score desc, junction forms first on ties
+        # (the spliced extension of an anchor wins over an equal-scoring
+        # ungapped placement it contains), then position.
         Km = K
+        ext_start = (starts + clip_l).reshape(2 * B, Km)
+        span_m = (np.where(is_pair, L_of - ins_len,
+                           L_of - clip_l - clip_r)
+                  + np.where(junc_kind > 0, junc_len, 0)
+                  ).reshape(2 * B, Km)
+        # fold fw/rc lanes of the same mate together (redundant() scans all
+        # reported alignments of the mate regardless of orientation)
         validm = valid.reshape(2 * B, Km)
-        s_m = starts.reshape(2 * B, Km)
-        sc_m = np.where(validm, score.reshape(2 * B, Km), -2 ** 40)
-        jk_m = junc_kind.reshape(2 * B, Km)
-        ordm = np.lexsort((jk_m, s_m, -sc_m), axis=1)
-        s_sorted = np.take_along_axis(s_m, ordm, axis=1)
-        v_sorted = np.take_along_axis(validm, ordm, axis=1)
-        sc_sorted = np.take_along_axis(sc_m, ordm, axis=1)
-        kept = np.zeros((2 * B, Km), bool)
-        kept_pos = np.full((2 * B, Km), -2 ** 60, np.int64)
-        kept_sc = np.full((2 * B, Km), -2 ** 40, np.int64)
-        for r in range(Km):
-            cand = s_sorted[:, r]
-            csc = sc_sorted[:, r]
-            near = ((np.abs(kept_pos - cand[:, None]) <= W)
-                    & (kept_sc > csc[:, None])).any(axis=1)
-            keep_r = v_sorted[:, r] & ~near
+        vread = np.concatenate([validm[:B], validm[B:]], axis=1)  # [B, 2Km]
+        s_r = np.concatenate([ext_start[:B], ext_start[B:]], axis=1)
+        e_r = s_r + np.concatenate([span_m[:B], span_m[B:]], axis=1) - 1
+        sc_r = np.where(vread, np.concatenate(
+            [score.reshape(2 * B, Km)[:B],
+             score.reshape(2 * B, Km)[B:]], axis=1), -2 ** 40)
+        jk_r = np.concatenate([junc_kind.reshape(2 * B, Km)[:B],
+                               junc_kind.reshape(2 * B, Km)[B:]], axis=1)
+        ordm = np.lexsort((-jk_r, s_r, -sc_r), axis=1)
+        s_s = np.take_along_axis(s_r, ordm, axis=1)
+        e_s = np.take_along_axis(e_r, ordm, axis=1)
+        v_s = np.take_along_axis(vread, ordm, axis=1)
+        K2 = 2 * Km
+        clip_r2 = (clip_l + clip_r).reshape(2 * B, Km)
+        full_r = np.concatenate([clip_r2[:B], clip_r2[B:]], axis=1) == 0
+        full_s = np.take_along_axis(full_r, ordm, axis=1)
+        sc_s = np.take_along_axis(sc_r, ordm, axis=1)
+        kept = np.zeros((B, K2), bool)
+        kept_s = np.full((B, K2), -2 ** 60, np.int64)
+        kept_e = np.full((B, K2), -2 ** 60, np.int64)
+        # redundancy-suppressed candidates still count as secondary-best
+        # evidence (the reference's sink saw them; they feed ZS but neither
+        # NH nor MAPQ - observed: spliced primary with ZS:i:0 from its
+        # contained equal-scoring ungapped representation)
+        shadow_sec = np.full(B, -2 ** 40, np.int64)
+        for r in range(K2):
+            cand = s_s[:, r]
+            inside = ((cand[:, None] >= kept_s)
+                      & (cand[:, None] <= kept_e)).any(axis=1)
+            keep_r = v_s[:, r] & ~inside
             kept[:, r] = keep_r
-            kept_pos[:, r] = np.where(keep_r, cand, -2 ** 60)
-            kept_sc[:, r] = np.where(keep_r, csc, -2 ** 40)
-        vm = np.zeros((2 * B, Km), bool)
-        np.put_along_axis(vm, ordm, kept, axis=1)
-        valid &= vm.reshape(-1)
+            kept_s[:, r] = np.where(keep_r, cand, -2 ** 60)
+            kept_e[:, r] = np.where(keep_r, e_s[:, r], -2 ** 60)
+            # an exact same-start suppression is a duplicate representation
+            # of the kept alignment, not secondary evidence
+            same_start = (cand[:, None] == kept_s).any(axis=1)
+            supp = v_s[:, r] & inside & full_s[:, r] & ~same_start
+            shadow_sec = np.where(supp, np.maximum(shadow_sec, sc_s[:, r]),
+                                  shadow_sec)
+        vr = np.zeros((B, K2), bool)
+        np.put_along_axis(vr, ordm, kept, axis=1)
+        valid &= np.concatenate([vr[:, :Km], vr[:, Km:]]).reshape(-1)
 
         per_read = [[] for _ in range(B)]
         sel = np.flatnonzero(valid)
@@ -843,7 +898,9 @@ class TPUAligner:
         # reports ZS yet MAPQ 60 when the only secbest is a trimmed variant)
         secbest = np.maximum(sec_cand, np.where(alt_valid, alt_of_best,
                                                 np.int64(-2 ** 40)))
-        has_sec = (seg_len > 1) | alt_valid
+        shadow = shadow_sec[seg_read]
+        secbest = np.maximum(secbest, shadow)
+        has_sec = (seg_len > 1) | alt_valid | (shadow > -2 ** 39)
         perfect = np.zeros(len(bnd), np.int64) + np.array(
             [self.scoring.perfect_score(int(lens[x])) for x in seg_read])
         mq = mapq_mod.mapq_v2(best, np.maximum(sec_cand, -2 ** 30),

@@ -37,6 +37,7 @@ class SpliceSiteDB:
         # site dict: (ref, left, right) -> [dir, rdid(min), fromfile, nreads]
         self.sites = {}
         self._tables = None         # cached device tables
+        self._by_ref = None         # cached host lookup (ref coords)
         self._capacity = 0
 
     # ------------------------------------------------------------------
@@ -64,6 +65,7 @@ class SpliceSiteDB:
         if key not in self.sites:
             self.sites[key] = [SPL_UNKNOWN, -1, True, 0]
             self._tables = None
+            self._by_ref = None
         else:
             self.sites[key][2] = True
             self.sites[key][1] = -1
@@ -93,11 +95,13 @@ class SpliceSiteDB:
         if cur is None:
             self.sites[key] = [int(spl_dir), int(rdid), False, 1]
             self._tables = None
+            self._by_ref = None
             return True
         cur[3] += 1
         if not cur[2] and rdid < cur[1]:
             cur[1] = int(rdid)
             self._tables = None
+            self._by_ref = None
         return False
 
     def collect_from_alignments(self, per_read, rdids, lens, codes,
@@ -131,6 +135,42 @@ class SpliceSiteDB:
                 if self.add_novel(a.ref_id, left, right, a.spl_dir, rd):
                     added = True
         return added
+
+    # ------------------------------------------------------------------
+    def max_intron_in(self, ref_id: int, up: int, dn: int, rdid: int):
+        """Largest usable intron strictly inside (up, dn), JOINED coords —
+        the template-length adjustment lookup (setFragmentLength,
+        aligner_result.h:1624-1639).  A site is usable if from file or
+        discovered by a read with id <= rdid."""
+        if self._by_ref is None:
+            import bisect
+            by = {}
+            for (ref, left, right), (sdir, srd, ff, nr) in \
+                    self.sites.items():
+                jl = self._to_joined(ref, left)
+                jr = self._to_joined(ref, right)
+                if jl < 0 or jr < 0:
+                    continue
+                by.setdefault(ref, []).append((jl, jr, srd, ff))
+            for ref in by:
+                by[ref].sort()
+            self._by_ref = by
+        import bisect
+        lst = self._by_ref.get(int(ref_id))
+        if not lst:
+            return 0
+        lo = bisect.bisect_right(lst, (up, 2 ** 62))
+        best = 0
+        for i in range(lo, len(lst)):
+            jl, jr, srd, ff = lst[i]
+            if jl >= dn:
+                break
+            if jr >= dn:
+                continue
+            if not ff and srd > rdid:
+                continue
+            best = max(best, jr - jl - 1)
+        return best
 
     # ------------------------------------------------------------------
     @property
