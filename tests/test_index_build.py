@@ -81,3 +81,27 @@ def test_save_load_roundtrip(tmp_path, small_index):
     assert idx2.meta == idx.meta
     for k, v in idx.arrays().items():
         np.testing.assert_array_equal(v, getattr(idx2, k))
+
+
+def test_native_sais_matches_lexsort():
+    """The C++ SA-IS builder must agree with the numpy fallback."""
+    import numpy as np
+    import pytest
+
+    from hisat2_tpu.native import suffix_array_native
+    rng = np.random.default_rng(77)
+    t = rng.integers(0, 4, 70000).astype(np.uint8)
+    sa = suffix_array_native(t)
+    if sa is None:
+        pytest.skip("no C++ toolchain")
+    # reference via the numpy prefix-doubling path on a prefix
+    small = t[:5000]
+    sa_small = suffix_array_native(small)
+    rank = np.zeros(len(small) + 1, np.int64)
+    rank[:-1] = small + 1
+    order = sorted(range(len(small) + 1),
+                   key=lambda i: tuple(rank[i:]))
+    np.testing.assert_array_equal(np.asarray(order), sa_small)
+    # structural checks for the large case
+    n = len(t)
+    assert sa[0] == n and len(np.unique(sa)) == n + 1
