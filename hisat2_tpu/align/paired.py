@@ -40,9 +40,11 @@ class PairPolicy:
         def coords(a, ln):
             # extended coords: st/en left-anchored, st2/en2 right-anchored
             # windows of the non-intron extent
-            eff = a.junc_len if a.junc_kind else 0
-            x = ln + (eff if a.junc_kind in (2, 3) else 0)
-            right = a.joined_pos + ln + eff - 1
+            jl1 = a.junc_len if a.junc_kind else 0
+            jl2 = a.junc2_len if a.junc2_kind else 0
+            x = ln + (jl1 if a.junc_kind in (2, 3) else 0) \
+                + (jl2 if a.junc2_kind in (2, 3) else 0)
+            right = a.joined_pos + ln + jl1 + jl2 - 1
             return (a.joined_pos, a.joined_pos + x - 1,
                     right - x + 1, right)
 

@@ -69,6 +69,35 @@ class Alignment:
     spl_dir: int = 0           # splice_ops.SPL_*
     junc_known: bool = False   # known splice site / known ALT indel
     junc_snp: int = -1         # VariantDB snp index of a known ALT indel
+    # optional SECOND junction (multi-exon reads): read splits at
+    # junc_x < junc2_x into three segments on diagonals
+    # (joined_pos, junc_d2, junc2_d3)
+    junc2_kind: int = 0
+    junc2_x: int = 0
+    junc2_len: int = 0
+    junc2_d3: int = 0
+    junc2_dir: int = 0
+
+    def segments(self, read_len: int):
+        """[(read_lo, read_hi, joined_diag)] aligned segments plus the
+        junction list [(x, kind, ref_len, dir)] — the generic shape SAM
+        rendering and site collection iterate over."""
+        cl, cr = self.clip_l, self.clip_r
+        if self.junc_kind == 0:
+            return ([(cl, read_len - cr, self.joined_pos)], [])
+        ins1 = max(-self.junc_len, 0) if self.junc_kind == 3 else 0
+        segs = [(cl, self.junc_x, self.joined_pos)]
+        juncs = [(self.junc_x, self.junc_kind, self.junc_len,
+                  self.spl_dir)]
+        if self.junc2_kind == 0:
+            segs.append((self.junc_x + ins1, read_len - cr, self.junc_d2))
+            return segs, juncs
+        ins2 = max(-self.junc2_len, 0) if self.junc2_kind == 3 else 0
+        segs.append((self.junc_x + ins1, self.junc2_x, self.junc_d2))
+        segs.append((self.junc2_x + ins2, read_len - cr, self.junc2_d3))
+        juncs.append((self.junc2_x, self.junc2_kind, self.junc2_len,
+                      self.junc2_dir))
+        return segs, juncs
 
     @property
     def aln_start(self) -> int:
@@ -414,6 +443,44 @@ class TPUAligner:
                    "splscore", "known", "event", "ab", "post"):
             out["p_" + k2] = jnp.concatenate(
                 [b[k2] for b in blocks], axis=1)
+        if self.spliced:
+            # second junction (multi-exon reads): composite sweep off the
+            # best UNGATED junction candidate (its unfixed tail's penalties
+            # are recoverable by the second junction), restricted to pairs
+            # whose diagonals both have planes
+            Cc = cstart.shape[1]
+            rawf = res.raw.reshape(2 * B, Cc * Cc)
+            bsel = jnp.argmax(rawf, axis=1)
+            b_i = (bsel // Cc).astype(jnp.int32)
+            b_j = (bsel % Cc).astype(jnp.int32)
+            gpair = lambda a: jnp.take_along_axis(  # noqa: E731
+                a.reshape(2 * B, Cc * Cc), bsel[:, None], axis=1)[:, 0]
+            b_score = gpair(res.raw)
+            b_x = gpair(res.x)
+            b_kind = gpair(res.kind)
+            b_d1 = jnp.take_along_axis(cstart, b_i[:, None], axis=1)[:, 0]
+            b_d2 = jnp.take_along_axis(cstart, b_j[:, None], axis=1)[:, 0]
+            b_ok = (b_score > -(2 ** 29)) \
+                & (b_kind != splice_ops.KIND_NONE)
+            q2 = splice_ops.second_sweep(
+                ch, planes.pen_raw, planes.mm_raw, cstart, cvalid, al, am,
+                (params["tab_donor"], params["tab_acc1"],
+                 params["tab_acc2"]),
+                self.splice_params, b_i, b_j, b_x, b_score, b_ok,
+                ss=ss, rdids=rd2)
+            out.update({
+                "q2_score": jnp.stack([q2["right"]["score"],
+                                       q2["left"]["score"]], axis=1),
+                "q2_d": jnp.stack([q2["right"]["d"],
+                                   q2["left"]["d"]], axis=1),
+                "q2_x": jnp.stack([q2["right"]["x"],
+                                   q2["left"]["x"]], axis=1),
+                "q2_dir": jnp.stack([q2["right"]["dir"],
+                                     q2["left"]["dir"]], axis=1),
+                "q2_bd1": b_d1, "q2_bd2": b_d2, "q2_bx": b_x,
+                "q2_bkind": b_kind, "q2_bdir": gpair(res.spldir),
+                "q2_bknown": jnp.zeros(2 * B, jnp.int32),
+            })
         return out
 
     # ------------------------------------------------------------------
@@ -544,14 +611,9 @@ class TPUAligner:
         snv_offs = []
         cl = a.clip_l
         L_al = len(rd_aligned)
-        if a.junc_kind == 0:
-            segs = [(a.aln_start, 0, L_al)]
-        else:
-            ins = max(-a.junc_len, 0)
-            seg_l = a.junc_x - cl
-            off_r = a.junc_x + ins - cl
-            segs = [(a.aln_start, 0, seg_l),
-                    (a.junc_d2 + a.junc_x + ins, off_r, L_al - off_r)]
+        rd_len = L_al + cl + a.clip_r
+        segs = [(diag + lo, lo - cl, hi - lo)
+                for (lo, hi, diag) in a.segments(rd_len)[0]]
         for (jstart, off0, slen) in segs:
             if slen <= 0:
                 continue
@@ -646,41 +708,78 @@ class TPUAligner:
         B = codes.shape[0]
         C = self.max_cands
         T = o_np["p_score"].shape[1] if "p_score" in o_np else 0
-        K = C + T
+        Q = 2 if "q2_score" in o_np else 0   # two-junction composites
+        K = C + T + Q
         z2 = np.zeros((2 * B, T), np.int64)
+        zq = np.zeros((2 * B, Q), np.int64)
 
-        def flat(base, pair):
-            return np.concatenate(
-                [base.astype(np.int64),
-                 pair.astype(np.int64) if T else z2[:, :0]],
-                axis=1).reshape(-1)
+        def flat(base, pair, q=None):
+            blocks_ = [base.astype(np.int64)]
+            if T:
+                blocks_.append(pair.astype(np.int64))
+            if Q:
+                blocks_.append((zq if q is None else q).astype(np.int64))
+            return np.concatenate(blocks_, axis=1).reshape(-1)
 
-        starts = flat(o_np["starts"], o_np.get("p_d1", z2))
-        score = flat(o_np["score"], o_np.get("p_score", z2))
+        if Q:
+            # column 0 = right-extension composite (junctions at bx then
+            # q2 x); column 1 = left-extension (q2 x then bx)
+            q_start = np.stack([o_np["q2_bd1"], o_np["q2_d"][:, 1]], 1)
+            q_score = o_np["q2_score"].astype(np.int64)
+            q_j1x = np.stack([o_np["q2_bx"], o_np["q2_x"][:, 1]], 1)
+            q_j1d2 = np.stack([o_np["q2_bd2"], o_np["q2_bd1"]], 1)
+            q_j1kind = np.stack(
+                [o_np["q2_bkind"], np.ones(2 * B, np.int32)], 1)
+            q_j1dir = np.stack([o_np["q2_bdir"], o_np["q2_dir"][:, 1]], 1)
+            q_j1known = np.stack(
+                [o_np["q2_bknown"], np.zeros(2 * B, np.int32)], 1)
+            q_j2x = np.stack([o_np["q2_x"][:, 0], o_np["q2_bx"]], 1)
+            q_j2d3 = np.stack([o_np["q2_d"][:, 0], o_np["q2_bd2"]], 1)
+            q_j2kind = np.stack(
+                [np.ones(2 * B, np.int32), o_np["q2_bkind"]], 1)
+            q_j2dir = np.stack([o_np["q2_dir"][:, 0], o_np["q2_bdir"]], 1)
+        else:
+            q_start = q_score = q_j1x = q_j1d2 = q_j1kind = None
+            q_j1dir = q_j1known = q_j2x = q_j2d3 = q_j2kind = q_j2dir = None
+
+        starts = flat(o_np["starts"], o_np.get("p_d1", z2), q_start)
+        score = flat(o_np["score"], o_np.get("p_score", z2), q_score)
         n_mm = flat(o_np["n_mm"], z2)
         n_n_dev = flat(o_np["n_n"], z2)
         clip_l = flat(o_np["clip_l"], z2)
         clip_r = flat(o_np["clip_r"], z2)
         alt_score = flat(o_np["alt_score"],
-                         np.full((2 * B, T), extend_ops.NO_ALT))
-        junc_kind = flat(np.zeros((2 * B, C)), o_np.get("p_kind", z2))
-        junc_x = flat(np.zeros((2 * B, C)), o_np.get("p_x", z2))
-        d2 = flat(o_np["starts"], o_np.get("p_d2", z2))
-        spl_dir = flat(np.zeros((2 * B, C)), o_np.get("p_spldir", z2))
-        junc_known = flat(np.zeros((2 * B, C)), o_np.get("p_known", z2))
+                         np.full((2 * B, T), extend_ops.NO_ALT),
+                         np.full((2 * B, Q), extend_ops.NO_ALT) if Q
+                         else None)
+        junc_kind = flat(np.zeros((2 * B, C)), o_np.get("p_kind", z2),
+                         q_j1kind)
+        junc_x = flat(np.zeros((2 * B, C)), o_np.get("p_x", z2), q_j1x)
+        d2 = flat(o_np["starts"], o_np.get("p_d2", z2), q_j1d2)
+        spl_dir = flat(np.zeros((2 * B, C)), o_np.get("p_spldir", z2),
+                       q_j1dir)
+        junc_known = flat(np.zeros((2 * B, C)), o_np.get("p_known", z2),
+                          q_j1known)
         junc_event = flat(np.full((2 * B, C), -1),
-                          o_np.get("p_event", z2 - 1))
+                          o_np.get("p_event", z2 - 1),
+                          np.full((2 * B, Q), -1) if Q else None)
+        junc2_kind = flat(np.zeros((2 * B, C)), z2, q_j2kind)
+        junc2_x = flat(np.zeros((2 * B, C)), z2, q_j2x)
+        junc2_d3 = flat(o_np["starts"], o_np.get("p_d2", z2), q_j2d3)
+        junc2_dir = flat(np.zeros((2 * B, C)), z2, q_j2dir)
         # map indel-event table rows to VariantDB snp indices
         junc_snp = np.full(len(junc_event), -1, np.int64)
         if self.indel_row_db is not None:
             has_ev = junc_event >= 0
             junc_snp[has_ev] = self.indel_row_db[junc_event[has_ev]]
         BIGV = 2 ** 29
+        vparts = [o_np["valid"]]
         if T:
-            pv = o_np["p_score"] > -BIGV
-            valid = np.concatenate([o_np["valid"], pv], axis=1).reshape(-1)
-        else:
-            valid = o_np["valid"].reshape(-1)
+            vparts.append(o_np["p_score"] > -BIGV)
+        if Q:
+            vparts.append((q_score > -BIGV)
+                          & (q_j1kind != splice_ops.KIND_NONE))
+        valid = np.concatenate(vparts, axis=1).reshape(-1)
 
         lane = np.repeat(np.arange(2 * B, dtype=np.int64), K)
         # host-side policy filters (all vectorized)
@@ -709,7 +808,8 @@ class TPUAligner:
                             aln_start + L_of - clip_l - clip_r)  # exclusive
         rs = np.where(junc_kind == splice_ops.KIND_INS,
                       starts + junc_x, d2 + junc_x)
-        span_r = L_of - junc_x - ins_len
+        is_q2 = junc2_kind > 0
+        span_r = np.where(is_q2, junc2_x, L_of) - junc_x - ins_len
         nfr = len(self.frag_ref)
         fl = np.clip(np.searchsorted(self.frag_joined, aln_start,
                                      "right") - 1, 0, nfr - 1)
@@ -732,6 +832,24 @@ class TPUAligner:
                      np.where(junc_kind == splice_ops.KIND_INS,
                               -(starts - d2), 0)))
         valid &= ~((junc_kind == splice_ops.KIND_SPL) & (junc_len < 1))
+        # second junction (always a splice): third segment containment +
+        # reference-space intron length
+        junc2_len = np.zeros(len(starts), np.int64)
+        if Q:
+            rs3 = junc2_d3 + junc2_x
+            span3 = L_of - junc2_x
+            f3 = np.clip(np.searchsorted(self.frag_joined, rs3,
+                                         "right") - 1, 0, nfr - 1)
+            contained_3 = (rs3 >= self.frag_joined[f3]) & \
+                (rs3 + span3 <= self.frag_joined[f3 + 1])
+            seg2_end = rs + span_r          # exclusive, on the d2 diagonal
+            rp_2end = self.frag_off[fr] + (seg2_end - 1
+                                           - self.frag_joined[fr])
+            rp_3 = self.frag_off[f3] + (rs3 - self.frag_joined[f3])
+            junc2_len = np.where(is_q2, rp_3 - rp_2end - 1, 0)
+            valid &= ~is_q2 | (contained_3
+                               & (self.frag_ref[f3] == self.frag_ref[fr])
+                               & (junc2_len >= 1))
 
         # search-budget replay (nextBWT give-up, hi_aligner.h:3988-4035):
         # once an alignment scoring `best` exists, the reference performs at
@@ -805,7 +923,7 @@ class TPUAligner:
         span_m = (np.where(is_pair, L_of - ins_len,
                            L_of - clip_l - clip_r)
                   + np.where(junc_kind > 0, junc_len, 0)
-                  ).reshape(2 * B, Km)
+                  + junc2_len).reshape(2 * B, Km)
         # fold fw/rc lanes of the same mate together (redundant() scans all
         # reported alignments of the mate regardless of orientation)
         validm = valid.reshape(2 * B, Km)
@@ -864,7 +982,7 @@ class TPUAligner:
         s = starts[sel].astype(np.int64)
         key = ((((((r * 2 + o) << 33) + s) << 2) + junc_kind[sel]) << 7) \
             + junc_x[sel]
-        kd2 = junc_len[sel]
+        kd2 = junc_len[sel] * 256 + junc2_x[sel] % 256
         perm = np.lexsort((-score[sel], kd2, key))
         kk, kk2 = key[perm], kd2[perm]
         firstmask = np.ones(len(perm), bool)
@@ -922,7 +1040,9 @@ class TPUAligner:
             rd = int(r[i])
             jk = int(junc_kind[g])
             jl = int(junc_len[g])
-            span = int(rd_len[t]) - int(clip_l[g]) - int(clip_r[g]) + jl
+            jl2 = int(junc2_len[g])
+            span = int(rd_len[t]) - int(clip_l[g]) - int(clip_r[g]) \
+                + jl + jl2
             per_read[rd].append(Alignment(
                 read_idx=rd, rc=bool(o[i]), ref_id=int(ref_id[t]),
                 ref_pos=int(ref_pos[t]), joined_pos=int(s[i]),
@@ -936,5 +1056,8 @@ class TPUAligner:
                 junc_kind=jk, junc_x=int(junc_x[g]), junc_len=jl,
                 junc_d2=int(d2[g]), spl_dir=int(spl_dir[g]),
                 junc_known=bool(junc_known[g]),
-                junc_snp=int(junc_snp[g])))
+                junc_snp=int(junc_snp[g]),
+                junc2_kind=int(junc2_kind[g]), junc2_x=int(junc2_x[g]),
+                junc2_len=jl2, junc2_d3=int(junc2_d3[g]),
+                junc2_dir=int(junc2_dir[g])))
         return BatchResult(alignments=per_read, n_reads=B)

@@ -104,36 +104,49 @@ class SpliceSiteDB:
             self._by_ref = None
         return False
 
+    def _to_ref(self, joined: int):
+        f = int(np.searchsorted(self.frag_joined, joined, "right")) - 1
+        f = min(max(f, 0), len(self.frag_ref) - 1)
+        return (int(self.frag_ref[f]),
+                int(self.frag_off[f] + joined - self.frag_joined[f]))
+
     def collect_from_alignments(self, per_read, rdids, lens, codes,
                                 ref_codes) -> bool:
         """Scan reported alignments for novel junctions (addSpliceSite
         admission rules, splice_site.cpp:190: untrimmed alignments only,
-        anchors >= minAnchorLen + 2*mm per side, +6 for direction-less
-        junctions).  Returns True if any new site was added."""
+        per-junction anchors (the read span to the neighbouring junction)
+        >= minAnchorLen + 2*mm, +6 for direction-less junctions).
+        Returns True if any new site was added."""
         added = False
         for alns in per_read:
             for a in alns:
-                if a.junc_kind != 1 or a.clip_l or a.clip_r:
+                if a.junc_kind == 0 or a.clip_l or a.clip_r:
                     continue
                 rd = int(rdids[a.read_idx])
                 L = int(lens[a.read_idx])
-                x = a.junc_x
                 seq = codes[a.read_idx, :L]
                 if a.rc:
                     seq = np.where(seq < 4, 3 - seq, 4)[::-1]
-                mm_l = int((seq[:x] != ref_codes[
-                    a.joined_pos:a.joined_pos + x]).sum())
-                mm_r = int((seq[x:] != ref_codes[
-                    a.junc_d2 + x:a.junc_d2 + L]).sum())
-                extra = 6 if a.spl_dir == SPL_UNKNOWN else 0
-                if x < self.min_anchor + 2 * mm_l + extra:
-                    continue
-                if (L - x) < self.min_anchor + 2 * mm_r + extra:
-                    continue
-                left = a.ref_pos + x - 1
-                right = left + a.junc_len + 1
-                if self.add_novel(a.ref_id, left, right, a.spl_dir, rd):
-                    added = True
+                segs, juncs = a.segments(L)
+                mm = [int((seq[lo:hi] != ref_codes[diag + lo:diag + hi]
+                           ).sum()) for lo, hi, diag in segs]
+                dirs = [j[3] for j in juncs]
+                for ji, (x, kind, jlen, jdir) in enumerate(juncs):
+                    if kind != 1:
+                        continue
+                    seg_l, seg_r = segs[ji], segs[ji + 1]
+                    extra = 6 if jdir == SPL_UNKNOWN else 0
+                    if (seg_l[1] - seg_l[0]) < \
+                            self.min_anchor + 2 * mm[ji] + extra:
+                        continue
+                    if (seg_r[1] - seg_r[0]) < \
+                            self.min_anchor + 2 * mm[ji + 1] + extra:
+                        continue
+                    ref_id, left = self._to_ref(seg_l[2] + x - 1)
+                    right = left + jlen + 1
+                    if self.add_novel(ref_id, left, right, jdir, rd):
+                        added = True
+                del dirs
         return added
 
     # ------------------------------------------------------------------

@@ -39,27 +39,35 @@ def md_and_nm(read_codes: np.ndarray, ref_codes: np.ndarray):
     return "".join(parts), int(mism.size)
 
 
-def md_and_nm_gapped(rd_l, ref_l, rd_r, ref_r, del_ref=None, ins_len=0):
-    """MD:Z + NM for a two-segment alignment (splice N / deletion / insert).
+def md_across_segments(seg_pairs, del_refs):
+    """MD:Z + mismatch-NM across aligned segments.
 
-    Splices don't appear in MD (reference: Edit SPL excluded from MD,
-    edit.cpp); deletions add '^<seq>'; insertions add their length to NM
-    but are invisible in MD.  NM = mismatches + gap bases (sam.h NM calc)."""
-    md_l, nm_l = md_and_nm(rd_l, ref_l)
-    md_r, nm_r = md_and_nm(rd_r, ref_r)
-    nm = nm_l + nm_r + ins_len + (len(del_ref) if del_ref is not None else 0)
-    if del_ref is not None and len(del_ref):
-        dseq = "".join("ACGTN"[min(c, 4)] for c in del_ref)
-        return md_l + "^" + dseq + md_r, nm
-    # join: md_l ends with a digit run, md_r starts with one - merge them
-    i = len(md_l)
-    while i > 0 and md_l[i - 1].isdigit():
-        i -= 1
-    j = 0
-    while j < len(md_r) and md_r[j].isdigit():
-        j += 1
-    mid = int(md_l[i:] or 0) + int(md_r[:j] or 0)
-    return md_l[:i] + str(mid) + md_r[j:], nm
+    seg_pairs: [(read_codes, ref_codes)] per aligned segment;
+    del_refs[i]: deleted reference codes rendered '^...' AFTER segment i
+    (None for splices/insertions — they are invisible in MD).
+    Returns (md, n_mismatch, n_del)."""
+    parts = []
+    match_run = 0
+    n_mm = n_del = 0
+    for i, (rd, ref) in enumerate(seg_pairs):
+        mism = np.flatnonzero((rd != ref) | (rd > 3))
+        prev = -1
+        for m in mism:
+            parts.append(str(match_run + (m - prev - 1)))
+            parts.append("ACGTN"[min(ref[m], 4)])
+            match_run = 0
+            prev = m
+            n_mm += 1
+        match_run += len(rd) - prev - 1
+        if i < len(del_refs) and del_refs[i] is not None \
+                and len(del_refs[i]):
+            parts.append(str(match_run))
+            parts.append("^" + "".join("ACGTN"[min(c, 4)]
+                                       for c in del_refs[i]))
+            match_run = 0
+            n_del += len(del_refs[i])
+    parts.append(str(match_run))
+    return "".join(parts), n_mm, n_del
 
 
 class SamWriter:
@@ -122,34 +130,41 @@ class SamWriter:
             md, nm = md_and_nm(rd_aligned, ref)
             xm = nm
         else:
-            # one junction: xM (gap op) yM with optional outer soft clips
-            x = a.junc_x
-            jl = a.junc_len
-            ins = max(-jl, 0)
-            len_l = x - cl
-            len_r = L - cr - x - ins
-            op = {1: "N", 2: "D", 3: "I"}[a.junc_kind]
-            glen = jl if jl > 0 else ins
-            cigar = ((f"{cl}S" if cl else "") + f"{len_l}M{glen}{op}"
-                     + f"{len_r}M" + (f"{cr}S" if cr else ""))
-            rd_l = rd[cl:x]
-            rd_r = rd[x + ins:L - cr]
-            ref_l = ref_codes_fn(a.joined_pos + cl, len_l)
-            # right segment start in JOINED space (d2 + x [+ ins])
-            ref_r = ref_codes_fn(
-                a.junc_d2 + x + (ins if a.junc_kind == 3 else 0), len_r)
-            del_ref = (ref_codes_fn(a.joined_pos + x, jl)
-                       if a.junc_kind == 2 else None)
-            md, nm = md_and_nm_gapped(rd_l, ref_l, rd_r, ref_r,
-                                      del_ref=del_ref, ins_len=ins)
-            gapb = jl if a.junc_kind == 2 else (ins if a.junc_kind == 3
-                                                else 0)
-            xm = nm - gapb
-            xo = 1 if a.junc_kind in (2, 3) else 0
-            xg = gapb
+            # junction alignment: xM (gap op) yM [(gap op) zM] with clips
+            segs, juncs = a.segments(L)
+            cig = [f"{cl}S"] if cl else []
+            seg_pairs, del_refs = [], []
+            xo = xg = ins_total = 0
+            for si, (lo, hi, diag) in enumerate(segs):
+                cig.append(f"{hi - lo}M")
+                seg_pairs.append((rd[lo:hi], ref_codes_fn(diag + lo,
+                                                          hi - lo)))
+                if si < len(juncs):
+                    jx, jkind, jlen, jdir = juncs[si]
+                    if jkind == 1:
+                        cig.append(f"{jlen}N")
+                        del_refs.append(None)
+                    elif jkind == 2:
+                        cig.append(f"{jlen}D")
+                        del_refs.append(ref_codes_fn(diag + jx, jlen))
+                        xo += 1
+                        xg += jlen
+                    else:
+                        ins = -jlen
+                        cig.append(f"{ins}I")
+                        del_refs.append(None)
+                        xo += 1
+                        xg += ins
+                        ins_total += ins
+                    if jkind == 1 and jdir:
+                        xs_tag = "+" if jdir in (1, 3) else "-"
+            if cr:
+                cig.append(f"{cr}S")
+            cigar = "".join(cig)
+            md, n_mm_md, n_del = md_across_segments(seg_pairs, del_refs)
+            nm = n_mm_md + n_del + ins_total
+            xm = n_mm_md
             rd_aligned = rd[cl:L - cr]
-            if a.junc_kind == 1 and a.spl_dir:
-                xs_tag = "+" if a.spl_dir in (1, 3) else "-"
         if self.rna_strandness != "unstranded":
             # stranded libraries tag EVERY alignment (sam.h:918-945): the
             # transcript strand follows the mate orientation and protocol
@@ -171,7 +186,7 @@ class SamWriter:
                 # a known ALT indel is not an edit (snpID-tagged gaps score
                 # 0 and are excluded from NM/XO/XG — verified vs oracle:
                 # 50M2D50M with NM:i:0 XO:i:0 XG:i:0 Zs:Z:50|D|rsid)
-                nm -= gapb
+                nm -= xg
                 xo = xg = 0
         # tag order mirrors AlnSinkSam::appendMate (sam.h):
         # AS ZS XN XM XO XG NM MD YS XS YT NH Zs

@@ -169,19 +169,22 @@ class PairResult(NamedTuple):
     kind: jnp.ndarray      # int32 [N, C, C]  KIND_*
     spldir: jnp.ndarray    # int32 [N, C, C]  SPL_*
     splscore: jnp.ndarray  # f32   [N, C, C]  PWM probscore at x (canonical)
+    raw: jnp.ndarray       # int32 [N, C, C]  score before the minsc gate -
+                           #   seeds the second-junction composite, where
+                           #   the unfixed tail's penalties are recoverable
 
 
 _BIG = np.int32(2 ** 30)
 
 
-def _pack_window(ch, M, offs, rc=False):
+def _pack_window(ch, M, offs, rc=False, out_len=None):
     """Rolling 2-bit pack of diagonal chars: code[b,c,x] over window
     positions x+offs (ascending genomic order; rc=True packs the
     reverse-complement read right-to-left like the reference's SPL_RC
     extraction, hi_aligner.h:1558-1581).  ch: [N, C, L+2M] (4 = out of
     text -> packs as 0, matching `if(base > 3) base = 0`)."""
     N, C, W = ch.shape
-    L1 = W - 2 * M  # = L + 1 positions (x in 0..L)
+    L1 = out_len if out_len is not None else W - 2 * M
     k = len(offs)
     code = jnp.zeros((N, C, L1), jnp.int32)
     for t, off in enumerate(offs):
@@ -250,15 +253,15 @@ def pair_sweep(ch, pen_spl, pen_ind, ismm, starts, valid, lens, minsc,
 
         # PWM probabilities per diagonal (rolling windows; fw uses the left
         # diagonal for the donor and right for the acceptor, rc swaps+rc's)
-        dsum_fw = donor_sum[_pack_window(ch, M, range(-3, 6))]
-        dsum_rc = donor_sum[_pack_window(ch, M, range(-6, 3), rc=True)]
-        af1 = acc1t[_pack_window(ch, M, range(-14, -7))]
-        af2 = acc2t[_pack_window(ch, M, range(-7, 1))]
+        dsum_fw = donor_sum[_pack_window(ch, M, range(-3, 6), out_len=L + 1)]
+        dsum_rc = donor_sum[_pack_window(ch, M, range(-6, 3), rc=True, out_len=L + 1)]
+        af1 = acc1t[_pack_window(ch, M, range(-14, -7), out_len=L + 1)]
+        af2 = acc2t[_pack_window(ch, M, range(-7, 1), out_len=L + 1)]
         asum_fw = af1 * af2
         # rc acceptor: revcomp of left-diagonal window [x-1 .. x+13]; the
         # packed 15-mer's top 7 chars are the REVERSED tail (x+13 .. x+7)
-        ar1 = acc1t[_pack_window(ch, M, range(13, 6, -1), rc=True)]
-        ar2 = acc2t[_pack_window(ch, M, range(6, -2, -1), rc=True)]
+        ar1 = acc1t[_pack_window(ch, M, range(13, 6, -1), rc=True, out_len=L + 1)]
+        ar2 = acc2t[_pack_window(ch, M, range(6, -2, -1), rc=True, out_len=L + 1)]
         asum_rc = ar1 * ar2
 
     starts_l = starts[:, :, None]                                  # [N,C,1]
@@ -472,10 +475,11 @@ def pair_sweep(ch, pen_spl, pen_ind, ismm, starts, valid, lens, minsc,
     lenpen = jnp.maximum(lenpen, 0)
     score = jnp.where(kind == KIND_SPL, bs - lenpen, bs)
     ok &= jnp.where(kind == KIND_SPL, spl_ok, True)
+    raw = jnp.where(ok, score, -_BIG)
     ok &= score >= minsc[:, None, None]
     score = jnp.where(ok, score, -_BIG)
     return PairResult(score=score, x=x, kind=kind, spldir=spldir,
-                      splscore=bp)
+                      splscore=bp, raw=raw)
 
 
 def inject_known(ref_words, n_text: int, reads, quals, lens, rdids,
@@ -741,6 +745,209 @@ def inject_indels(ref_words, n_text: int, reads, quals, lens,
                 splscore=jnp.zeros_like(score, jnp.float32),
                 event=jnp.where(ok_all, event, -1),
                 src=src)
+
+
+def second_sweep(ch, pen_spl, mm_raw, starts, valid, lens, minsc,
+                 tables, prm: SpliceParams,
+                 b_i, b_j, b_x, b_score, b_valid,
+                 ss=None, rdids=None):
+    """Second-junction sweep for multi-exon reads: given each lane's best
+    junction candidate (segments on diagonals i0/j0 split at x1), sweep a
+    SECOND splice junction against every candidate diagonal, on the right
+    (j0 -> d3 at x2 > x1) and on the left (d0 -> i0 at x0 < x1).
+
+    The composite's prefix/suffix penalties collapse to a constant plus the
+    inner diagonal's own plane: Pc[x] = P_j0[x] - score1 - total_j0 (and
+    symmetrically for the left) - so the sweep is the ordinary pair sweep
+    with an offset, O(C * L) per lane.
+
+    This is the TPU-native shape of hybridSearch_recur's recursion depth 2
+    (spliced_aligner.h:214+); the reference builds the same three-segment
+    GenomeHits by recursive combineWith calls.
+    """
+    N, C, L = pen_spl.shape
+    M = (ch.shape[2] - L) // 2
+    donor_sum, acc1t, acc2t = tables
+    zero3 = jnp.zeros((N, C, 1), jnp.int32)
+    Ps = jnp.concatenate([zero3, jnp.cumsum(pen_spl, axis=2)], axis=2)
+    Pm = jnp.concatenate(
+        [zero3, jnp.cumsum(mm_raw.astype(jnp.int32), axis=2)], axis=2)
+    lens3 = jnp.broadcast_to(lens[:, None, None], (N, C, 1))
+    tot = jnp.take_along_axis(Ps, lens3, axis=2)[:, :, 0]
+
+    d0c = jax.lax.dynamic_slice_in_dim(ch, M + 0, L + 1, axis=2)
+    d1c = jax.lax.dynamic_slice_in_dim(ch, M + 1, L + 1, axis=2)
+    a0c = jax.lax.dynamic_slice_in_dim(ch, M - 2, L + 1, axis=2)
+    a1c = jax.lax.dynamic_slice_in_dim(ch, M - 1, L + 1, axis=2)
+    dcode = jnp.where((d0c < 4) & (d1c < 4), d0c * 16 + d1c, 255)
+    acode = jnp.where((a0c < 4) & (a1c < 4), a0c * 16 + a1c, 255)
+    dsum_fw = donor_sum[_pack_window(ch, M, range(-3, 6), out_len=L + 1)]
+    dsum_rc = donor_sum[_pack_window(ch, M, range(-6, 3), rc=True, out_len=L + 1)]
+    asum_fw = acc1t[_pack_window(ch, M, range(-14, -7), out_len=L + 1)] \
+        * acc2t[_pack_window(ch, M, range(-7, 1), out_len=L + 1)]
+    asum_rc = acc1t[_pack_window(ch, M, range(13, 6, -1), rc=True, out_len=L + 1)] \
+        * acc2t[_pack_window(ch, M, range(6, -2, -1), rc=True, out_len=L + 1)]
+
+    def row(arr, idx):
+        return jnp.take_along_axis(arr, idx[:, None, None], axis=1)[:, 0]
+
+    def classify(dl, ar):
+        can_fw = (dl == 0x23) & (ar == 0x02)
+        can_rc = (dl == 0x13) & (ar == 0x01)
+        semi_fw = ((dl == 0x21) & (ar == 0x02)) \
+            | ((dl == 0x03) & (ar == 0x01))
+        semi_rc = ((dl == 0x13) & (ar == 0x21)) \
+            | ((dl == 0x20) & (ar == 0x03))
+        spldir = jnp.where(
+            can_fw, SPL_FW,
+            jnp.where(can_rc, SPL_RC,
+                      jnp.where(semi_fw, SPL_SEMI_FW,
+                                jnp.where(semi_rc, SPL_SEMI_RC,
+                                          SPL_UNKNOWN))))
+        return spldir, can_fw | can_rc
+
+    xs = jnp.arange(L + 1, dtype=jnp.int32)[None, None, :]     # [1,1,L+1]
+    lens4 = lens[:, None, None]
+    outs = {}
+    for side in ("right", "left"):
+        if side == "right":
+            inner = b_j                     # donor side plane
+            tot_in = jnp.take_along_axis(tot, inner[:, None], axis=1)[:, 0]
+            Pc = row(Ps, inner)[:, None, :] \
+                - (b_score + tot_in)[:, None, None]            # [N,1,L+1]
+            Sd = tot[:, :, None] - Ps                          # [N,C,L+1]
+            score = -(Pc + Sd)
+            dl = row(dcode, inner)[:, None, :]
+            ar = acode
+            dsf, dsr = row(dsum_fw, inner)[:, None, :], dsum_rc
+            asf, asr = asum_fw, row(asum_rc, inner)[:, None, :]
+            D = starts - jnp.take_along_axis(
+                starts, inner[:, None], axis=1)                # [N,C]
+            vx = (xs > b_x[:, None, None]) & (xs <= lens4 - 1)
+            mm_in = row(Pm, inner)
+            anchor_l = (xs - b_x[:, None, None]) \
+                - 2 * (mm_in[:, None, :] - jnp.take_along_axis(
+                    mm_in, b_x[:, None], axis=1)[:, :, None])
+            anchor_r = (lens4 - xs) - 2 * (
+                jnp.take_along_axis(Pm, lens3, axis=2)[:, :, :1] - Pm)
+        else:
+            inner = b_i                     # acceptor side plane
+            Sc = -(b_score[:, None, None]
+                   + row(Ps, inner)[:, None, :])                # [N,1,L+1]
+            Pd = Ps                                             # [N,C,L+1]
+            score = -(Pd + Sc)
+            dl = dcode
+            ar = row(acode, inner)[:, None, :]
+            dsf, dsr = dsum_fw, row(dsum_rc, inner)[:, None, :]
+            asf, asr = row(asum_fw, inner)[:, None, :], asum_rc
+            D = jnp.take_along_axis(starts, inner[:, None], axis=1) \
+                - starts                                        # [N,C]
+            vx = (xs >= 1) & (xs < b_x[:, None, None])
+            anchor_l = xs - 2 * Pm
+            in_mm = row(Pm, inner)
+            anchor_r = (b_x[:, None, None] - xs) - 2 * (
+                jnp.take_along_axis(in_mm, b_x[:, None], axis=1
+                                    )[:, :, None] - in_mm[:, None, :])
+
+        spldir4, canonical = classify(dl, ar)
+        is_spl2 = (D >= prm.min_intron) & (D <= prm.max_intron) \
+            & valid & b_valid[:, None]
+        pen2 = jnp.where(canonical, prm.pen_can, prm.pen_noncan)
+        prod = jnp.where((dl == 0x23) & (ar == 0x02), dsf * asf, dsr * asr)
+        splsc = jnp.where(canonical, 1.0 / (1.0 + prod), 0.0)
+        # known/temp splice sites: the second junction is free and gate-
+        # exempt when it matches a usable site (knownSpl semantics)
+        known4 = jnp.zeros((N, 1, L + 1), bool)
+        if ss is not None:
+            S = ss["ss_kd"].shape[0]
+            xs1 = jnp.arange(L + 1, dtype=jnp.int32)[None, :]
+            inner_start = jnp.take_along_axis(
+                starts, inner[:, None], axis=1)              # [N, 1]
+            if side == "right":
+                # donor on the inner plane at x-1; acceptor on d3 at x
+                posd = inner_start + xs1 - 1                 # [N, L+1]
+                lo = jnp.searchsorted(ss["ss_kd"], posd)
+                known_c = jnp.zeros((N, C, L + 1), bool)
+                for t in range(2):
+                    ii = jnp.minimum(lo + t, S - 1)
+                    m = (lo + t < S) & (ss["ss_kd"][ii] == posd)
+                    if rdids is not None:
+                        srd = ss["ss_rdid"][ii]
+                        m &= (srd < 0) | (srd < rdids[:, None])
+                    ka_v = ss["ss_ka"][ii]                   # [N, L+1]
+                    known_c |= m[:, None, :] & (
+                        ka_v[:, None, :]
+                        == starts[:, :, None] + xs1[None, :, :])
+                known4 = known_c
+            else:
+                # acceptor on the inner plane at x; donor on d0 at x-1
+                posa = inner_start + xs1                     # [N, L+1]
+                lo = jnp.searchsorted(ss["ss_ka_s"], posa)
+                known_c = jnp.zeros((N, C, L + 1), bool)
+                for t in range(2):
+                    ii = jnp.minimum(lo + t, S - 1)
+                    m = (lo + t < S) & (ss["ss_ka_s"][ii] == posa)
+                    if rdids is not None:
+                        srd = ss["ss_rdid_a"][ii]
+                        m &= (srd < 0) | (srd < rdids[:, None])
+                    kd_v = ss["ss_kd_s"][ii]
+                    known_c |= m[:, None, :] & (
+                        kd_v[:, None, :]
+                        == starts[:, :, None] + xs1[None, :, :] - 1)
+                known4 = known_c
+        pen2 = jnp.where(known4, 0, pen2)
+        sc2 = score - pen2
+        valid4 = vx & is_spl2[:, :, None]
+        # novel gates (same thresholds as the primary sweep)
+        sh = jnp.maximum(jnp.minimum(anchor_l, anchor_r), 1)
+        thresh = jnp.where(canonical,
+                           max_intron_len(sh, prm.min_anchor),
+                           max_intron_len_noncan(sh, prm.min_anchor_noncan))
+        gated = thresh < prm.max_intron
+        D3 = D[:, :, None]
+        pth = jnp.where(D3 >= (1 << 16), 0.99,
+                        jnp.where(D3 >= (1 << 15), 0.97,
+                                  jnp.where(D3 >= (1 << 14), 0.94,
+                                            jnp.where(D3 >= (1 << 13), 0.91,
+                                                      jnp.where(
+                                                          D3 >= (1 << 12),
+                                                          0.88, 0.8)))))
+        ok4 = valid4 & (known4 | ~(gated & (D3 > thresh))
+                        & ~(gated & canonical & (splsc < pth)))
+        logd = jnp.log(jnp.maximum(D3, 1).astype(jnp.float32))
+        lenpen = jnp.maximum(jnp.where(
+            canonical,
+            (prm.lenpen_const + prm.lenpen_coef * logd).astype(jnp.int32),
+            (prm.lenpen_nc_const + prm.lenpen_nc_coef * logd
+             ).astype(jnp.int32)), 0)
+        lenpen = jnp.where(known4, 0, lenpen)
+        sc2 = jnp.where(ok4, sc2 - lenpen, -_BIG)
+        sc2 = jnp.where(sc2 >= minsc[:, None, None], sc2, -_BIG)
+        # best (dir > score > prob > first x) folded over [C, L+1]
+        hd = jnp.where(spldir4 != SPL_UNKNOWN, 1, 0)
+        k1 = jnp.where(sc2 > -_BIG // 2,
+                       (hd << 23) + jnp.maximum(sc2, -(2 ** 21)) + 2 ** 21,
+                       -1)
+        flat = k1.reshape(N, -1)
+        m1 = flat.max(axis=1)
+        tie = flat == m1[:, None]
+        sflat = jnp.where(tie, splsc.reshape(N, -1), -1.0)
+        s2b = sflat.max(axis=1)
+        tie2 = tie & (sflat == s2b[:, None])
+        pick = jnp.where(tie2, jnp.arange(flat.shape[1],
+                                          dtype=jnp.int32)[None, :],
+                         _BIG).min(axis=1)
+        c_pick = jnp.minimum(pick // (L + 1), C - 1)
+        x_pick = pick % (L + 1)
+        dirflat = spldir4.reshape(N, -1)
+        outs[side] = dict(
+            score=jnp.where(m1 >= 0, (m1 & ((1 << 23) - 1)) - 2 ** 21,
+                            -_BIG),
+            d=jnp.take_along_axis(starts, c_pick[:, None], axis=1)[:, 0],
+            x=x_pick,
+            dir=jnp.take_along_axis(dirflat, jnp.minimum(
+                pick, flat.shape[1] - 1)[:, None], axis=1)[:, 0])
+    return outs
 
 
 def select_pairs(res: PairResult, starts, top: int = 4):

@@ -107,3 +107,30 @@ def test_spliced_sam_rendering(rna_aligner, splice_genome):
     # tag order: XS after YT, before NH (sam.h emission order)
     assert fields.index("YT:Z:UU") < fields.index("XS:A:+") < \
         fields.index("NH:i:1")
+
+
+def test_two_junction_read(splice_genome):
+    """A read spanning two introns (short middle exon) aligns with two N
+    operations via the composite second-junction sweep.  Expectations
+    byte-verified vs the oracle on an equivalent fixture."""
+    from hisat2_tpu.align.pipeline import TPUAligner
+    from hisat2_tpu.index.builder import build_fm_index
+    import numpy as np
+    rng = np.random.default_rng(21)
+    n = 150000
+    g = rng.integers(0, 4, n).astype(np.uint8)
+    for s, ln in ((40000, 400), (40440, 600)):
+        g[s], g[s + 1] = 2, 3
+        g[s + ln - 2], g[s + ln - 1] = 0, 2
+    idx = build_fm_index([("chrM", g)])
+    al = TPUAligner(idx, spliced=True)
+    # left 30 | exon2 (40 bp) | right 30
+    read = np.concatenate([g[39970:40000], g[40400:40440], g[41040:41070]])
+    codes = read[None, :].astype(np.uint8)
+    quals = np.full((1, 100), 40, np.uint8)
+    res = al.align_batch(codes, quals, np.full(1, 100, np.int32))
+    a = res.alignments[0][0]
+    assert a.junc_kind == 1 and a.junc2_kind == 1
+    assert (a.junc_x, a.junc_len) == (30, 400)
+    assert (a.junc2_x, a.junc2_len) == (70, 600)
+    assert a.score == 0 and a.mapq == 60
