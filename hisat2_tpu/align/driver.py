@@ -13,7 +13,9 @@ import time
 import numpy as np
 
 from ..index.format import FMIndex
-from ..io.fasta import read_batches
+from ..io import demux
+from ..io.fasta import (batch_stream, iter_cmdline, iter_tabbed,
+                        read_batches)
 from ..io.sam import SamWriter
 from . import mapq as mapq_mod
 from .paired import PairPolicy, best_pairs
@@ -67,19 +69,136 @@ def run_align(args) -> int:
         # worker the reference's mindist is 0 either way (hisat2.cpp:3559),
         # so temp-site usage is identical
     out = open(args.sam, "w") if args.sam else sys.stdout
-    writer = SamWriter(out, index.meta.ref_names, index.meta.ref_lens,
+    # --remove-chrname/--add-chrname rewrite @SQ + RNAME (hisat2.cpp:3750)
+    disp_names = list(index.meta.ref_names)
+    if getattr(args, "remove_chrname", False):
+        disp_names = [n[3:] if n.startswith("chr") else n
+                      for n in disp_names]
+    elif getattr(args, "add_chrname", False):
+        disp_names = ["chr" + n if not n.startswith("chr") else n
+                      for n in disp_names]
+    writer = SamWriter(out, disp_names, index.meta.ref_lens,
                        cmdline=" ".join(sys.argv[1:]),
                        no_head=args.no_hd, no_unal=args.no_unal,
                        rg_id=args.rg_id, rg=args.rg,
                        annotator=(aligner.annotate_snps
                                   if variants is not None else None),
-                       rna_strandness=args.rna_strandness)
+                       rna_strandness=args.rna_strandness,
+                       omit_sec_seq=getattr(args, "omit_sec_seq", False))
     ref_fn = lambda pos, span: aligner.ref_codes[pos:pos + span]  # noqa: E731
+
+    fmt = ("fastq" if args.fastq else "fasta" if args.fasta else
+           "raw" if getattr(args, "raw", False) else
+           "qseq" if getattr(args, "qseq", False) else "auto")
+    qmode = getattr(args, "qual_mode", "phred33")
+    trim5, trim3 = getattr(args, "trim5", 0), getattr(args, "trim3", 0)
+
+    def _first_path():
+        src = args.unpaired or args.m1 or getattr(args, "tab12", None)
+        return src.split(",")[0] if src else None
+
+    def _fastq_out() -> bool:
+        if fmt in ("fastq", "qseq"):
+            return True
+        if fmt != "auto":
+            return False
+        p = _first_path()
+        if p is None or getattr(args, "cmdline_reads", False):
+            return False
+        from ..io.fasta import _open
+        with _open(p) as f:
+            return f.read(1) == b"@"
+
+    def _sink(plain, gz, paired):
+        path = plain or (gz if gz is None or gz.endswith(".gz")
+                         else gz + ".gz")
+        if path is None:
+            return None
+        cls = demux.PairSink if paired else demux.ReadSink
+        return cls(path, _fastq_out())
+
+    sink_un = _sink(getattr(args, "un", None),
+                    getattr(args, "un_gz", None), False)
+    sink_al = _sink(getattr(args, "al", None),
+                    getattr(args, "al_gz", None), False)
+    sink_un_conc = _sink(getattr(args, "un_conc", None),
+                         getattr(args, "un_conc_gz", None), True)
+    sink_al_conc = _sink(getattr(args, "al_conc", None),
+                         getattr(args, "al_conc_gz", None), True)
 
     n_batches = 0
     rdid0 = 0  # global read ids (pat.h rdid assignment; gates temp
     #            splice-site visibility across batches)
-    if args.unpaired:
+    tab12 = getattr(args, "tab12", None)
+    tab_paired = False
+    if tab12:
+        from ..io.fasta import _open
+        with _open(tab12.split(",")[0]) as f:
+            tab_paired = len(f.readline().rstrip(b"\n").split(b"\t")) >= 5
+
+    def unpaired_batches():
+        bs, sk, up = args.batch_size, args.skip, args.upto
+        if tab12:
+            for path in tab12.split(","):
+                yield from batch_stream(iter_tabbed(path, qmode), bs,
+                                        skip=sk, limit=up,
+                                        trim5=trim5, trim3=trim3)
+            return
+        if getattr(args, "cmdline_reads", False):
+            yield from batch_stream(iter_cmdline(args.unpaired), bs,
+                                    skip=sk, limit=up,
+                                    trim5=trim5, trim3=trim3)
+            return
+        for path in args.unpaired.split(","):
+            yield from read_batches(path, bs, skip=sk, limit=up, fmt=fmt,
+                                    qual_mode=qmode, trim5=trim5,
+                                    trim3=trim3)
+
+    def paired_batches():
+        from ..io.fasta import ReadBatch
+        bs, sk, up = args.batch_size, args.skip, args.upto
+        if tab12:
+            for path in tab12.split(","):
+                n1, c1, q1, n2, c2, q2 = [], [], [], [], [], []
+                seen = 0
+                for rec in iter_tabbed(path, qmode):
+                    if len(rec) < 5:
+                        continue
+                    if seen < sk:
+                        seen += 1
+                        continue
+                    if up is not None and seen - sk >= up:
+                        break
+                    seen += 1
+                    n1.append(rec[0])
+                    c1.append(rec[1])
+                    q1.append(rec[2])
+                    c2.append(rec[3])
+                    q2.append(rec[4])
+                    if len(n1) == bs:
+                        yield (ReadBatch(n1, c1, q1),
+                               ReadBatch(list(n1), c2, q2))
+                        n1, c1, q1, c2, q2 = [], [], [], [], []
+                if n1:
+                    yield (ReadBatch(n1, c1, q1),
+                           ReadBatch(list(n1), c2, q2))
+            return
+        if getattr(args, "cmdline_reads", False):
+            it1 = batch_stream(iter_cmdline(args.m1), bs, skip=sk, limit=up,
+                               trim5=trim5, trim3=trim3)
+            it2 = batch_stream(iter_cmdline(args.m2), bs, skip=sk, limit=up,
+                               trim5=trim5, trim3=trim3)
+            yield from zip(it1, it2)
+            return
+        for p1, p2 in zip(args.m1.split(","), args.m2.split(",")):
+            it1 = read_batches(p1, bs, skip=sk, limit=up, fmt=fmt,
+                               qual_mode=qmode, trim5=trim5, trim3=trim3)
+            it2 = read_batches(p2, bs, skip=sk, limit=up, fmt=fmt,
+                               qual_mode=qmode, trim5=trim5, trim3=trim3)
+            yield from zip(it1, it2)
+
+    paired_mode = (args.m1 and args.m2) or (tab12 and tab_paired)
+    if not paired_mode and (args.unpaired or tab12):
         def emit(pend):
             res = aligner.collect(pend[0])
             b = pend[1]
@@ -87,39 +206,40 @@ def run_align(args) -> int:
                 L = int(b.lens[i])
                 writer.write_read(name, b.codes[i, :L], b.quals[i, :L],
                                   res.alignments[i], ref_fn)
+                sink = sink_al if res.alignments[i] else sink_un
+                if sink is not None:
+                    sink.write(name, b.codes[i, :L], b.quals[i, :L])
 
         pending = None   # one-deep pipeline: the device crunches batch
         #                  i+1 while the host renders batch i's SAM
-        for path in args.unpaired.split(","):
-            for b in read_batches(path, args.batch_size,
-                                  skip=args.skip, limit=args.upto):
-                rdids = rdid0 + np.arange(len(b.names), dtype=np.int64)
-                rdid0 += len(b.names)
-                handle = aligner.dispatch(b.codes, b.quals, b.lens, rdids)
-                n_batches += 1
-                if pending is not None:
-                    emit(pending)
-                pending = (handle, b)
+        for b in unpaired_batches():
+            rdids = rdid0 + np.arange(len(b.names), dtype=np.int64)
+            rdid0 += len(b.names)
+            handle = aligner.dispatch(b.codes, b.quals, b.lens, rdids)
+            n_batches += 1
+            if pending is not None:
+                emit(pending)
+            pending = (handle, b)
         if pending is not None:
             emit(pending)
-    elif args.m1 and args.m2:
+    elif paired_mode:
         policy = PairPolicy(minins=args.minins, maxins=args.maxins,
                             orient=args.orient, no_mixed=args.no_mixed,
                             no_discordant=args.no_discordant)
-        for p1, p2 in zip(args.m1.split(","), args.m2.split(",")):
-            it1 = read_batches(p1, args.batch_size, skip=args.skip,
-                               limit=args.upto)
-            it2 = read_batches(p2, args.batch_size, skip=args.skip,
-                               limit=args.upto)
-            for b1, b2 in zip(it1, it2):
-                rdids = rdid0 + np.arange(len(b1.names), dtype=np.int64)
-                rdid0 += len(b1.names)
-                _align_pair_batch(aligner, writer, policy, scoring,
-                                  args.khits, b1, b2, ref_fn, rdids)
-                n_batches += 1
+        for b1, b2 in paired_batches():
+            rdids = rdid0 + np.arange(len(b1.names), dtype=np.int64)
+            rdid0 += len(b1.names)
+            _align_pair_batch(aligner, writer, policy, scoring,
+                              args.khits, b1, b2, ref_fn, rdids,
+                              sink_un_conc=sink_un_conc,
+                              sink_al_conc=sink_al_conc)
+            n_batches += 1
     else:
-        print("error: provide -U or -1/-2", file=sys.stderr)
+        print("error: provide -U, -1/-2, or --12", file=sys.stderr)
         return 1
+    for s in (sink_un, sink_al, sink_un_conc, sink_al_conc):
+        if s is not None:
+            s.close()
 
     if aligner.splice_db is not None and args.novel_splicesite_outfile:
         aligner.splice_db.write_novel(args.novel_splicesite_outfile)
@@ -138,7 +258,7 @@ def run_align(args) -> int:
 
 
 def _align_pair_batch(aligner, writer, policy, scoring, k, b1, b2, ref_fn,
-                      rdids=None):
+                      rdids=None, sink_un_conc=None, sink_al_conc=None):
     """Align both mates in one device batch, then pair on host."""
     B = len(b1.names)
     assert len(b2.names) == B, "mate files out of sync"
@@ -224,6 +344,10 @@ def _align_pair_batch(aligner, writer, policy, scoring, k, b1, b2, ref_fn,
         alns1 = res.alignments[i]
         alns2 = res.alignments[B + i]
         pairs = all_pairs[i]
+        sink = sink_al_conc if pairs else sink_un_conc
+        if sink is not None:
+            sink.write(name, b1.codes[i, :l1], b1.quals[i, :l1],
+                       b2.codes[i, :l2], b2.quals[i, :l2])
         if pairs:
             # pair-level NH / MAPQ (AlnSinkWrap::finishRead paired summary)
             best = pairs[0][0].score + pairs[0][1].score

@@ -23,6 +23,48 @@ def build_parser():
     p.add_argument("-1", dest="m1", default=None, help="mate-1 files")
     p.add_argument("-2", dest="m2", default=None, help="mate-2 files")
     p.add_argument("-S", dest="sam", default=None, help="output SAM file")
+    p.add_argument("--12", dest="tab12", default=None,
+                   help="tabbed-format reads file (pat.h:1025)")
+    p.add_argument("-c", dest="cmdline_reads", action="store_true",
+                   help="-U/-1/-2 operands are sequences themselves")
+    p.add_argument("-r", dest="raw", action="store_true",
+                   help="raw one-sequence-per-line input")
+    p.add_argument("--qseq", action="store_true",
+                   help="Illumina qseq input")
+    p.add_argument("--phred33", dest="qual_mode", action="store_const",
+                   const="phred33", default="phred33")
+    p.add_argument("--phred64", dest="qual_mode", action="store_const",
+                   const="phred64")
+    p.add_argument("--solexa-quals", dest="qual_mode", action="store_const",
+                   const="solexa")
+    p.add_argument("--int-quals", dest="qual_mode", action="store_const",
+                   const="int")
+    p.add_argument("-5", "--trim5", type=int, default=0,
+                   help="trim N bases from 5' end")
+    p.add_argument("-3", "--trim3", type=int, default=0,
+                   help="trim N bases from 3' end")
+    p.add_argument("--un", default=None,
+                   help="write unpaired reads that fail to align")
+    p.add_argument("--al", default=None,
+                   help="write unpaired reads that align >=1 time")
+    p.add_argument("--un-conc", default=None,
+                   help="write pairs that fail to align concordantly")
+    p.add_argument("--al-conc", default=None,
+                   help="write pairs that align concordantly >=1 time")
+    p.add_argument("--un-gz", dest="un_gz", default=None)
+    p.add_argument("--al-gz", dest="al_gz", default=None)
+    p.add_argument("--un-conc-gz", dest="un_conc_gz", default=None)
+    p.add_argument("--al-conc-gz", dest="al_conc_gz", default=None)
+    p.add_argument("--remove-chrname", action="store_true",
+                   help="strip leading 'chr' from reference names")
+    p.add_argument("--add-chrname", action="store_true",
+                   help="prepend 'chr' to reference names")
+    p.add_argument("--omit-sec-seq", action="store_true",
+                   help="print * for SEQ/QUAL of secondary alignments")
+    p.add_argument("--reorder", action="store_true",
+                   help="accepted; output is already in input order")
+    p.add_argument("--mm", action="store_true",
+                   help="accepted; index load is memory-mapped already")
     p.add_argument("-q", dest="fastq", action="store_true",
                    help="inputs are FASTQ (default: sniffed)")
     p.add_argument("-f", dest="fasta", action="store_true",

@@ -41,21 +41,87 @@ def iter_fasta(path: str) -> Iterator[tuple[str, np.ndarray]]:
             yield name, bitops.encode_dna(b"".join(parts))
 
 
-def iter_reads(path: str) -> Iterator[tuple[str, np.ndarray, np.ndarray]]:
-    """Yield (name, codes, quals) for FASTA or FASTQ (by sniffing).
+def decode_quals(qual: bytes, mode: str = "phred33") -> np.ndarray:
+    """Quality-string decoding (qual.h:1-90): --phred33 (default), --phred64,
+    --solexa-quals (10*log10(1+10^(s/10)) remap), --int-quals (space-sep)."""
+    if mode == "int":
+        q = np.array([int(x) for x in qual.split()], np.int16)
+    elif mode == "phred64":
+        q = np.frombuffer(qual, np.uint8).astype(np.int16) - 64
+    elif mode == "solexa":
+        s = np.frombuffer(qual, np.uint8).astype(np.float64) - 64
+        q = np.rint(10.0 * np.log10(1.0 + 10.0 ** (s / 10.0))).astype(
+            np.int16)
+    else:
+        q = np.frombuffer(qual, np.uint8).astype(np.int16) - 33
+    return np.clip(q, 0, 63).astype(np.uint8)
 
-    FASTA reads get quality 40 everywhere ('I'), matching the reference's
-    treatment of quality-less input (pat.h fasta parsers set quals to 'I')."""
-    with _open(path) as f:
-        first = f.read(1)
-    if first == b"@":
-        yield from _iter_fastq(path)
+
+def iter_reads(path: str, fmt: str = "auto", qual_mode: str = "phred33"
+               ) -> Iterator[tuple[str, np.ndarray, np.ndarray]]:
+    """Yield (name, codes, quals) per read.
+
+    fmt: auto (sniff @/> like the Perl wrapper), fasta, fastq, raw (-r:
+    one sequence per line, ordinal names — pat.h:1478), qseq (11-field
+    tabbed Illumina qseq, pat.h:1112).  FASTA/raw reads get quality 40
+    everywhere ('I'), matching the reference's treatment of quality-less
+    input (pat.h fasta parsers set quals to 'I')."""
+    if fmt == "auto":
+        with _open(path) as f:
+            first = f.read(1)
+        fmt = "fastq" if first == b"@" else "fasta"
+    if fmt == "fastq":
+        yield from _iter_fastq(path, qual_mode)
+    elif fmt == "raw":
+        with _open(path) as f:
+            for i, line in enumerate(f):
+                line = line.strip()
+                if not line:
+                    continue
+                codes = bitops.encode_dna(line)
+                yield str(i), codes, np.full(len(codes), 40, np.uint8)
+    elif fmt == "qseq":
+        # machine run lane tile x y index mate seq qual filter; name is the
+        # underscore-join of the id fields (pat.h:1112 qseq parser)
+        with _open(path) as f:
+            for line in f:
+                p = line.rstrip(b"\n").split(b"\t")
+                if len(p) < 10:
+                    continue
+                name = b"_".join(p[:7]).decode()
+                seq = p[8].replace(b".", b"N")
+                yield name, bitops.encode_dna(seq), \
+                    decode_quals(p[9], qual_mode)
     else:
         for name, codes in iter_fasta(path):
             yield name, codes, np.full(len(codes), 40, np.uint8)
 
 
-def _iter_fastq(path: str):
+def iter_cmdline(seqs: str) -> Iterator[tuple[str, np.ndarray, np.ndarray]]:
+    """-c: the -U/-1/-2 operands ARE comma-separated sequences, named by
+    ordinal (pat.h:707 VectorPatternSource)."""
+    for i, s in enumerate(seqs.split(",")):
+        codes = bitops.encode_dna(s.encode())
+        yield str(i), codes, np.full(len(codes), 40, np.uint8)
+
+
+def iter_tabbed(path: str, qual_mode: str = "phred33"):
+    """--12: one read (name seq qual) or pair (name seq1 qual1 seq2 qual2)
+    per tab-separated line (pat.h:1025).  Yields (name, c1, q1) for
+    unpaired lines, (name, c1, q1, c2, q2) for paired lines."""
+    with _open(path) as f:
+        for line in f:
+            p = line.rstrip(b"\n").split(b"\t")
+            if len(p) >= 5:
+                yield (p[0].decode(), bitops.encode_dna(p[1]),
+                       decode_quals(p[2], qual_mode),
+                       bitops.encode_dna(p[3]), decode_quals(p[4], qual_mode))
+            elif len(p) >= 3:
+                yield (p[0].decode(), bitops.encode_dna(p[1]),
+                       decode_quals(p[2], qual_mode))
+
+
+def _iter_fastq(path: str, qual_mode: str = "phred33"):
     with _open(path) as f:
         while True:
             h = f.readline()
@@ -69,8 +135,7 @@ def _iter_fastq(path: str):
             qual = f.readline().strip()
             name = h[1:].split()[0].decode()
             codes = bitops.encode_dna(seq)
-            quals = np.frombuffer(qual, dtype=np.uint8).astype(np.int16) - 33
-            yield name, codes, np.clip(quals, 0, 63).astype(np.uint8)
+            yield name, codes, decode_quals(qual, qual_mode)
 
 
 class ReadBatch:
@@ -95,18 +160,27 @@ class ReadBatch:
         return len(self.names)
 
 
-def read_batches(path: str, batch_size: int, pad_to: int = None,
-                 skip: int = 0, limit: int = None):
-    """Stream ReadBatches of at most batch_size reads (-u/-s equivalents)."""
+def _trim(codes, quals, trim5: int, trim3: int):
+    if trim5 or trim3:
+        end = len(codes) - trim3
+        codes, quals = codes[trim5:end], quals[trim5:end]
+    return codes, quals
+
+
+def batch_stream(records, batch_size: int, pad_to: int = None,
+                 skip: int = 0, limit: int = None,
+                 trim5: int = 0, trim3: int = 0):
+    """Batch any (name, codes, quals) iterator (-u/-s/-5/-3 equivalents)."""
     names, cs, qs = [], [], []
     seen = 0
-    for name, codes, quals in iter_reads(path):
+    for name, codes, quals in records:
         if seen < skip:
             seen += 1
             continue
         if limit is not None and seen - skip >= limit:
             break
         seen += 1
+        codes, quals = _trim(codes, quals, trim5, trim3)
         names.append(name)
         cs.append(codes)
         qs.append(quals)
@@ -115,3 +189,11 @@ def read_batches(path: str, batch_size: int, pad_to: int = None,
             names, cs, qs = [], [], []
     if names:
         yield ReadBatch(names, cs, qs, pad_to)
+
+
+def read_batches(path: str, batch_size: int, pad_to: int = None,
+                 skip: int = 0, limit: int = None, fmt: str = "auto",
+                 qual_mode: str = "phred33", trim5: int = 0, trim3: int = 0):
+    """Stream ReadBatches of at most batch_size reads from one file."""
+    yield from batch_stream(iter_reads(path, fmt, qual_mode), batch_size,
+                            pad_to, skip, limit, trim5, trim3)

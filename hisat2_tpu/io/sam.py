@@ -74,8 +74,10 @@ class SamWriter:
     def __init__(self, out, ref_names, ref_lens, cmdline: str = "",
                  no_head: bool = False, no_unal: bool = False,
                  rg_id: str = None, rg: list = None, annotator=None,
-                 rna_strandness: str = "unstranded"):
+                 rna_strandness: str = "unstranded",
+                 omit_sec_seq: bool = False):
         self.rna_strandness = rna_strandness
+        self.omit_sec_seq = omit_sec_seq  # --omit-sec-seq (sam.h)
         self.out = out if hasattr(out, "write") else open(out, "w")
         self.ref_names = ref_names
         self.ref_lens = ref_lens
@@ -113,10 +115,13 @@ class SamWriter:
         flag = ((FLAG_REVERSE if a.rc else 0)
                 | (FLAG_SECONDARY if a.secondary else 0) | flag_extra)
         rd = bitops.revcomp_codes(codes) if a.rc else codes
-        seq = bitops.decode_dna(rd)
-        qual = "".join(chr(int(q) + 33) for q in quals)
-        if a.rc:
-            qual = qual[::-1]
+        if a.secondary and self.omit_sec_seq:
+            seq = qual = "*"
+        else:
+            seq = bitops.decode_dna(rd)
+            qual = "".join(chr(int(q) + 33) for q in quals)
+            if a.rc:
+                qual = qual[::-1]
         L = len(codes)
         cl, cr = a.clip_l, a.clip_r
         mid = L - cl - cr
