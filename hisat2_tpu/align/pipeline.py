@@ -135,17 +135,19 @@ class TPUAligner:
         self.scoring = scoring or Scoring()
         self.k = k
         self.max_hits = max_hits
-        # spliced mode records short boundary anchors (>= 8 bp, the
-        # reference's _minK_local — hi_aligner.h:3813) so the junction sweep
-        # can pair a long anchor with a short one across an intron
-        self.min_hit_len = 8 if spliced else min_hit_len
+        # short boundary anchors (>= 8 bp, the reference's _minK_local —
+        # hi_aligner.h:3813) are recorded in BOTH modes: the worker always
+        # runs SplicedAligner::go (hisat2.cpp:3435) and
+        # --no-spliced-alignment gates only the intron joins, so novel
+        # indel discovery keeps the full short-anchor pipeline
+        del min_hit_len
+        self.min_hit_len = 8
         # unique candidates extended per (read, orientation); >= k so that
-        # -k reporting isn't starved, small so extension stays cheap;
-        # spliced mode adds slots for short-anchor diagonals and resolves
-        # up to 6 rows per hit (the reference resolves short-segment ranges
-        # only when nelt <= 5, spliced_aligner.h:951)
-        self.max_cands = max(k + 1, 6) + (8 if spliced else 0)
-        self.cand_per_hit = max(cand_per_hit, 6) if spliced else cand_per_hit
+        # -k reporting isn't starved, plus slots for short-anchor diagonals;
+        # up to 6 rows resolve per hit (the reference resolves
+        # short-segment ranges only when nelt <= 5, spliced_aligner.h:951)
+        self.max_cands = max(k + 1, 6) + 8
+        self.cand_per_hit = max(cand_per_hit, 6)
         self.no_fw = no_fw
         self.no_rc = no_rc
         self.spliced = spliced
@@ -392,7 +394,8 @@ class TPUAligner:
         sel["post"] = jnp.take_along_axis(cpost, sel["i"], axis=1) \
             & jnp.take_along_axis(cpost, sel["j"], axis=1)
         blocks = [dict(sel, known=jnp.zeros((2 * B, T0), jnp.int32),
-                       event=jnp.full((2 * B, T0), -1, jnp.int32))]
+                       event=jnp.full((2 * B, T0), -1, jnp.int32),
+                       selfgap=jnp.zeros((2 * B, T0), jnp.int32))]
         if self.spliced or self.has_indels:
             C = cstart.shape[1]
             zero3 = jnp.zeros((2 * B, C, 1), jnp.int32)
@@ -419,7 +422,8 @@ class TPUAligner:
             inj["ab"] = jnp.take_along_axis(cab, src_i, axis=1)
             inj["post"] = jnp.take_along_axis(cpost, src_i, axis=1)
             blocks.append(dict(inj, known=jnp.ones((2 * B, J), jnp.int32),
-                               event=jnp.full((2 * B, J), -1, jnp.int32)))
+                               event=jnp.full((2 * B, J), -1, jnp.int32),
+                               selfgap=jnp.zeros((2 * B, J), jnp.int32)))
         if self.has_indels:
             # known ALT indel injection
             P_snv = jnp.concatenate(
@@ -438,9 +442,31 @@ class TPUAligner:
             injd["ab"] = jnp.take_along_axis(cab, src_i, axis=1)
             injd["post"] = jnp.take_along_axis(cpost, src_i, axis=1)
             blocks.append(dict(injd,
-                               known=jnp.ones((2 * B, Ji), jnp.int32)))
+                               known=jnp.ones((2 * B, Ji), jnp.int32),
+                               selfgap=jnp.zeros((2 * B, Ji), jnp.int32)))
+        # single-anchor small-gap sweep: novel indels whose short flank has
+        # no global FM anchor (the partial search walks through the gap and
+        # lands on a chimeric diagonal; the reference re-searches the span
+        # in its 57kb local index, spliced_aligner.h:736)
+        snv1_w = snv2_w = None
+        if self.graph is not None:
+            snv1_w = splice_ops.diag_chars(params["snv1"], meta.n,
+                                           cstart, L, 16)
+            snv2_w = splice_ops.diag_chars(params["snv2"], meta.n,
+                                           cstart, L, 16)
+        selfw = splice_ops.self_indel_sweep(
+            ch, ar, aq, al, cstart, cvalid, am, params["mm_pen"],
+            self.scoring.n_pen, self.splice_params,
+            snv1_w=snv1_w, snv2_w=snv2_w)
+        src_i = selfw.pop("src")
+        Cs = cstart.shape[1]
+        selfw["ab"] = jnp.take_along_axis(cab, src_i, axis=1)
+        selfw["post"] = jnp.take_along_axis(cpost, src_i, axis=1)
+        blocks.append(dict(selfw, known=jnp.zeros((2 * B, Cs), jnp.int32),
+                           event=jnp.full((2 * B, Cs), -1, jnp.int32),
+                           selfgap=jnp.ones((2 * B, Cs), jnp.int32)))
         for k2 in ("score", "d1", "d2", "x", "kind", "spldir",
-                   "splscore", "known", "event", "ab", "post"):
+                   "splscore", "known", "event", "ab", "post", "selfgap"):
             out["p_" + k2] = jnp.concatenate(
                 [b[k2] for b in blocks], axis=1)
         if self.spliced:
@@ -871,6 +897,14 @@ class TPUAligner:
             maxmm = -(-np.maximum(-bestr, 0) // max(self.scoring.mm_max, 1))
             allowed = maxmm + best_spl + 1
             valid &= (ab <= allowed[read_of_lane]) | is_best
+            # single-anchor gap joins survive only at the read's best
+            # score: the reference's best-first local search never pursues
+            # a strictly-worse gap once a better alignment exists (verified
+            # vs oracle: an equal-score remote 32M1D68M IS reported, a
+            # worse-by-2 remote 86M1I13M is not and never feeds ZS)
+            selfgap = flat(np.zeros((2 * B, C), np.int64),
+                           o_np.get("p_selfgap", z2)).astype(bool)
+            valid &= ~(selfgap & (score < bestr[read_of_lane]))
             # post-anchor-stop candidates exist only when the pre-stop
             # anchor's extension leaves part of the read uncovered
             # (hybridSearch re-search); a full-coverage candidate in the

@@ -747,6 +747,120 @@ def inject_indels(ref_words, n_text: int, reads, quals, lens,
                 src=src)
 
 
+def self_indel_sweep(ch, reads, quals, lens, starts, valid, minsc,
+                     mm_pen, n_pen: int, prm: SpliceParams,
+                     snv1_w=None, snv2_w=None):
+    """Single-anchor small-gap (indel) discovery.
+
+    For each candidate diagonal, sweep read/ref gaps of 1..max_gap against
+    SHIFTED copies of its own reference window — the short side of the gap
+    needs no FM anchor because the long side pins the diagonal and the gap
+    is bounded.  This covers the reference's local-GFM-search rescue of
+    indels whose short flank never forms a global anchor (the global
+    partial search walks THROUGH the gap producing a chimeric hit on the
+    wrong diagonal; SplicedAligner::hybridSearch_recur re-searches the
+    remaining span in the 57kb local index instead,
+    spliced_aligner.h:736,1391).
+
+    ch: [N, C, L+2M] diagonal ref chars (diag_chars output, M >= max_gap);
+    snv1_w/snv2_w: same-shape SNV delta windows (known SNVs are forgiven
+    in indel joins like inject_indels/extension, hi_aligner.h:1781-1797).
+    Returns one row per candidate ([N, C]) in pair_sweep's block format:
+    d1/d2 = left/right diagonal so junc_len = d2 - d1 downstream.
+    """
+    N, C, W = ch.shape
+    L = reads.shape[1]
+    M = (W - L) // 2
+    G = int(min(prm.max_gap, M))
+    rd = reads[:, None, :]
+    mmq = mm_pen[jnp.minimum(quals, 63)][:, None, :]
+    ln = lens[:, None]
+    colL = jnp.arange(L, dtype=jnp.int32)[None, None, :]
+    vp = colL < ln[:, :, None]
+    isn_pen = jnp.where(vp & (rd >= 4), jnp.int32(n_pen), 0)
+    zero3 = jnp.zeros((N, C, 1), jnp.int32)
+
+    def prefix(delta):
+        chs = jax.lax.dynamic_slice_in_dim(ch, M + delta, L, axis=2)
+        mm = vp & (rd < 4) & (chs < 4) & (rd != chs)
+        if snv1_w is not None:
+            v1 = jax.lax.dynamic_slice_in_dim(snv1_w, M + delta, L, axis=2)
+            v2 = jax.lax.dynamic_slice_in_dim(snv2_w, M + delta, L, axis=2)
+            mm &= ~(((v1 != 0) & (rd == ((chs + v1) & 3)))
+                    | ((v2 != 0) & (rd == ((chs + v2) & 3))))
+        pen = (jnp.where(mm, mmq, 0) + isn_pen
+               + jnp.where(vp & (chs > 3), jnp.int32(100000), 0))
+        return jnp.concatenate([zero3, jnp.cumsum(pen, axis=2)], axis=2)
+
+    def shifted(P, g, tot):
+        # P[x + g] for x = 0..L (prefix saturates at the total)
+        tail = jnp.broadcast_to(tot[:, :, None], (N, C, g))
+        return jnp.concatenate([P[:, :, g:], tail], axis=2)
+
+    ln3 = jnp.broadcast_to(ln[:, :, None], (N, C, 1))
+    P0 = prefix(0)
+    T0 = jnp.take_along_axis(P0, ln3, axis=2)[:, :, 0]
+    xs = jnp.arange(L + 1, dtype=jnp.int32)[None, None, :]
+    best = jnp.full((N, C), _BIG, jnp.int32)
+    bx = jnp.zeros((N, C), jnp.int32)
+    bo1 = jnp.zeros((N, C), jnp.int32)      # d1 - starts
+    bo2 = jnp.zeros((N, C), jnp.int32)      # d2 - starts
+    bkind = jnp.zeros((N, C), jnp.int32)
+
+    def upd(pen, okx, x_off1_off2_kind, state):
+        best, bx, bo1, bo2, bkind = state
+        x, o1, o2, kd = x_off1_off2_kind
+        pen = jnp.where(okx, pen, _BIG)
+        am = jnp.argmin(pen, axis=2).astype(jnp.int32)
+        pm = jnp.take_along_axis(pen, am[:, :, None], axis=2)[:, :, 0]
+        better = pm < best
+        return (jnp.where(better, pm, best),
+                jnp.where(better, am, bx),
+                jnp.where(better, o1, bo1),
+                jnp.where(better, o2, bo2),
+                jnp.where(better, kd, bkind))
+
+    state = (best, bx, bo1, bo2, bkind)
+    for g in range(1, G + 1):
+        Pm = prefix(-g)
+        Pp = prefix(+g)
+        Tm = jnp.take_along_axis(Pm, ln3, axis=2)[:, :, 0]
+        Tp = jnp.take_along_axis(Pp, ln3, axis=2)[:, :, 0]
+        cdel = jnp.int32(prm.rd_gap_open + prm.rd_gap_ext * g)
+        cins = jnp.int32(prm.rf_gap_open + prm.rf_gap_ext * g)
+        # the short flank must be >= minAnchorLen: the reference's local
+        # search never starts below it (`if(extoff < tpol.minAnchorLen())
+        # extoff = tpol.minAnchorLen()`, spliced_aligner.h:724) — verified
+        # vs oracle: a 2bp insertion behind a 5bp flank is soft-clipped
+        # (7S93M), behind a 7bp flank it is aligned (7M4I89M)
+        A = jnp.int32(prm.min_anchor)
+        ok_d = (xs >= A) & (xs <= ln[:, :, None] - A)
+        ok_i = (xs >= A) & (xs + g <= ln[:, :, None] - A)
+        # deletion, candidate holds the RIGHT segment: left diag = d - g
+        state = upd(Pm + (T0[:, :, None] - P0) + cdel, ok_d,
+                    (xs, -g, 0, KIND_DEL), state)
+        # deletion, candidate holds the LEFT segment: right diag = d + g
+        state = upd(P0 + (Tp[:, :, None] - Pp) + cdel, ok_d,
+                    (xs, 0, g, KIND_DEL), state)
+        # insertion, candidate holds the RIGHT segment: left diag = d + g
+        state = upd(Pp + (T0[:, :, None] - shifted(P0, g, T0)) + cins,
+                    ok_i, (xs, g, 0, KIND_INS), state)
+        # insertion, candidate holds the LEFT segment: right diag = d - g
+        state = upd(P0 + (Tm[:, :, None] - shifted(Pm, g, Tm)) + cins,
+                    ok_i, (xs, 0, -g, KIND_INS), state)
+    best, bx, bo1, bo2, bkind = state
+    score = -best
+    ok = valid & (score >= minsc[:, None]) & (best < _BIG // 2)
+    src = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, :], (N, C))
+    return dict(score=jnp.where(ok, score, -_BIG),
+                d1=starts + bo1, d2=starts + bo2,
+                x=jnp.where(ok, bx, 0),
+                kind=jnp.where(ok, bkind, KIND_NONE),
+                spldir=jnp.zeros((N, C), jnp.int32),
+                splscore=jnp.zeros((N, C), jnp.float32),
+                src=src)
+
+
 def second_sweep(ch, pen_spl, mm_raw, starts, valid, lens, minsc,
                  tables, prm: SpliceParams,
                  b_i, b_j, b_x, b_score, b_valid,
