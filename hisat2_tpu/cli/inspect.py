@@ -19,8 +19,13 @@ def main(argv=None):
                    help="print reference names only")
     p.add_argument("-s", "--summary", action="store_true",
                    help="print summary only")
+    p.add_argument("-a", "--across", type=int, default=60,
+                   help="characters per FASTA line")
     p.add_argument("--snp", action="store_true", help="print SNPs")
     p.add_argument("--ss", action="store_true", help="print splice sites")
+    p.add_argument("--ss-all", dest="ss_all", action="store_true",
+                   help="print all splice sites")
+    p.add_argument("--exon", action="store_true", help="print exons")
     args = p.parse_args(argv)
 
     from ..index.format import FMIndex
@@ -33,15 +38,32 @@ def main(argv=None):
             print(nm)
         return 0
     if args.summary:
-        print(f"Flags\t0")
+        # field-for-field the reference summary (hisat2_inspect.cpp
+        # print_index_summary; graph index => Flags 1)
+        import os
+        nsnp = nss = nexon = 0
+        if os.path.exists(args.base + ".var.npz"):
+            from ..index.variants import VariantDB
+            db = VariantDB.load(args.base)
+            nsnp = db.n_snps
+            nss = len(db.ss_ref)
+            nexon = len(getattr(db, "exon_ref", []))
+        print("Index version\t2.1.0")
+        print(f"Flags\t{1 if nsnp or nss else 0}")
+        print("2.0-compatible\t0")
         print(f"SA-Sample\t1 in {1 << m.off_rate}")
-        print(f"FtabChars\t{m.ftab_k}")
+        print(f"FTab-Chars\t{m.ftab_k}")
         for i, (nm, ln) in enumerate(zip(m.ref_names, m.ref_lens)):
             print(f"Sequence-{i + 1}\t{nm}\t{ln}")
+        print(f"Num. SNPs: {nsnp}")
+        print(f"Num. Splice Sites: {nss}")
+        print(f"Num. Exons: {nexon}")
         return 0
-    if args.snp or args.ss:
+    if args.snp or args.ss or args.ss_all or args.exon:
         from ..index.variants import print_variants
-        print_variants(None, snps=args.snp, ss=args.ss, base=args.base)
+        print_variants(None, snps=args.snp,
+                       ss=args.ss or args.ss_all, base=args.base,
+                       ref_names=m.ref_names)
         return 0
     # reconstruct FASTA: fragments back into per-reference sequences with
     # N gaps restored
@@ -56,8 +78,9 @@ def main(argv=None):
             seq[fo[f]:fo[f] + span] = joined[fj[f]:fj[f + 1]]
         print(f">{nm}")
         s = bitops.decode_dna(seq)
-        for i in range(0, len(s), 60):
-            print(s[i:i + 60])
+        w = max(args.across, 1)
+        for i in range(0, len(s), w):
+            print(s[i:i + w])
     return 0
 
 

@@ -208,11 +208,17 @@ def attach_variants(index, snp_file=None, haplotype_file=None,
     return index
 
 
-def print_variants(index_base_or_idx, snps=False, ss=False, base: str = None):
+def print_variants(index_base_or_idx, snps=False, ss=False, base: str = None,
+                   ref_names=None):
+    """hisat2-inspect --snp/--ss rendering (hisat2_inspect.cpp:214-260:
+    `name  type  chr  pos  allele` / `chr  left  right  strand`)."""
     db = (index_base_or_idx._variants
           if hasattr(index_base_or_idx, "_variants")
           else VariantDB.load(base))
-    meta_names = None
+    if ref_names is None and base is not None:
+        from .format import FMIndex
+        ref_names = FMIndex.load(base).meta.ref_names
+    nm = (lambda r: ref_names[r]) if ref_names is not None else str
     if snps:
         for i in range(db.n_snps):
             kind = _KIND_NAMES[int(db.snp_kind[i])]
@@ -223,10 +229,10 @@ def print_variants(index_base_or_idx, snps=False, ss=False, base: str = None):
             else:
                 allele = unpack_allele(int(db.snp_seq[i]),
                                        int(db.snp_len[i]))
-            print(f"{db.snp_names[i]}\t{kind}\t{int(db.snp_ref[i])}\t"
+            print(f"{db.snp_names[i]}\t{kind}\t{nm(int(db.snp_ref[i]))}\t"
                   f"{int(db.snp_pos[i])}\t{allele}")
     if ss:
         for i in range(len(db.ss_ref)):
             st = "+" if db.ss_strand[i] > 0 else "-"
-            print(f"{int(db.ss_ref[i])}\t{int(db.ss_left[i])}\t"
+            print(f"{nm(int(db.ss_ref[i]))}\t{int(db.ss_left[i])}\t"
                   f"{int(db.ss_right[i])}\t{st}")
