@@ -135,29 +135,36 @@ class TPUAligner:
         self.scoring = scoring or Scoring()
         self.k = k
         self.max_hits = max_hits
-        # short boundary anchors (>= 8 bp, the reference's _minK_local —
-        # hi_aligner.h:3813) are recorded in BOTH modes: the worker always
-        # runs SplicedAligner::go (hisat2.cpp:3435) and
-        # --no-spliced-alignment gates only the intron joins, so novel
-        # indel discovery keeps the full short-anchor pipeline
-        del min_hit_len
-        self.min_hit_len = 8
-        # unique candidates extended per (read, orientation); >= k so that
-        # -k reporting isn't starved, plus slots for short-anchor diagonals;
-        # up to 6 rows resolve per hit (the reference resolves
-        # short-segment ranges only when nelt <= 5, spliced_aligner.h:951)
-        self.max_cands = max(k + 1, 6) + 8
-        self.cand_per_hit = max(cand_per_hit, 6)
-        self.no_fw = no_fw
-        self.no_rc = no_rc
-        self.spliced = spliced
-        self.max_pairs = max_pairs
         # _minK (hi_aligner.h:3807-3813): #base-4 digits of the genome length
         n = index.meta.n
         self.min_k = 0
         while n > 0:
             n >>= 2
             self.min_k += 1
+        min_hit_len2 = min_hit_len
+        del min_hit_len
+        if spliced:
+            # short boundary anchors (>= 8 bp, the reference's _minK_local,
+            # hi_aligner.h:3813) feed the junction pair sweep, with +8
+            # candidate slots for their diagonals
+            self.min_hit_len = 8
+            self.max_cands = max(k + 1, 6) + 8
+        else:
+            # DNA mode: sub-FM-anchor indel flanks need no candidate slot,
+            # the self-gap sweep covers them from the long side alone (the
+            # reference's local-search equivalent), so the candidate pool
+            # stays small
+            self.min_hit_len = min_hit_len2
+            self.max_cands = max(k + 1, 6)
+        # up to 6 rows resolve per hit in spliced mode (the reference
+        # resolves short-segment ranges only when nelt <= 5,
+        # spliced_aligner.h:951)
+        self.cand_per_hit = max(cand_per_hit, 6) if spliced \
+            else cand_per_hit
+        self.no_fw = no_fw
+        self.no_rc = no_rc
+        self.spliced = spliced
+        self.max_pairs = max_pairs
         self.dev = index.to_device()
         # host copies for SAM field generation (MD/ref lookup)
         self.ref_codes = bitops.unpack_2bit(
@@ -380,22 +387,38 @@ class TPUAligner:
                "valid": cvalid_long & ext.ok, "alt_score": ext.alt_score,
                "ab": cab, "post": cpost}
         # --- junction candidates: novel sweep + event injections ---
-        ch = splice_ops.diag_chars(d.ref_words, meta.n, cstart, L, 16)
-        res = splice_ops.pair_sweep(
-            ch, planes.pen_raw, planes.pen, planes.mm_raw,
-            cstart, cvalid, al, am,
-            (params["tab_donor"], params["tab_acc1"], params["tab_acc2"]),
-            self.splice_params)
-        sel = splice_ops.select_pairs(res, cstart, top=self.max_pairs)
-        T0 = self.max_pairs
-        sel["ab"] = jnp.maximum(
-            jnp.take_along_axis(cab, sel["i"], axis=1),
-            jnp.take_along_axis(cab, sel["j"], axis=1))
-        sel["post"] = jnp.take_along_axis(cpost, sel["i"], axis=1) \
-            & jnp.take_along_axis(cpost, sel["j"], axis=1)
-        blocks = [dict(sel, known=jnp.zeros((2 * B, T0), jnp.int32),
-                       event=jnp.full((2 * B, T0), -1, jnp.int32),
-                       selfgap=jnp.zeros((2 * B, T0), jnp.int32))]
+        # static gap bound from the longest read's score budget: a gap of
+        # size g costs open + ext*g, which must stay within -minsc; gaps
+        # of min_intron or more are introns, not indels
+        sp = self.splice_params
+        g_budget = max(1, (-int(self.scoring.min_score(L))
+                           - min(sp.rd_gap_open, sp.rf_gap_open))
+                       // max(min(sp.rd_gap_ext, sp.rf_gap_ext), 1))
+        g_budget = min(g_budget, sp.min_intron - 1)
+        margin = max(16, g_budget)
+        ch = splice_ops.diag_chars(d.ref_words, meta.n, cstart, L, margin)
+        if sp.allow_spliced:
+            # the O(C^2) diagonal-pair sweep is needed only for splice
+            # joins; DNA indel geometry is fully covered by the
+            # self-sweep's wide rows below (same shifted-window planes)
+            res = splice_ops.pair_sweep(
+                ch, planes.pen_raw, planes.pen, planes.mm_raw,
+                cstart, cvalid, al, am,
+                (params["tab_donor"], params["tab_acc1"],
+                 params["tab_acc2"]),
+                self.splice_params, max_gap=g_budget)
+            sel = splice_ops.select_pairs(res, cstart, top=self.max_pairs)
+            T0 = self.max_pairs
+            sel["ab"] = jnp.maximum(
+                jnp.take_along_axis(cab, sel["i"], axis=1),
+                jnp.take_along_axis(cab, sel["j"], axis=1))
+            sel["post"] = jnp.take_along_axis(cpost, sel["i"], axis=1) \
+                & jnp.take_along_axis(cpost, sel["j"], axis=1)
+            blocks = [dict(sel, known=jnp.zeros((2 * B, T0), jnp.int32),
+                           event=jnp.full((2 * B, T0), -1, jnp.int32),
+                           selfgap=jnp.zeros((2 * B, T0), jnp.int32))]
+        else:
+            blocks = []
         if self.spliced or self.has_indels:
             C = cstart.shape[1]
             zero3 = jnp.zeros((2 * B, C, 1), jnp.int32)
@@ -451,20 +474,48 @@ class TPUAligner:
         snv1_w = snv2_w = None
         if self.graph is not None:
             snv1_w = splice_ops.diag_chars(params["snv1"], meta.n,
-                                           cstart, L, 16)
+                                           cstart, L, margin)
             snv2_w = splice_ops.diag_chars(params["snv2"], meta.n,
-                                           cstart, L, 16)
+                                           cstart, L, margin)
         selfw = splice_ops.self_indel_sweep(
             ch, ar, aq, al, cstart, cvalid, am, params["mm_pen"],
             self.scoring.n_pen, self.splice_params,
-            snv1_w=snv1_w, snv2_w=snv2_w)
+            snv1_w=snv1_w, snv2_w=snv2_w, max_gap=g_budget)
         src_i = selfw.pop("src")
         Cs = cstart.shape[1]
-        selfw["ab"] = jnp.take_along_axis(cab, src_i, axis=1)
-        selfw["post"] = jnp.take_along_axis(cpost, src_i, axis=1)
-        blocks.append(dict(selfw, known=jnp.zeros((2 * B, Cs), jnp.int32),
+        sab = jnp.take_along_axis(cab, src_i, axis=1)
+        spost = jnp.take_along_axis(cpost, src_i, axis=1)
+        strict = {k2: selfw[k2] for k2 in
+                  ("score", "d1", "d2", "x", "kind", "spldir", "splscore")}
+        blocks.append(dict(strict, ab=sab, post=spost,
+                           known=jnp.zeros((2 * B, Cs), jnp.int32),
                            event=jnp.full((2 * B, Cs), -1, jnp.int32),
                            selfgap=jnp.ones((2 * B, Cs), jnp.int32)))
+        if not sp.allow_spliced:
+            # wide rows: both diagonals must be live candidates (the
+            # pair_sweep / combineWith two-FM-anchor geometry, not subject
+            # to the local-search flank floor or best-score suppression)
+            other_d = selfw["w_d1"] + selfw["w_d2"] - cstart
+            eqm = (other_d[:, :, None]
+                   == jnp.where(cvalid, cstart, -1)[:, None, :])
+            pair_eq = jnp.any(eqm, axis=2)
+            # the pair inherits the LATER anchor's search round (the
+            # budget-replay gate uses max(ab_i, ab_j), like the pair block)
+            oidx = jnp.argmax(eqm, axis=2).astype(jnp.int32)
+            wab = jnp.maximum(sab, jnp.where(
+                pair_eq, jnp.take_along_axis(cab, oidx, axis=1), 0))
+            wpost = spost & jnp.where(
+                pair_eq, jnp.take_along_axis(cpost, oidx, axis=1), True)
+            wsc = jnp.where(pair_eq, selfw["w_score"], -splice_ops._BIG)
+            wide = {"score": wsc, "d1": selfw["w_d1"],
+                    "d2": selfw["w_d2"], "x": selfw["w_x"],
+                    "kind": jnp.where(pair_eq, selfw["w_kind"], 0),
+                    "spldir": selfw["w_spldir"],
+                    "splscore": selfw["w_splscore"]}
+            blocks.append(dict(wide, ab=wab, post=wpost,
+                               known=jnp.zeros((2 * B, Cs), jnp.int32),
+                               event=jnp.full((2 * B, Cs), -1, jnp.int32),
+                               selfgap=jnp.zeros((2 * B, Cs), jnp.int32)))
         for k2 in ("score", "d1", "d2", "x", "kind", "spldir",
                    "splscore", "known", "event", "ab", "post", "selfgap"):
             out["p_" + k2] = jnp.concatenate(

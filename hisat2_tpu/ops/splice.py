@@ -211,7 +211,8 @@ def diag_chars(ref_words, n_text: int, starts, L: int, margin: int):
 
 
 def pair_sweep(ch, pen_spl, pen_ind, ismm, starts, valid, lens, minsc,
-               tables, prm: SpliceParams, xblock: int = 32) -> PairResult:
+               tables, prm: SpliceParams, xblock: int = 32,
+               max_gap: int = None) -> PairResult:
     """The batched combineWith junction sweep.
 
     ch:      [N, C, L+2M] diagonal ref chars (diag_chars)
@@ -270,7 +271,7 @@ def pair_sweep(ch, pen_spl, pen_ind, ismm, starts, valid, lens, minsc,
     is_spl = (D >= prm.min_intron) & (D <= prm.max_intron) \
         & prm.allow_spliced
     is_del = (D >= 1) & (D < prm.min_intron)
-    is_ins = (D <= -1) & (D >= -prm.max_gap)
+    is_ins = (D <= -1) & (D >= -(max_gap if max_gap else prm.max_gap))
     pmask = valid[:, :, None] & valid[:, None, :] & (is_spl | is_del | is_ins)
     I = jnp.maximum(-D, 0)                                         # ins len
     # affine gap cost: open = const + linear for the first base, linear per
@@ -280,7 +281,8 @@ def pair_sweep(ch, pen_spl, pen_ind, ismm, starts, valid, lens, minsc,
         jnp.where(is_ins, prm.rf_gap_open + prm.rf_gap_ext * (-D), 0))
 
     nblk = (L + xblock) // xblock
-    V = min(prm.max_gap, L - 1)
+    # insertion shifts beyond the score budget never pass minsc
+    V = min(prm.max_gap, L - 1, max_gap if max_gap else prm.max_gap)
     # pad the x axis by V + xblock so every shifted contiguous slice below
     # stays in bounds; padded prefix columns repeat the total (=> suffix 0)
     pad = V + xblock
@@ -749,7 +751,7 @@ def inject_indels(ref_words, n_text: int, reads, quals, lens,
 
 def self_indel_sweep(ch, reads, quals, lens, starts, valid, minsc,
                      mm_pen, n_pen: int, prm: SpliceParams,
-                     snv1_w=None, snv2_w=None):
+                     snv1_w=None, snv2_w=None, max_gap: int = None):
     """Single-anchor small-gap (indel) discovery.
 
     For each candidate diagonal, sweep read/ref gaps of 1..max_gap against
@@ -771,7 +773,11 @@ def self_indel_sweep(ch, reads, quals, lens, starts, valid, minsc,
     N, C, W = ch.shape
     L = reads.shape[1]
     M = (W - L) // 2
-    G = int(min(prm.max_gap, M))
+    # gaps beyond the score budget (-minsc - open) / ext can never pass
+    # the per-read minsc gate; the caller passes that bound (which may
+    # exceed max_gap when gap costs are lowered via --rdg/--rfg — the
+    # reference's deletion size is budget-limited, not constant-limited)
+    G = int(min(M, max_gap if max_gap else prm.max_gap))
     rd = reads[:, None, :]
     mmq = mm_pen[jnp.minimum(quals, 63)][:, None, :]
     ln = lens[:, None]
@@ -801,64 +807,86 @@ def self_indel_sweep(ch, reads, quals, lens, starts, valid, minsc,
     P0 = prefix(0)
     T0 = jnp.take_along_axis(P0, ln3, axis=2)[:, :, 0]
     xs = jnp.arange(L + 1, dtype=jnp.int32)[None, None, :]
-    best = jnp.full((N, C), _BIG, jnp.int32)
-    bx = jnp.zeros((N, C), jnp.int32)
-    bo1 = jnp.zeros((N, C), jnp.int32)      # d1 - starts
-    bo2 = jnp.zeros((N, C), jnp.int32)      # d2 - starts
-    bkind = jnp.zeros((N, C), jnp.int32)
 
-    def upd(pen, okx, x_off1_off2_kind, state):
-        best, bx, bo1, bo2, bkind = state
-        x, o1, o2, kd = x_off1_off2_kind
-        pen = jnp.where(okx, pen, _BIG)
-        am = jnp.argmin(pen, axis=2).astype(jnp.int32)
-        pm = jnp.take_along_axis(pen, am[:, :, None], axis=2)[:, :, 0]
-        better = pm < best
-        return (jnp.where(better, pm, best),
-                jnp.where(better, am, bx),
-                jnp.where(better, o1, bo1),
-                jnp.where(better, o2, bo2),
-                jnp.where(better, kd, bkind))
-
-    state = (best, bx, bo1, bo2, bkind)
+    # two result sets from one pass over the planes:
+    #  strict — the short flank must be >= minAnchorLen: the reference's
+    #    local search never starts below it (`if(extoff <
+    #    tpol.minAnchorLen()) extoff = tpol.minAnchorLen()`,
+    #    spliced_aligner.h:724) — verified vs oracle: a 2bp insertion
+    #    behind a 5bp flank is soft-clipped (7S93M), behind a 7bp flank it
+    #    is aligned (7M4I89M); these rows are also best-score-suppressed
+    #  wide — split anywhere (x >= 1), the two-FM-anchor combineWith
+    #    geometry; valid only when the shifted diagonal is itself a
+    #    candidate (the caller checks), like pair_sweep's indel rows
+    #
+    # each combo's penalty plane is folded into a running elementwise min
+    # of (pen << 6 | combo_id); the (combo, x) winner decodes from TWO
+    # final argmins instead of one reduction per combo — tie-break order
+    # (pen, combo order, lowest x) is identical because the combo id
+    # dominates x positionally
+    _CAP = 1 << 24     # pen clamp so (pen << 6 | cid) fits int32
+    BIGP = jnp.int32(_CAP << 6)
+    run_s = jnp.full((N, C, L + 1), BIGP, jnp.int32)
+    run_w = jnp.full((N, C, L + 1), BIGP, jnp.int32)
+    A = jnp.int32(prm.min_anchor)
+    cmeta = []     # cid -> (o1, o2, kind, gap cost)
     for g in range(1, G + 1):
         Pm = prefix(-g)
         Pp = prefix(+g)
         Tm = jnp.take_along_axis(Pm, ln3, axis=2)[:, :, 0]
         Tp = jnp.take_along_axis(Pp, ln3, axis=2)[:, :, 0]
-        cdel = jnp.int32(prm.rd_gap_open + prm.rd_gap_ext * g)
-        cins = jnp.int32(prm.rf_gap_open + prm.rf_gap_ext * g)
-        # the short flank must be >= minAnchorLen: the reference's local
-        # search never starts below it (`if(extoff < tpol.minAnchorLen())
-        # extoff = tpol.minAnchorLen()`, spliced_aligner.h:724) — verified
-        # vs oracle: a 2bp insertion behind a 5bp flank is soft-clipped
-        # (7S93M), behind a 7bp flank it is aligned (7M4I89M)
-        A = jnp.int32(prm.min_anchor)
-        ok_d = (xs >= A) & (xs <= ln[:, :, None] - A)
-        ok_i = (xs >= A) & (xs + g <= ln[:, :, None] - A)
-        # deletion, candidate holds the RIGHT segment: left diag = d - g
-        state = upd(Pm + (T0[:, :, None] - P0) + cdel, ok_d,
-                    (xs, -g, 0, KIND_DEL), state)
-        # deletion, candidate holds the LEFT segment: right diag = d + g
-        state = upd(P0 + (Tp[:, :, None] - Pp) + cdel, ok_d,
-                    (xs, 0, g, KIND_DEL), state)
-        # insertion, candidate holds the RIGHT segment: left diag = d + g
-        state = upd(Pp + (T0[:, :, None] - shifted(P0, g, T0)) + cins,
-                    ok_i, (xs, g, 0, KIND_INS), state)
-        # insertion, candidate holds the LEFT segment: right diag = d - g
-        state = upd(P0 + (Tm[:, :, None] - shifted(Pm, g, Tm)) + cins,
-                    ok_i, (xs, 0, -g, KIND_INS), state)
-    best, bx, bo1, bo2, bkind = state
-    score = -best
-    ok = valid & (score >= minsc[:, None]) & (best < _BIG // 2)
+        cdel = int(prm.rd_gap_open + prm.rd_gap_ext * g)
+        cins = int(prm.rf_gap_open + prm.rf_gap_ext * g)
+        okw_d = (xs >= 1) & (xs <= ln[:, :, None] - 1)
+        okw_i = (xs >= 1) & (xs + g <= ln[:, :, None] - 1)
+        oks_d = (xs >= A) & (xs <= ln[:, :, None] - A)
+        oks_i = (xs >= A) & (xs + g <= ln[:, :, None] - A)
+        combos = (
+            # deletion, candidate holds the RIGHT segment: left = d - g
+            (Pm + (T0[:, :, None] - P0) + cdel, oks_d, okw_d,
+             (-g, 0, KIND_DEL)),
+            # deletion, candidate holds the LEFT segment: right = d + g
+            (P0 + (Tp[:, :, None] - Pp) + cdel, oks_d, okw_d,
+             (0, g, KIND_DEL)),
+            # insertion, candidate holds the RIGHT segment: left = d + g
+            (Pp + (T0[:, :, None] - shifted(P0, g, T0)) + cins,
+             oks_i, okw_i, (g, 0, KIND_INS)),
+            # insertion, candidate holds the LEFT segment: right = d - g
+            (P0 + (Tm[:, :, None] - shifted(Pm, g, Tm)) + cins,
+             oks_i, okw_i, (0, -g, KIND_INS)),
+        )
+        for pen, oks, okw, meta2 in combos:
+            cid = len(cmeta)
+            cmeta.append(meta2)
+            packed = jnp.minimum(pen, _CAP - 1) * 64 + cid
+            run_s = jnp.minimum(run_s, jnp.where(oks, packed, BIGP))
+            run_w = jnp.minimum(run_w, jnp.where(okw, packed, BIGP))
+
     src = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, :], (N, C))
-    return dict(score=jnp.where(ok, score, -_BIG),
-                d1=starts + bo1, d2=starts + bo2,
-                x=jnp.where(ok, bx, 0),
-                kind=jnp.where(ok, bkind, KIND_NONE),
-                spldir=jnp.zeros((N, C), jnp.int32),
-                splscore=jnp.zeros((N, C), jnp.float32),
-                src=src)
+    o1_t = jnp.asarray([m[0] for m in cmeta] + [0], jnp.int32)
+    o2_t = jnp.asarray([m[1] for m in cmeta] + [0], jnp.int32)
+    kd_t = jnp.asarray([m[2] for m in cmeta] + [0], jnp.int32)
+
+    def pack(running, prefix_key=""):
+        am = jnp.argmin(running, axis=2).astype(jnp.int32)
+        val = jnp.take_along_axis(running, am[:, :, None], axis=2)[:, :, 0]
+        cid = jnp.minimum(val & 63, len(cmeta))
+        best = val >> 6
+        score = -best
+        ok = valid & (score >= minsc[:, None]) \
+            & (val < ((_CAP - 1) * 64))
+        cid = jnp.where(ok, cid, len(cmeta))
+        return {prefix_key + "score": jnp.where(ok, score, -_BIG),
+                prefix_key + "d1": starts + o1_t[cid],
+                prefix_key + "d2": starts + o2_t[cid],
+                prefix_key + "x": jnp.where(ok, am, 0),
+                prefix_key + "kind": jnp.where(ok, kd_t[cid], KIND_NONE),
+                prefix_key + "spldir": jnp.zeros((N, C), jnp.int32),
+                prefix_key + "splscore": jnp.zeros((N, C), jnp.float32)}
+    out = pack(run_s)
+    out.update(pack(run_w, "w_"))
+    out["src"] = src
+    return out
 
 
 def second_sweep(ch, pen_spl, mm_raw, starts, valid, lens, minsc,
