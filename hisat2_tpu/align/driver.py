@@ -18,6 +18,7 @@ from ..io.fasta import (batch_stream, iter_cmdline, iter_tabbed,
                         read_batches)
 from ..io.sam import SamWriter
 from . import mapq as mapq_mod
+from . import rng as rng_mod
 from .paired import PairPolicy, best_pairs
 from .pipeline import TPUAligner
 from .scoring import Scoring, SimpleFunc
@@ -202,11 +203,17 @@ def run_align(args) -> int:
         def emit(pend):
             res = aligner.collect(pend[0])
             b = pend[1]
+            seeds = rng_mod.gen_rand_seeds(b.codes, b.lens, b.quals,
+                                           b.names,
+                                           seed=getattr(args, "seed", 0))
             for i, name in enumerate(b.names):
                 L = int(b.lens[i])
+                alns = rng_mod.finalize_unpaired(
+                    res.alignments[i], int(seeds[i]), args.khits,
+                    aligner.ref_codes)
                 writer.write_read(name, b.codes[i, :L], b.quals[i, :L],
-                                  res.alignments[i], ref_fn)
-                sink = sink_al if res.alignments[i] else sink_un
+                                  alns, ref_fn)
+                sink = sink_al if alns else sink_un
                 if sink is not None:
                     sink.write(name, b.codes[i, :L], b.quals[i, :L])
 

@@ -1091,7 +1091,60 @@ class TPUAligner:
         # the reference also counts into AlnSetSumm — hence ZS with NH:i:1)
         seg_read = r[bnd]
         best = sc[bnd]
-        alt_of_best = alt_score[idx[bnd]].astype(np.int64)
+        # trimmed-representation ZS: the reference's trim5/trim3 branches
+        # (spliced_aligner.h:1065-1105) REPORT a soft-clipped copy of the
+        # anchor when the clip needed to shed the outermost penalized
+        # column is within trimMax = -minsc / mm_min of the lane end
+        # (probe-verified against the oracle: at defaults a 5' clip fires
+        # for <= 10, a 3' clip for <= 9, independent of orientation and
+        # window content).  The trimmed copy enters the report buffer and
+        # becomes ZS, but the selected best's MAPQ ignores it.
+        gb = idx[bnd]
+        alt_of_best = np.full(len(bnd), -2 ** 40, np.int64)
+        mmt = self.scoring.mm_pen_table().astype(np.int64)
+        cpt = self.scoring.clip_pen_table().astype(np.int64)
+        for j in range(len(bnd)):
+            g = int(gb[j])
+            if junc_kind[g] != 0 or clip_l[g] or clip_r[g]:
+                continue
+            rd = int(seg_read[j])
+            L0 = int(lens[rd])
+            pat = codes[rd, :L0].astype(np.int64)
+            qv = np.minimum(quals[rd, :L0].astype(np.int64), 63)
+            if o[bnd[j]]:
+                pat = np.where(pat < 4, 3 - pat, 4)[::-1]
+                qv = qv[::-1]
+            s0 = int(starts[gb[j]])
+            ref = self.ref_codes[s0:s0 + L0].astype(np.int64)
+            if len(ref) < L0:
+                continue
+            mm = pat != ref
+            if self.graph is not None and mm.any():
+                gg = self.graph
+                lo = int(np.searchsorted(gg.snv_joined, s0))
+                hi = int(np.searchsorted(gg.snv_joined, s0 + L0))
+                for t in range(lo, hi):
+                    c = int(gg.snv_joined[t]) - s0
+                    if mm[c] and pat[c] == gg.snv_alt[t]:
+                        mm[c] = False
+            pen = np.where(mm & (pat >= 4), np.int64(self.scoring.n_pen),
+                           np.where(mm, mmt[qv], 0))
+            pcols = np.flatnonzero(pen > 0)
+            if not pcols.size:
+                continue
+            T = int(-minsc[rd]) // max(self.scoring.mm_min, 1)
+            total = int(pen.sum())
+            cands = []
+            dl = int(pcols[0]) + 1
+            if dl <= T:
+                cands.append(-(int(cpt[qv[:dl]].sum())
+                               + total - int(pen[:dl].sum())))
+            dr = L0 - int(pcols[-1])
+            if dr <= T - 1:
+                cands.append(-(int(cpt[qv[L0 - dr:]].sum())
+                               + total - int(pen[L0 - dr:].sum())))
+            if cands and max(cands) >= int(minsc[rd]):
+                alt_of_best[j] = max(cands)
         alt_valid = alt_of_best >= minsc[seg_read]
         sec_cand = np.where(seg_len > 1,
                             sc[np.minimum(bnd + 1, len(r) - 1)],

@@ -120,6 +120,8 @@ def build_parser():
     p.add_argument("-p", "--threads", type=int, default=1,
                    help="accepted for compatibility (device batching)")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--seed", type=int, default=0,
+                   help="seed for pseudo-random tie-breaking")
     return p
 
 
