@@ -264,6 +264,72 @@ def run_align(args) -> int:
     return 0
 
 
+def _replay_pair_giveup(aligner, res, policy, B, lens):
+    """Replay the reference's interleaved paired search (align/replay.py)
+    and drop alignments from lanes the reference never completed."""
+    from . import replay as replay_mod
+    lm = res.lanes
+    if lm is None:
+        return
+    Bt = 2 * B                  # total reads (mate1 block + mate2 block)
+    minw_cap = 2 * max(2 * aligner.k, 10)       # kseeds * 2
+    for i in range(B):
+        lane_ids = [i, i + Bt, B + i, B + i + Bt]
+        metas = []
+        for l in lane_ids:
+            rounds = replay_mod.decode_rounds(lm["h_rounds"][l],
+                                              lm["h_rn"][l])
+            verdict = bool(lm["h_alignable"][l]) \
+                and int(lm["h_minw"][l]) <= minw_cap
+            metas.append((rounds, verdict, int(lm["best"][l])))
+        minsc = (aligner.scoring.min_score(int(lens[i])),
+                 aligner.scoring.min_score(int(lens[B + i])))
+        a1, a2 = res.alignments[i], res.alignments[B + i]
+        spl = (1 if any(a.junc_kind == 1 for a in a1) else 0,
+               1 if any(a.junc_kind == 1 for a in a2) else 0)
+
+        def has_concord(completed, _a1=a1, _a2=a2, _i=i):
+            # mate alignments usable if their lane completed
+            l1 = {0: False, 1: False}
+            l2 = {0: False, 1: False}
+            for c in completed:
+                if c == 0:
+                    l1[0] = True
+                elif c == 1:
+                    l1[1] = True
+                elif c == 2:
+                    l2[0] = True
+                else:
+                    l2[1] = True
+            for x in _a1:
+                if not l1[1 if x.rc else 0]:
+                    continue
+                for y in _a2:
+                    if not l2[1 if y.rc else 0]:
+                        continue
+                    if policy.concordant(x, y, int(lens[_i]),
+                                         int(lens[B + _i]))[0]:
+                        return True
+            return False
+
+        completed = replay_mod.replay_pair(
+            metas, minsc, aligner.scoring.mm_max, aligner.min_k,
+            has_concord, paired=True, spliced=spl)
+        cs = set(completed)
+        keep1 = [(0 in cs), (1 in cs)]
+        keep2 = [(2 in cs), (3 in cs)]
+
+        def filt(alns, keep):
+            out = [a for a in alns if keep[1 if a.rc else 0]]
+            if len(out) != len(alns) and out:
+                out = [dataclasses.replace(a, nh=len(out), secondary=t > 0)
+                       for t, a in enumerate(out)]
+            return out
+
+        res.alignments[i] = filt(a1, keep1)
+        res.alignments[B + i] = filt(a2, keep2)
+
+
 def _align_pair_batch(aligner, writer, policy, scoring, k, b1, b2, ref_fn,
                       rdids=None, sink_un_conc=None, sink_al_conc=None):
     """Align both mates in one device batch, then pair on host."""
@@ -289,6 +355,7 @@ def _align_pair_batch(aligner, writer, policy, scoring, k, b1, b2, ref_fn,
         rdids = np.arange(B, dtype=np.int64)
     res = aligner.align_batch(codes, quals, lens,
                               rdids=np.concatenate([rdids, rdids]))
+    _replay_pair_giveup(aligner, res, policy, B, lens)
 
     # mate rescue (HI_Aligner::go, hi_aligner.h:3912-3952): when no
     # concordant pair exists but one mate aligned, search the other mate in

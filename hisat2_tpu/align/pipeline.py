@@ -109,6 +109,10 @@ class Alignment:
 class BatchResult:
     alignments: list          # list[list[Alignment]] per read
     n_reads: int
+    # per-lane search metadata (lane = read for fw, read + n_reads for rc)
+    # for the paired give-up replay: round log words, round counts,
+    # align() verdict, per-lane best reported score
+    lanes: Optional[dict] = None
 
     @property
     def n_aligned(self):
@@ -144,11 +148,19 @@ class TPUAligner:
         min_hit_len2 = min_hit_len
         del min_hit_len
         if spliced:
-            # short boundary anchors (>= 8 bp, the reference's _minK_local,
-            # hi_aligner.h:3813) feed the junction pair sweep, with +8
-            # candidate slots for their diagonals
-            self.min_hit_len = 8
+            # short boundary anchors feed the junction pair sweep (the
+            # reference's local-search flank floor is ~8 original chars:
+            # extoff >= minAnchorLen=7 and the search excludes the char
+            # the global walk consumed past the junction, which our
+            # mismatch-skip restart also drops - hence 7 recorded chars),
+            # with +8 candidate slots for their diagonals
+            self.min_hit_len = 7
             self.max_cands = max(k + 1, 6) + 8
+            # short flanks resolve like the reference's LOCAL search: the
+            # segment may occur many times genome-wide yet uniquely within
+            # the 57kb window - resolve up to 16 rows and keep only those
+            # near an align-capable candidate (see the proximity filter)
+            self.short_rows = 16
         else:
             # DNA mode: sub-FM-anchor indel flanks need no candidate slot,
             # the self-gap sweep covers them from the long side alone (the
@@ -156,6 +168,7 @@ class TPUAligner:
             # stays small
             self.min_hit_len = min_hit_len2
             self.max_cands = max(k + 1, 6)
+            self.short_rows = 5
         # up to 6 rows resolve per hit in spliced mode (the reference
         # resolves short-segment ranges only when nelt <= 5,
         # spliced_aligner.h:951)
@@ -310,7 +323,8 @@ class TPUAligner:
         # (spliced_aligner.h:951)
         islong_h = (hits.hi - hits.lo) > self.min_k + 2
         maxsize = max(self.k, 2 * self.k, 5)
-        hv &= jnp.where(islong_h, w <= maxsize, w <= 5)
+        hv &= jnp.where(islong_h, w <= maxsize, w <= self.short_rows)
+        P = max(P, self.short_rows)
         j = jnp.arange(P, dtype=jnp.int32)
         rowm = hits.top[:, :, None] + j[None, None, :]            # [2B,H,P]
         cval = hv[:, :, None] & (j[None, None, :] < w[:, :, None])
@@ -321,6 +335,40 @@ class TPUAligner:
         lo = hits.lo[:, :, None]                                  # [2B,H,1]
         starts = (offs.reshape(2 * B, H, P) - lo).reshape(2 * B, H * P)
         cv = cval.reshape(2 * B, H * P)
+        HP2 = 0
+        if self.spliced:
+            # prefix RE-SEARCH: the reference re-searches the uncovered
+            # read prefix from scratch (local/global GFM search with
+            # extoff anchored at the candidate's extended rdoff,
+            # spliced_aligner.h:700-760) — its segments OVERLAP the chars
+            # the chimeric global walk consumed past a junction, so the
+            # flank's diagonal resolves even when the one-pass search left
+            # fewer than min_hit_len clean chars.  Cut = lo of the
+            # second-to-last recorded hit (the char below it was skipped).
+            i2 = jnp.maximum(hits.nh - 2, 0)[:, None]
+            cut = jnp.take_along_axis(hits.lo, i2, axis=1)[:, 0]
+            cut = jnp.where(hits.nh >= 2, cut, 0).astype(jnp.int32)
+            H2 = 2
+            hits2 = search_ops.partial_search(
+                d.bwt_words, d.occ, d.fchr, meta.zrow, meta.rows, ar,
+                cut, H2, self.min_hit_len, self.min_k)
+            w2 = hits2.bot - hits2.top
+            hv2 = jnp.arange(H2, dtype=jnp.int32)[None, :] \
+                < hits2.nh[:, None]
+            hv2 &= w2 <= self.short_rows
+            j2 = jnp.arange(P, dtype=jnp.int32)
+            rowm2 = hits2.top[:, :, None] + j2[None, None, :]
+            cval2 = hv2[:, :, None] & (j2[None, None, :] < w2[:, :, None])
+            offs2 = resolve_ops.resolve_rows(
+                d.bwt_words, d.occ, d.fchr, d.mark_words, d.mark_chk,
+                d.sa_marked, meta.zrow, meta.off_rate,
+                jnp.where(cval2, rowm2, 0).reshape(-1))
+            starts2 = (offs2.reshape(2 * B, H2, P)
+                       - hits2.lo[:, :, None]).reshape(2 * B, H2 * P)
+            cv2 = cval2.reshape(2 * B, H2 * P)
+            HP2 = H2 * P
+            starts = jnp.concatenate([starts, starts2], axis=1)
+            cv = jnp.concatenate([cv, cv2], axis=1)
         # device-side dedup + compaction: different anchors of the same read
         # resolve to the same genome start, so most of the H*P slots are
         # duplicates or invalid.  Sort per lane, mark uniques, compact the
@@ -338,6 +386,22 @@ class TPUAligner:
             w[:, :, None], (2 * B, H, P)).reshape(2 * B, H * P)
         align_slot = (hlen_flat > self.min_k + 2) \
             & ((w_flat == 1) | ~hits.stopped[:, None])
+        if HP2:
+            # re-search rows are sweep-only flank candidates
+            align_slot = jnp.concatenate(
+                [align_slot, jnp.zeros((2 * B, HP2), bool)], axis=1)
+        if self.spliced:
+            # local-search proximity: a short flank resolves only where it
+            # lies within intron range of an align-capable diagonal (the
+            # reference searches the remaining span in the 57kb local
+            # index AROUND the anchor, spliced_aligner.h:700-736)
+            lkey = jnp.where(cv & align_slot, starts,
+                             np.int32(2 ** 31 - 2))
+            lsort = jnp.sort(lkey, axis=1)[:, :8]
+            near = jnp.any(
+                jnp.abs(starts[:, :, None] - lsort[:, None, :])
+                <= self.scoring.max_intron_len, axis=2)
+            cv &= align_slot | near
         # compaction key: align-capable candidates claim slots first
         # (sweep-only short/wide anchors must not crowd out real diagonals)
         is_short = ~align_slot
@@ -363,6 +427,16 @@ class TPUAligner:
             hits.abefore[:, :, None], (2 * B, H, P)).reshape(2 * B, H * P)
         post_flat = jnp.broadcast_to(
             hits.post[:, :, None], (2 * B, H, P)).reshape(2 * B, H * P)
+        if HP2:
+            # the re-search runs inside the source candidate's recursion:
+            # inherit the lane's last-hit provenance
+            ilast = jnp.maximum(hits.nh - 1, 0)[:, None]
+            ab2 = jnp.take_along_axis(hits.abefore, ilast, axis=1)
+            po2 = jnp.take_along_axis(hits.post, ilast, axis=1)
+            ab_flat = jnp.concatenate(
+                [ab_flat, jnp.broadcast_to(ab2, (2 * B, HP2))], axis=1)
+            post_flat = jnp.concatenate(
+                [post_flat, jnp.broadcast_to(po2, (2 * B, HP2))], axis=1)
         same = cstart[:, :, None] == starts[:, None, :]           # [2B,C,HP]
         same &= cv[:, None, :]
         cab = jnp.where(same, ab_flat[:, None, :], BIG).min(axis=2)
@@ -382,10 +456,20 @@ class TPUAligner:
             params["clip_pen"], self.scoring.n_pen,
             allow_softclip=not self.scoring.no_softclip,
             planes=planes)
+        # per-lane search metadata for the paired give-up replay (the
+        # interleaved nextBWT/align simulation in align/replay.py):
+        # round log, round count, align() verdict ingredients
+        wpos = jnp.where(hv & (w > 0), w, jnp.int32(2 ** 30))
+        lane_minw = wpos.min(axis=1)                            # [2B]
+        lane_alignable = jnp.any(align_slot, axis=1)
         out = {"starts": cstart, "score": ext.score, "n_mm": ext.n_mm,
                "n_n": ext.n_n, "clip_l": ext.clip_l, "clip_r": ext.clip_r,
                "valid": cvalid_long & ext.ok, "alt_score": ext.alt_score,
-               "ab": cab, "post": cpost}
+               "ab": cab, "post": cpost,
+               "h_rounds": hits.rounds, "h_rn": hits.nrounds,
+               "h_minw": lane_minw,
+               "h_alignable": lane_alignable,
+               "h_stop": hits.stopped}
         # --- junction candidates: novel sweep + event injections ---
         # static gap bound from the longest read's score budget: a gap of
         # size g costs open + ext*g, which must stay within -minsc; gaps
@@ -858,6 +942,9 @@ class TPUAligner:
                           & (q_j1kind != splice_ops.KIND_NONE))
         valid = np.concatenate(vparts, axis=1).reshape(-1)
 
+        lanes_meta = {k: o_np[k] for k in
+                      ("h_rounds", "h_rn", "h_minw", "h_alignable",
+                       "h_stop")}
         lane = np.repeat(np.arange(2 * B, dtype=np.int64), K)
         # host-side policy filters (all vectorized)
         maxn = np.array([self.scoring.max_n(int(l)) for l in lens], np.int64)
@@ -1056,9 +1143,14 @@ class TPUAligner:
         valid &= np.concatenate([vr[:, :Km], vr[:, Km:]]).reshape(-1)
 
         per_read = [[] for _ in range(B)]
+        lane_best = np.full(2 * B, -2 ** 40, np.int64)
         sel = np.flatnonzero(valid)
+        if sel.size:
+            np.maximum.at(lane_best, lane[sel], score[sel])
+        lanes_meta["best"] = lane_best
         if not sel.size:
-            return BatchResult(alignments=per_read, n_reads=B)
+            return BatchResult(alignments=per_read, n_reads=B,
+                               lanes=lanes_meta)
         # dedup identical (read, orient, start, junction), keeping the BEST
         # score per placement (a known splice site and the novel sweep can
         # produce the same junction; the known, unpenalized one must win)
@@ -1198,4 +1290,5 @@ class TPUAligner:
                 junc2_kind=int(junc2_kind[g]), junc2_x=int(junc2_x[g]),
                 junc2_len=jl2, junc2_d3=int(junc2_d3[g]),
                 junc2_dir=int(junc2_dir[g])))
-        return BatchResult(alignments=per_read, n_reads=B)
+        return BatchResult(alignments=per_read, n_reads=B,
+                           lanes=lanes_meta)

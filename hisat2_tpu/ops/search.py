@@ -40,6 +40,11 @@ from . import rank as rk
 
 
 class PartialHits(NamedTuple):
+    rounds: jnp.ndarray   # int32 [B, RW] byte-packed per-round log
+    #                         (4 rounds/word, each len*2+uniq), ALL search
+    #                         rounds incl. sub-min_hit_len segments - the
+    #                         searchScore/give-up replay needs them
+    nrounds: jnp.ndarray  # int32 [B]
     top: jnp.ndarray      # int32 [B, H]
     bot: jnp.ndarray      # int32 [B, H]
     lo: jnp.ndarray       # int32 [B, H]  leftmost read pos covered
@@ -64,8 +69,19 @@ def partial_search(bwt_words, occ, fchr, zrow: int, rows: int,
     a_stop_len = np.int32(min_k + 12)
     a_cancel_len = np.int32(min_k + 8)
 
+    R = L // 2 + 2          # worst case: a segment every other base
+
+    def log_round(st, cond, seg_len, uq):
+        ht, hb, hl, hh, ha, hu, hp, nh, na, rl, rn = st
+        sel = (jnp.arange(R, dtype=jnp.int32)[None, :] == rn[:, None]) \
+            & (cond & (rn < R))[:, None]
+        val = jnp.minimum(seg_len, 126) * 2 + uq.astype(jnp.int32)
+        rl = jnp.where(sel, val[:, None], rl)
+        rn = rn + (cond & (rn < R)).astype(jnp.int32)
+        return (ht, hb, hl, hh, ha, hu, hp, nh, na, rl, rn)
+
     def write_hit(st, cond, top, bot, lo_v, hi_v, uq, stopped):
-        ht, hb, hl, hh, ha, hu, hp, nh, na = st
+        ht, hb, hl, hh, ha, hu, hp, nh, na, rl, rn = st
         write = cond & (nh < H)
         sel = (jnp.arange(H, dtype=jnp.int32)[None, :] == nh[:, None]) \
             & write[:, None]
@@ -78,11 +94,11 @@ def partial_search(bwt_words, occ, fchr, zrow: int, rows: int,
         hp = jnp.where(sel, stopped[:, None], hp)
         nh = nh + write.astype(jnp.int32)
         na = na + (cond & ~uq).astype(jnp.int32)
-        return (ht, hb, hl, hh, ha, hu, hp, nh, na)
+        return (ht, hb, hl, hh, ha, hu, hp, nh, na, rl, rn)
 
     def step(state, s):
         (top, bot, lo, rb, arm, stopped,
-         ht, hb, hl, hh, ha, hu, hp, nh, na) = state
+         ht, hb, hl, hh, ha, hu, hp, nh, na, rl, rn) = state
         pos = lens - 1 - s                           # [B]
         active = pos >= 0
         c = jnp.take_along_axis(
@@ -99,27 +115,31 @@ def partial_search(bwt_words, occ, fchr, zrow: int, rows: int,
         fail = active & ~ok
         # close on mismatch/empty: [pos+1, rb)
         close_f = fail & (rb - (pos + 1) >= min_hit_len)
-        st = (ht, hb, hl, hh, ha, hu, hp, nh, na)
+        st = (ht, hb, hl, hh, ha, hu, hp, nh, na, rl, rn)
         st = write_hit(st, close_f, top, bot, pos + 1, rb,
                        jnp.zeros((B,), bool), stopped)
         # close on anchor stop: [pos, rb) with the post-consume range
         st = write_hit(st, astop, t2, b2, pos, rb, jnp.ones((B,), bool),
                        stopped)
-        ht, hb, hl, hh, ha, hu, hp, nh, na = st
+        # per-round log: EVERY closed segment (any length) is one
+        # partialSearch round of the reference
+        st = log_round(st, fail & ~stopped, rb - (pos + 1),
+                       jnp.zeros((B,), bool))
+        st = log_round(st, astop & ~stopped, rb - pos, jnp.ones((B,), bool))
+        ht, hb, hl, hh, ha, hu, hp, nh, na, rl, rn = st
         stopped = stopped | astop
         # non-recorded failed segments still count as rounds when they were
         # actual searches (the reference records every round's hit; short
         # ones just never become candidates)
         na = na + (fail & (rb - (pos + 1) < min_hit_len)
                    & (rb > pos + 1)).astype(jnp.int32)
-        # restart: after a mismatch, the failing char starts the next
-        # segment; after an anchor stop, the next segment starts at pos-1
-        fc_t = fchr[cc]
-        fc_b = fchr[cc + 1]
-        re_c = fail & valid_c & (fc_b > fc_t)
-        top_n = jnp.where(ok, t2, jnp.where(re_c, fc_t, np.int32(0)))
-        bot_n = jnp.where(ok, b2, jnp.where(re_c, fc_b, np.int32(rows)))
-        rb_n = jnp.where(ok, rb, jnp.where(re_c, pos + 1, pos))
+        # restart: after a mismatch the failing char is SKIPPED (nextBWT
+        # advances cur past it, hi_aligner.h:4068: `if(hit._cur + 1 <
+        # hit._len) hit._cur++;`), so the next segment starts at pos-1
+        # with a full range; same for an anchor stop
+        top_n = jnp.where(ok, t2, np.int32(0))
+        bot_n = jnp.where(ok, b2, np.int32(rows))
+        rb_n = jnp.where(ok, rb, pos)
         top_n = jnp.where(astop, np.int32(0), top_n)
         bot_n = jnp.where(astop, np.int32(rows), bot_n)
         rb_n = jnp.where(astop, pos, rb_n)
@@ -129,23 +149,33 @@ def partial_search(bwt_words, occ, fchr, zrow: int, rows: int,
         rb = jnp.where(active, rb_n, rb)
         lo = jnp.where(active, pos, lo)
         return (top, bot, lo, rb, arm, stopped,
-                ht, hb, hl, hh, ha, hu, hp, nh, na), None
+                ht, hb, hl, hh, ha, hu, hp, nh, na, rl, rn), None
 
     z = jnp.zeros((B,), jnp.int32)
     zh = jnp.zeros((B, H), jnp.int32)
     zb = jnp.zeros((B, H), bool)
+    zr = jnp.zeros((B, L // 2 + 2), jnp.int32)
     init = (z, jnp.full((B,), rows, jnp.int32),
             lens.astype(jnp.int32), lens.astype(jnp.int32),
             jnp.ones((B,), bool), jnp.zeros((B,), bool),
-            zh, zh, zh, zh, zh, zb, zb, z, z)
+            zh, zh, zh, zh, zh, zb, zb, z, z, zr, z)
     (top, bot, lo, rb, arm, stopped,
-     ht, hb, hl, hh, ha, hu, hp, nh, na), _ = \
+     ht, hb, hl, hh, ha, hu, hp, nh, na, rl, rn), _ = \
         jax.lax.scan(step, init, jnp.arange(L, dtype=jnp.int32))
     # close the final open hit [lo, rb): a terminal full round is "unique"
     # (hi_aligner.h:5667-5670 counts the cur>=len CANDIDATE round as unique)
     close = (rb - lo) >= min_hit_len
-    st = (ht, hb, hl, hh, ha, hu, hp, nh, na)
+    st = (ht, hb, hl, hh, ha, hu, hp, nh, na, rl, rn)
     st = write_hit(st, close, top, bot, lo, rb, jnp.ones((B,), bool),
                    stopped)
-    ht, hb, hl, hh, ha, hu, hp, nh, na = st
-    return PartialHits(ht, hb, hl, hh, nh, ha, hu, hp, stopped)
+    st = log_round(st, (rb - lo > 0) & ~stopped, rb - lo,
+                   jnp.ones((B,), bool))
+    ht, hb, hl, hh, ha, hu, hp, nh, na, rl, rn = st
+    # byte-pack the round log: 4 rounds per int32 word
+    R = rl.shape[1]
+    RW = (R + 3) // 4
+    pad = jnp.zeros((B, RW * 4 - R), jnp.int32)
+    rl4 = jnp.concatenate([rl, pad], axis=1).reshape(B, RW, 4)
+    sh = jnp.arange(4, dtype=jnp.int32)[None, None, :] * 8
+    rwords = (rl4 << sh).sum(axis=2)
+    return PartialHits(rwords, rn, ht, hb, hl, hh, nh, ha, hu, hp, stopped)
