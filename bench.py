@@ -52,7 +52,7 @@ def main():
         log("[bench] building example index ...")
         from hisat2_tpu.index.builder import build_fm_index
         from hisat2_tpu.io.fasta import iter_fasta
-        idx = build_fm_index(list(iter_fasta(EXAMPLE_FA)), off_rate=3)
+        idx = build_fm_index(list(iter_fasta(EXAMPLE_FA)))
         idx.save(idx_path)
     index = FMIndex.load(idx_path)
     aligner = TPUAligner(index)

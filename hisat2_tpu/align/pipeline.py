@@ -1195,48 +1195,75 @@ class TPUAligner:
         alt_of_best = np.full(len(bnd), -2 ** 40, np.int64)
         mmt = self.scoring.mm_pen_table().astype(np.int64)
         cpt = self.scoring.clip_pen_table().astype(np.int64)
-        for j in range(len(bnd)):
-            g = int(gb[j])
-            if junc_kind[g] != 0 or clip_l[g] or clip_r[g]:
-                continue
-            rd = int(seg_read[j])
-            L0 = int(lens[rd])
-            pat = codes[rd, :L0].astype(np.int64)
-            qv = np.minimum(quals[rd, :L0].astype(np.int64), 63)
-            if o[bnd[j]]:
-                pat = np.where(pat < 4, 3 - pat, 4)[::-1]
-                qv = qv[::-1]
-            s0 = int(starts[gb[j]])
-            ref = self.ref_codes[s0:s0 + L0].astype(np.int64)
-            if len(ref) < L0:
-                continue
-            mm = pat != ref
-            if self.graph is not None and mm.any():
+        # vectorized over eligible segments (full ungapped best alignments
+        # with at least one penalized column)
+        el = np.flatnonzero((junc_kind[gb] == 0) & (clip_l[gb] == 0)
+                            & (clip_r[gb] == 0)
+                            & ((n_mm[gb] + n_n[gb]) > 0))
+        if el.size:
+            ge = gb[el]
+            rde = seg_read[el]
+            Lmax = codes.shape[1]
+            cols = np.arange(Lmax)
+            L0 = lens[rde].astype(np.int64)
+            live = cols[None, :] < L0[:, None]
+            pat = codes[rde].astype(np.int64)
+            qv = np.minimum(quals[rde].astype(np.int64), 63)
+            rcm = o[bnd[el]].astype(bool)
+            # reverse-complement the rc lanes (per-row flip within length)
+            ridx = np.where(rcm[:, None],
+                            np.maximum(L0[:, None] - 1 - cols[None, :], 0),
+                            cols[None, :])
+            pat = np.take_along_axis(pat, ridx, axis=1)
+            qv = np.take_along_axis(qv, ridx, axis=1)
+            pat = np.where(rcm[:, None] & (pat < 4), 3 - pat, pat)
+            s0 = starts[ge].astype(np.int64)
+            gpos = np.minimum(s0[:, None] + cols[None, :],
+                              len(self.ref_codes) - 1)
+            ref = self.ref_codes[gpos].astype(np.int64)
+            mm = live & (pat != ref)
+            if self.graph is not None:
                 gg = self.graph
-                lo = int(np.searchsorted(gg.snv_joined, s0))
-                hi = int(np.searchsorted(gg.snv_joined, s0 + L0))
-                for t in range(lo, hi):
-                    c = int(gg.snv_joined[t]) - s0
-                    if mm[c] and pat[c] == gg.snv_alt[t]:
-                        mm[c] = False
+                t = np.searchsorted(gg.snv_joined, gpos.ravel())
+                t = np.minimum(t, max(len(gg.snv_joined) - 1, 0))
+                if len(gg.snv_joined):
+                    hit_snv = (gg.snv_joined[t].reshape(gpos.shape) == gpos)
+                    forg = hit_snv & (gg.snv_alt[t].reshape(gpos.shape)
+                                      == pat)
+                    # multi-allelic second entry
+                    t2 = np.minimum(t + 1, len(gg.snv_joined) - 1)
+                    forg |= (gg.snv_joined[t2].reshape(gpos.shape) == gpos) \
+                        & (gg.snv_alt[t2].reshape(gpos.shape) == pat)
+                    mm &= ~forg
             pen = np.where(mm & (pat >= 4), np.int64(self.scoring.n_pen),
                            np.where(mm, mmt[qv], 0))
-            pcols = np.flatnonzero(pen > 0)
-            if not pcols.size:
-                continue
-            T = int(-minsc[rd]) // max(self.scoring.mm_min, 1)
-            total = int(pen.sum())
-            cands = []
-            dl = int(pcols[0]) + 1
-            if dl <= T:
-                cands.append(-(int(cpt[qv[:dl]].sum())
-                               + total - int(pen[:dl].sum())))
-            dr = L0 - int(pcols[-1])
-            if dr <= T - 1:
-                cands.append(-(int(cpt[qv[L0 - dr:]].sum())
-                               + total - int(pen[L0 - dr:].sum())))
-            if cands and max(cands) >= int(minsc[rd]):
-                alt_of_best[j] = max(cands)
+            has = pen > 0
+            anyp = has.any(axis=1)
+            first = np.argmax(has, axis=1)
+            last = Lmax - 1 - np.argmax(has[:, ::-1], axis=1)
+            T = (-minsc[rde]).astype(np.int64) \
+                // max(self.scoring.mm_min, 1)
+            total = pen.sum(axis=1)
+            cpen = np.where(live, cpt[qv], 0)
+            ccl = np.concatenate([np.zeros((len(el), 1), np.int64),
+                                  np.cumsum(cpen, axis=1)], axis=1)
+            pcl = np.concatenate([np.zeros((len(el), 1), np.int64),
+                                  np.cumsum(pen, axis=1)], axis=1)
+            dl = first + 1
+            a5 = -(np.take_along_axis(ccl, dl[:, None], axis=1)[:, 0]
+                   + total - np.take_along_axis(pcl, dl[:, None],
+                                                axis=1)[:, 0])
+            a5 = np.where(anyp & (dl <= T), a5, -2 ** 40)
+            dr = L0 - last
+            cut = np.maximum(L0 - dr, 0)
+            tot_c = np.take_along_axis(ccl, L0[:, None], axis=1)[:, 0]
+            a3 = -((tot_c - np.take_along_axis(ccl, cut[:, None],
+                                               axis=1)[:, 0])
+                   + np.take_along_axis(pcl, cut[:, None], axis=1)[:, 0])
+            a3 = np.where(anyp & (dr <= T - 1), a3, -2 ** 40)
+            alt = np.maximum(a5, a3)
+            alt = np.where(alt >= minsc[rde], alt, -2 ** 40)
+            alt_of_best[el] = alt
         alt_valid = alt_of_best >= minsc[seg_read]
         sec_cand = np.where(seg_len > 1,
                             sc[np.minimum(bnd + 1, len(r) - 1)],

@@ -130,14 +130,21 @@ def _build_ftab(text: np.ndarray, sa: np.ndarray, k: int):
 
 
 
-def build_fm_index(seqs, off_rate: int = DEFAULT_OFF_RATE,
+def build_fm_index(seqs, off_rate: int = None,
                    ftab_k: int = DEFAULT_FTAB_K) -> FMIndex:
-    """Build the full TPU-layout FM index from [(name, codes), ...]."""
+    """Build the full TPU-layout FM index from [(name, codes), ...].
+
+    off_rate None picks adaptively: genomes under 128 Mbp store the FULL
+    suffix array (off_rate 0 — SA resolution becomes one HBM gather, the
+    dominant cost of the aligner's device step); larger genomes sample
+    every 16th text position like the reference (offRate 4, gfm.h)."""
     joined, frag_joined, frag_ref, frag_off, ref_names, ref_lens = (
         _fragments_from_seqs(seqs))
     n = len(joined)
     if n == 0:
         raise ValueError("reference contains no ACGT bases")
+    if off_rate is None:
+        off_rate = 0 if n < (1 << 27) else 4
     rows = n + 1
     sa = suffix_array(joined)
     # BWT: L[i] = joined[sa[i]-1]; '$' where sa[i]==0

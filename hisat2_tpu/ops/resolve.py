@@ -29,6 +29,9 @@ _ONE = np.uint32(1)
 def resolve_rows(bwt_words, occ, fchr, mark_words, mark_chk, sa_marked,
                  zrow: int, off_rate: int, row):
     """SA values for each row in `row` (int32 [M]) -> joined offsets [M]."""
+    if off_rate == 0:
+        # every row marked: sa_marked IS the suffix array in row order
+        return sa_marked[jnp.minimum(row, sa_marked.shape[0] - 1)]
     M = row.shape[0]
     w8 = jnp.arange(8, dtype=jnp.int32)[None, :]
     w4 = jnp.arange(4, dtype=jnp.int32)[None, :]
