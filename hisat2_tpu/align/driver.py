@@ -57,10 +57,13 @@ def run_align(args) -> int:
     if os.path.exists(args.index + ".var.npz"):
         from ..index.variants import VariantDB
         variants = VariantDB.load(args.index)
+    paired_input = bool((args.m1 and args.m2)
+                        or getattr(args, "tab12", None))
     aligner = TPUAligner(index, scoring, k=args.khits,
                          no_fw=args.nofw, no_rc=args.norc,
                          variants=variants,
-                         spliced=not args.no_spliced_alignment)
+                         spliced=not args.no_spliced_alignment,
+                         lane_meta=paired_input)
     if aligner.splice_db is not None:
         if args.known_splicesite_infile:
             aligner.splice_db.add_from_file(args.known_splicesite_infile)

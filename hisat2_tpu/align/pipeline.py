@@ -134,7 +134,8 @@ class TPUAligner:
                  k: int = 5, max_hits: int = 4, min_hit_len: int = 16,
                  cand_per_hit: int = 4, no_fw: bool = False,
                  no_rc: bool = False, variants=None, spliced: bool = False,
-                 max_pairs: int = 4, splice_db=None, ss_slots: int = 2):
+                 max_pairs: int = 4, splice_db=None, ss_slots: int = 2,
+                 lane_meta: bool = False):
         self.meta = index.meta
         self.scoring = scoring or Scoring()
         self.k = k
@@ -178,6 +179,7 @@ class TPUAligner:
         self.no_rc = no_rc
         self.spliced = spliced
         self.max_pairs = max_pairs
+        self.lane_meta = lane_meta
         self.dev = index.to_device()
         # host copies for SAM field generation (MD/ref lookup)
         self.ref_codes = bitops.unpack_2bit(
@@ -253,7 +255,12 @@ class TPUAligner:
                              rdids=None, ss=None):
         out = self._align_device(d, params, reads, quals, lens, minsc,
                                  rdids, ss)
+        # values that fit int16 travel two-per-word over the (slow,
+        # tunneled) D2H link; genome positions and round logs stay int32
+        I32 = {"starts", "p_d1", "p_d2", "p_event", "h_rounds",
+               "q2_d", "q2_bd1", "q2_bd2"}
         cols, specs = [], []
+        half = []
         for k in sorted(out):
             v = out[k]
             dt = v.dtype
@@ -261,9 +268,21 @@ class TPUAligner:
                 v = jax.lax.bitcast_convert_type(v, jnp.int32)
             elif dt == jnp.bool_:
                 v = v.astype(jnp.int32)
-            v2 = v.reshape(v.shape[0], -1)
-            specs.append((k, str(dt), v.shape[1:], v2.shape[1]))
-            cols.append(v2.astype(jnp.int32))
+            v2 = v.reshape(v.shape[0], -1).astype(jnp.int32)
+            if k in I32 or str(dt) == "float32":
+                specs.append((k, str(dt), v.shape[1:], v2.shape[1], "i32"))
+                cols.append(v2)
+            else:
+                specs.append((k, str(dt), v.shape[1:], v2.shape[1], "i16"))
+                half.append(jnp.clip(v2, -32768, 32767))
+        if half:
+            hcat = jnp.concatenate(half, axis=1)
+            if hcat.shape[1] % 2:
+                hcat = jnp.concatenate(
+                    [hcat, jnp.zeros((hcat.shape[0], 1), jnp.int32)],
+                    axis=1)
+            packed16 = (hcat[:, 0::2] & 0xFFFF) | (hcat[:, 1::2] << 16)
+            cols.append(packed16)
         self._out_specs = specs          # static; set at trace time
         return jnp.concatenate(cols, axis=1)
 
@@ -271,15 +290,34 @@ class TPUAligner:
         buf = np.asarray(packed)         # ONE device->host transfer
         out = {}
         off = 0
-        for k, dt, shape, w in self._out_specs:
-            v = np.ascontiguousarray(buf[:, off:off + w]).reshape(
-                (buf.shape[0],) + shape)
+        # int32 columns first (transfer layout), then the int16 halves
+        n16 = sum(w for *_, w, m in self._out_specs if m == "i16")
+        w32 = sum(w for *_, w, m in self._out_specs if m == "i32")
+        if n16:
+            words = buf[:, w32:w32 + (n16 + 1) // 2]
+            lo = (words << 16) >> 16            # sign-extended low half
+            hi = words >> 16
+            halves = np.empty((buf.shape[0], 2 * words.shape[1]),
+                              np.int32)
+            halves[:, 0::2] = lo
+            halves[:, 1::2] = hi
+        off16 = 0
+        for k, dt, shape, w, mode in self._out_specs:
+            if mode == "i32":
+                v = np.ascontiguousarray(buf[:, off:off + w])
+                off += w
+            else:
+                v = np.ascontiguousarray(halves[:, off16:off16 + w])
+                off16 += w
+            v = v.reshape((buf.shape[0],) + shape)
             if dt == "float32":
                 v = v.view(np.float32)
             elif dt == "bool":
                 v = v != 0
+            elif mode == "i16":
+                # restore clamped invalid-score sentinels
+                v = np.where(v == -32768, np.int32(-(2 ** 30)), v)
             out[k] = v
-            off += w
         return out
 
     # ------------------------------------------------------------------
@@ -464,12 +502,16 @@ class TPUAligner:
         lane_alignable = jnp.any(align_slot, axis=1)
         out = {"starts": cstart, "score": ext.score, "n_mm": ext.n_mm,
                "n_n": ext.n_n, "clip_l": ext.clip_l, "clip_r": ext.clip_r,
-               "valid": cvalid_long & ext.ok, "alt_score": ext.alt_score,
-               "ab": cab, "post": cpost,
-               "h_rounds": hits.rounds, "h_rn": hits.nrounds,
-               "h_minw": lane_minw,
-               "h_alignable": lane_alignable,
-               "h_stop": hits.stopped}
+               "valid": cvalid_long & ext.ok,
+               "ab": cab, "post": cpost}
+        if self.lane_meta:
+            # per-lane search round logs: only the paired give-up replay
+            # reads these (the tunneled D2H link is slow - don't ship them
+            # for unpaired runs)
+            out.update({"h_rounds": hits.rounds, "h_rn": hits.nrounds,
+                        "h_minw": lane_minw,
+                        "h_alignable": lane_alignable,
+                        "h_stop": hits.stopped})
         # --- junction candidates: novel sweep + event injections ---
         # static gap bound from the longest read's score budget: a gap of
         # size g costs open + ext*g, which must stay within -minsc; gaps
@@ -600,8 +642,9 @@ class TPUAligner:
                                known=jnp.zeros((2 * B, Cs), jnp.int32),
                                event=jnp.full((2 * B, Cs), -1, jnp.int32),
                                selfgap=jnp.zeros((2 * B, Cs), jnp.int32)))
+        # (splscore is consumed on-device only - not shipped to the host)
         for k2 in ("score", "d1", "d2", "x", "kind", "spldir",
-                   "splscore", "known", "event", "ab", "post", "selfgap"):
+                   "known", "event", "ab", "post", "selfgap"):
             out["p_" + k2] = jnp.concatenate(
                 [b[k2] for b in blocks], axis=1)
         if self.spliced:
@@ -909,10 +952,6 @@ class TPUAligner:
         n_n_dev = flat(o_np["n_n"], z2)
         clip_l = flat(o_np["clip_l"], z2)
         clip_r = flat(o_np["clip_r"], z2)
-        alt_score = flat(o_np["alt_score"],
-                         np.full((2 * B, T), extend_ops.NO_ALT),
-                         np.full((2 * B, Q), extend_ops.NO_ALT) if Q
-                         else None)
         junc_kind = flat(np.zeros((2 * B, C)), o_np.get("p_kind", z2),
                          q_j1kind)
         junc_x = flat(np.zeros((2 * B, C)), o_np.get("p_x", z2), q_j1x)
@@ -942,9 +981,10 @@ class TPUAligner:
                           & (q_j1kind != splice_ops.KIND_NONE))
         valid = np.concatenate(vparts, axis=1).reshape(-1)
 
-        lanes_meta = {k: o_np[k] for k in
-                      ("h_rounds", "h_rn", "h_minw", "h_alignable",
-                       "h_stop")}
+        lanes_meta = ({k: o_np[k] for k in
+                       ("h_rounds", "h_rn", "h_minw", "h_alignable",
+                        "h_stop")}
+                      if "h_rounds" in o_np else None)
         lane = np.repeat(np.arange(2 * B, dtype=np.int64), K)
         # host-side policy filters (all vectorized)
         maxn = np.array([self.scoring.max_n(int(l)) for l in lens], np.int64)
@@ -1147,7 +1187,8 @@ class TPUAligner:
         sel = np.flatnonzero(valid)
         if sel.size:
             np.maximum.at(lane_best, lane[sel], score[sel])
-        lanes_meta["best"] = lane_best
+        if lanes_meta is not None:
+            lanes_meta["best"] = lane_best
         if not sel.size:
             return BatchResult(alignments=per_read, n_reads=B,
                                lanes=lanes_meta)

@@ -51,7 +51,14 @@ def test_sharded_matches_single_device(small_index):
     r, q, l, ms, ri = pmesh.shard_batch(m, reads, quals, lens, minsc, rdids)
     sharded, n_cand = step(d, params, r, q, l, ms, ri, ss_r)
     jax.block_until_ready(n_cand)
+    modes = {spec[0]: spec[-1] for spec in al._out_specs}
     for k in single:
-        np.testing.assert_array_equal(np.asarray(single[k]),
-                                      np.asarray(sharded[k]), err_msg=k)
+        sh = np.asarray(sharded[k])
+        if modes.get(k) == "i16" and sh.dtype.kind in "iu":
+            # the packed D2H path ships these clamped to int16, with the
+            # invalid sentinel restored on fetch
+            sh = np.clip(sh, -32768, 32767)
+            sh = np.where(sh == -32768, np.int32(-(2 ** 30)), sh)
+        np.testing.assert_array_equal(np.asarray(single[k]), sh,
+                                      err_msg=k)
     assert int(np.asarray(n_cand)) == int(np.asarray(single["valid"]).sum())
