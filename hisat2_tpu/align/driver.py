@@ -90,6 +90,13 @@ def run_align(args) -> int:
                        rna_strandness=args.rna_strandness,
                        omit_sec_seq=getattr(args, "omit_sec_seq", False))
     ref_fn = lambda pos, span: aligner.ref_codes[pos:pos + span]  # noqa: E731
+    met = None
+    if getattr(args, "met_file", None) or getattr(args, "met_stderr", False):
+        from .metrics import MetricsSink
+        met = MetricsSink(getattr(args, "met_file", None),
+                          getattr(args, "met_stderr", False),
+                          getattr(args, "met", 1.0))
+    n_bases = 0
 
     fmt = ("fastq" if args.fastq else "fasta" if args.fasta else
            "raw" if getattr(args, "raw", False) else
@@ -204,8 +211,10 @@ def run_align(args) -> int:
     paired_mode = (args.m1 and args.m2) or (tab12 and tab_paired)
     if not paired_mode and (args.unpaired or tab12):
         def emit(pend):
+            nonlocal n_bases
             res = aligner.collect(pend[0])
             b = pend[1]
+            n_bases += int(b.lens.sum())
             seeds = rng_mod.gen_rand_seeds(b.codes, b.lens, b.quals,
                                            b.names,
                                            seed=getattr(args, "seed", 0))
@@ -219,6 +228,8 @@ def run_align(args) -> int:
                 sink = sink_al if alns else sink_un
                 if sink is not None:
                     sink.write(name, b.codes[i, :L], b.quals[i, :L])
+            if met is not None:
+                met.maybe_report(writer, n_bases)
 
         pending = None   # one-deep pipeline: the device crunches batch
         #                  i+1 while the host renders batch i's SAM
@@ -243,6 +254,9 @@ def run_align(args) -> int:
                               args.khits, b1, b2, ref_fn, rdids,
                               sink_un_conc=sink_un_conc,
                               sink_al_conc=sink_al_conc)
+            n_bases += int(b1.lens.sum()) + int(b2.lens.sum())
+            if met is not None:
+                met.maybe_report(writer, n_bases)
             n_batches += 1
     else:
         print("error: provide -U, -1/-2, or --12", file=sys.stderr)
@@ -250,6 +264,8 @@ def run_align(args) -> int:
     for s in (sink_un, sink_al, sink_un_conc, sink_al_conc):
         if s is not None:
             s.close()
+    if met is not None:
+        met.close(writer, n_bases)
 
     if aligner.splice_db is not None and args.novel_splicesite_outfile:
         aligner.splice_db.write_novel(args.novel_splicesite_outfile)

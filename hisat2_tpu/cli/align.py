@@ -122,10 +122,46 @@ def build_parser():
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--seed", type=int, default=0,
                    help="seed for pseudo-random tie-breaking")
+    p.add_argument("--met", type=float, default=1.0,
+                   help="metrics snapshot interval in seconds")
+    p.add_argument("--met-file", dest="met_file", default=None)
+    p.add_argument("--met-stderr", dest="met_stderr", action="store_true")
+    p.add_argument("--version", action="version",
+                   version="hisat2-tpu 0.1.0 (hisat2 2.1.0 compatible)")
+    # presets are accepted like the reference (they expand to Bowtie 2
+    # multiseed policies HISAT2's spliced path does not consult,
+    # presets.cpp:30-80)
+    for pr in ("--very-fast", "--fast", "--sensitive", "--very-sensitive"):
+        p.add_argument(pr, action="store_true",
+                       help="accepted for compatibility")
     return p
 
 
 def main(argv=None):
+    if argv is None:
+        argv = sys.argv[1:]
+    # -A <argfile>: run one alignment per non-empty line of arguments
+    # (hisat2_main.cpp:43-66)
+    if len(argv) >= 2 and argv[0] == "-A":
+        lastret = -1
+        try:
+            f_test = open(argv[1])
+            f_test.close()
+        except OSError as e:
+            print(f"Error: could not open arg file {argv[1]}: {e}",
+                  file=sys.stderr)
+            return 1
+        with open(argv[1]) as f:
+            for line in f:
+                toks = line.split()
+                if not toks:
+                    continue
+                lastret = main(toks)
+        if lastret == -1:
+            print(f"Warning: No arg strings parsed from {argv[1]}",
+                  file=sys.stderr)
+            return 0
+        return lastret
     args = build_parser().parse_args(argv)
     from ..align.driver import run_align
     return run_align(args)
