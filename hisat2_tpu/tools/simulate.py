@@ -281,9 +281,12 @@ def simulate(genome_file, base, gtf_file=None, snp_file=None, rna=False,
             a2 = _apply_variants_and_errors(
                 chr_seq, exons, fp + frag_len - read_len, read_len,
                 chr_snps, rng, error_rate / 100.0, max_mismatch)
-            flag, flag2 = 99, 163
-            swapped = paired and rng.randint(0, 1) == 1
-            if swapped:
+            flag, flag2 = (99, 163) if paired else (0, 0)
+            swapped = rng.randint(0, 1) == 1 if paired else False
+            if not paired and rng.randint(0, 1) == 1:
+                flag = 16
+                swapped = True
+            if swapped and paired:
                 flag, flag2 = flag - 16, flag2 - 16
                 a1, a2 = a2, a1
             seq1, cig1, md1, nm1, xm1, zs1, p1 = a1
@@ -295,9 +298,10 @@ def simulate(genome_file, base, gtf_file=None, snp_file=None, rna=False,
             z2 = "\tZs:Z:" + zs2 if zs2 else ""
             r1.write(">%d\n%s\n" % (rid, revcomp(seq1) if swapped
                                     else seq1))
+            rnext, pnext = (chrom, p2 + 1) if paired else ("*", 0)
             sam.write("%d\t%d\t%s\t%d\t255\t%s\t%s\t%d\t0\t%s\t*\t"
                       "XM:i:%d\tNM:i:%d\tMD:Z:%s%s%s\n"
-                      % (rid, flag, chrom, p1 + 1, cig1, chrom, p2 + 1,
+                      % (rid, flag, chrom, p1 + 1, cig1, rnext, pnext,
                          seq1, xm1, nm1, md1, z1, extra))
             if paired:
                 r2.write(">%d\n%s\n" % (rid, seq2 if swapped
