@@ -180,10 +180,25 @@ class TPUAligner:
         self.spliced = spliced
         self.max_pairs = max_pairs
         self.lane_meta = lane_meta
-        self.dev = index.to_device()
-        # host copies for SAM field generation (MD/ref lookup)
-        self.ref_codes = bitops.unpack_2bit(
-            np.asarray(index.ref_words), index.meta.n)
+        # whole-genome scale: a ShardedFMIndex runs one device pass per
+        # sub-index; candidates rebase into global joined coordinates at
+        # merge time (collect)
+        from ..index.format import ShardedFMIndex
+        if isinstance(index, ShardedFMIndex):
+            self.shards = index.shards
+            self.shard_bases = list(index.shard_bases)
+            self.ref_codes = index.global_ref_codes()
+            if lane_meta and len(self.shards) > 1:
+                # the paired give-up replay models ONE interleaved search;
+                # per-shard round logs don't merge faithfully
+                self.lane_meta = False
+        else:
+            self.shards = [index]
+            self.shard_bases = [0]
+            self.ref_codes = bitops.unpack_2bit(
+                np.asarray(index.ref_words), index.meta.n)
+        self.devs = [sh.to_device() for sh in self.shards]
+        self.dev = self.devs[0]
         self.frag_joined = np.asarray(index.frag_joined)
         self.frag_ref = np.asarray(index.frag_ref)
         self.frag_off = np.asarray(index.frag_off)
@@ -194,6 +209,11 @@ class TPUAligner:
             "clip_pen": jnp.asarray(self.scoring.clip_pen_table()),
         }
         # variant (ALT) database -> device planes + host Zs lookup tables
+        if variants is not None and len(self.shards) > 1:
+            raise NotImplementedError(
+                "sharded (>1.9 Gbp) graph indexes: per-shard variant "
+                "planes are a planned follow-up; build without --snp or "
+                "use sub-2Gbp references with variants")
         self.variants = variants
         self.has_indels = False
         self.indel_row_db = None
@@ -331,7 +351,7 @@ class TPUAligner:
         not closures — closed-over device arrays embed as executable
         constants, which the runtime handles ~50x slower per op (see
         ops/rank.py)."""
-        meta = self.meta
+        meta = d.meta
         B, L = reads.shape
         col = jnp.arange(L, dtype=jnp.int32)[None, :]
         idxr = lens[:, None] - 1 - col
@@ -866,12 +886,14 @@ class TPUAligner:
         minsc = np.array([self.scoring.min_score(int(l)) for l in lens],
                          np.int64)
         ver = self.splice_db.n_sites if self.splice_db is not None else 0
-        packed = self._device_step(
-            self.dev, self.params,
+        packed = [self._device_step(
+            dev, self.params,
             jnp.asarray(codes, jnp.int32), jnp.asarray(quals, jnp.int32),
             jnp.asarray(lens, jnp.int32), jnp.asarray(minsc, jnp.int32),
             jnp.asarray(rdids, jnp.int32) if self.spliced else None,
-            self.splice_db.device_tables() if self.spliced else None)
+            (self.splice_db.device_tables(b, dev.meta.n)
+             if self.spliced else None))
+            for dev, b in zip(self.devs, self.shard_bases)]
         return (packed, codes, quals, lens, rdids, minsc, ver)
 
     def collect(self, handle) -> BatchResult:
@@ -879,7 +901,7 @@ class TPUAligner:
         spliced mode) iterate the splice-table fixed point — re-running the
         device pass when the dispatched one used a stale site table."""
         packed, codes, quals, lens, rdids, minsc, ver = handle
-        res = self._host_phase(self._fetch_out(packed), codes, quals,
+        res = self._host_phase(self._merge_shards(packed), codes, quals,
                                lens, minsc)
         if not self.spliced or self.splice_db is None:
             return res
@@ -890,27 +912,72 @@ class TPUAligner:
                 break
             ver = self.splice_db.n_sites
             h = self.dispatch(codes, quals, lens, rdids)
-            res = self._host_phase(self._fetch_out(h[0]), codes, quals,
+            res = self._host_phase(self._merge_shards(h[0]), codes, quals,
                                    lens, minsc)
         return res
+
+    # position-valued output keys (rebased by shard_base at merge)
+    _POS_KEYS = ("starts", "p_d1", "p_d2", "q2_d", "q2_bd1", "q2_bd2")
+
+    def _merge_shards(self, packed_list) -> dict:
+        """Fetch per-shard packed outputs and merge into one candidate
+        dict with GLOBAL joined coordinates (candidate rows concatenate;
+        the host phase dedup/selection then sees the union)."""
+        outs = [self._fetch_out(pk) for pk in packed_list]
+        if len(outs) == 1 and self.shard_bases[0] == 0:
+            return outs[0]
+        merged = {}
+        # q2_* keys are PER-LANE composite results (two-junction seeds),
+        # not candidate rows: keep the whole set from the shard whose best
+        # composite score wins, selected once per lane
+        best_q2 = None
+        if "q2_score" in outs[0]:
+            best_q2 = np.argmax(np.stack(
+                [o["q2_score"].max(axis=1) for o in outs]), axis=0)
+        for k in outs[0]:
+            vs = []
+            for o, base in zip(outs, self.shard_bases):
+                v = o[k]
+                if k in self._POS_KEYS:
+                    v = v.astype(np.int64) + base
+                vs.append(v)
+            if k.startswith("q2_"):
+                stk = np.stack(vs)                      # [S, 2B, ...]
+                idx = best_q2.reshape((1, -1) + (1,) * (stk.ndim - 2))
+                merged[k] = np.take_along_axis(stk, idx, axis=0)[0]
+            elif k == "h_minw":
+                merged[k] = np.minimum.reduce(vs)
+            elif k in ("h_alignable", "h_stop"):
+                merged[k] = np.logical_or.reduce(vs)
+            elif k == "h_rn":
+                merged[k] = np.add.reduce(vs)
+            elif k == "h_rounds":
+                merged[k] = vs[0]
+            elif vs[0].ndim >= 2:
+                merged[k] = np.concatenate(vs, axis=1)
+            else:
+                merged[k] = vs[0]
+        return merged
 
     def _run_batch(self, codes: np.ndarray, quals: np.ndarray,
                    lens: np.ndarray, rdids: np.ndarray) -> BatchResult:
         minsc = np.array([self.scoring.min_score(int(l)) for l in lens],
                          np.int64)
-        packed = self._device_step(
-            self.dev, self.params,
+        packed = [self._device_step(
+            dev, self.params,
             jnp.asarray(codes, jnp.int32), jnp.asarray(quals, jnp.int32),
             jnp.asarray(lens, jnp.int32), jnp.asarray(minsc, jnp.int32),
             jnp.asarray(rdids, jnp.int32) if self.spliced else None,
-            self.splice_db.device_tables() if self.spliced else None)
-        return self._host_phase(self._fetch_out(packed), codes, quals,
+            (self.splice_db.device_tables(b, dev.meta.n)
+             if self.spliced else None))
+            for dev, b in zip(self.devs, self.shard_bases)]
+        return self._host_phase(self._merge_shards(packed), codes, quals,
                                 lens, minsc)
 
     def _host_phase(self, o_np: dict, codes: np.ndarray, quals: np.ndarray,
                     lens: np.ndarray, minsc: np.ndarray) -> BatchResult:
         B = codes.shape[0]
-        C = self.max_cands
+        C = o_np["starts"].shape[1]     # max_cands x #shards after merge
         T = o_np["p_score"].shape[1] if "p_score" in o_np else 0
         Q = 2 if "q2_score" in o_np else 0   # two-junction composites
         K = C + T + Q

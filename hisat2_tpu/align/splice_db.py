@@ -37,6 +37,7 @@ class SpliceSiteDB:
         # site dict: (ref, left, right) -> [dir, rdid(min), fromfile, nreads]
         self.sites = {}
         self._tables = None         # cached device tables
+        self._tables_key = None
         self._by_ref = None         # cached host lookup (ref coords)
         self._capacity = 0
 
@@ -190,11 +191,15 @@ class SpliceSiteDB:
     def n_sites(self):
         return len(self.sites)
 
-    def device_tables(self):
+    def device_tables(self, base: int = 0, n: int = None):
         """Sorted site arrays (joined coords) padded to a power-of-two
-        capacity so jit signatures stay stable as sites accumulate."""
+        capacity so jit signatures stay stable as sites accumulate.
+
+        base/n select a SHARD window: global joined coords in
+        [base, base+n) rebase to shard-local, sites outside drop (the
+        shard's device pass only sees its own slice of the genome)."""
         import jax.numpy as jnp
-        if self._tables is not None:
+        if self._tables is not None and self._tables_key == (base, n):
             return self._tables
         kd, ka, rdid = [], [], []
         for (ref, left, right), (sdir, srd, ff, nr) in self.sites.items():
@@ -202,6 +207,12 @@ class SpliceSiteDB:
             jr = self._to_joined(ref, right)
             if jl < 0 or jr < 0:
                 continue
+            if base or n is not None:
+                jl -= base
+                jr -= base
+                hi = n if n is not None else (1 << 62)
+                if jl < 0 or jr < 0 or jl >= hi or jr >= hi:
+                    continue
             kd.append(jl)
             ka.append(jr)
             rdid.append(srd)
@@ -234,6 +245,7 @@ class SpliceSiteDB:
             "ss_ka_s": jnp.asarray(aka2), "ss_kd_s": jnp.asarray(akd2),
             "ss_rdid_a": jnp.asarray(ard2),
         }
+        self._tables_key = (base, n)
         return self._tables
 
     # ------------------------------------------------------------------

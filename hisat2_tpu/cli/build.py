@@ -19,7 +19,7 @@ def main(argv=None):
         description="Build a TPU-native FM index from FASTA")
     p.add_argument("fasta", help="comma-separated FASTA file(s)")
     p.add_argument("base", help="output index basename (.npz)")
-    p.add_argument("-o", "--offrate", type=int, default=5,
+    p.add_argument("-o", "--offrate", type=int, default=None,
                    help="SA sample rate: mark every 2^<int> text positions")
     p.add_argument("-t", "--ftabchars", type=int, default=10,
                    help="# chars consumed by the ftab jumpstart")
@@ -29,6 +29,9 @@ def main(argv=None):
     p.add_argument("--exon", default=None, help="exon file (.exon)")
     p.add_argument("-p", "--threads", type=int, default=1,
                    help="accepted for CLI compatibility (build is vectorized)")
+    p.add_argument("--shard-bp", type=int, default=None,
+                   help="max joined bp per sub-index shard "
+                        "(default 1.9G, the int32 bound)")
     p.add_argument("-q", "--quiet", action="store_true")
     args = p.parse_args(argv)
 
@@ -42,7 +45,9 @@ def main(argv=None):
     if not args.quiet:
         tot = sum(len(c) for _, c in seqs)
         print(f"[build] {len(seqs)} sequence(s), {tot} bp", file=sys.stderr)
-    idx = build_fm_index(seqs, off_rate=args.offrate, ftab_k=args.ftabchars)
+    idx = build_fm_index(seqs, off_rate=args.offrate,
+                         ftab_k=args.ftabchars,
+                         shard_bp=args.shard_bp)
     if args.snp or args.ss or args.exon or args.haplotype:
         from ..index.variants import attach_variants
         idx = attach_variants(idx, snp_file=args.snp,

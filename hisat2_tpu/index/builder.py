@@ -130,19 +130,66 @@ def _build_ftab(text: np.ndarray, sa: np.ndarray, k: int):
 
 
 
+# largest joined text per shard: keeps every row/offset (incl. diagonal
+# margins) inside int32 — whole genomes shard across sub-indexes, the
+# reference's 64-bit -l flavor territory (hisat2:444-457)
+SHARD_LIMIT_BP = 1_900_000_000
+
+
 def build_fm_index(seqs, off_rate: int = None,
-                   ftab_k: int = DEFAULT_FTAB_K) -> FMIndex:
+                   ftab_k: int = DEFAULT_FTAB_K,
+                   shard_bp: int = None):
     """Build the full TPU-layout FM index from [(name, codes), ...].
 
     off_rate None picks adaptively: genomes under 128 Mbp store the FULL
     suffix array (off_rate 0 — SA resolution becomes one HBM gather, the
     dominant cost of the aligner's device step); larger genomes sample
-    every 16th text position like the reference (offRate 4, gfm.h)."""
-    joined, frag_joined, frag_ref, frag_off, ref_names, ref_lens = (
-        _fragments_from_seqs(seqs))
+    every 16th text position like the reference (offRate 4, gfm.h).
+
+    Genomes larger than shard_bp (default 1.9 Gbp, the int32 row bound)
+    return a ShardedFMIndex: fragments are grouped greedily into
+    sub-indexes, each a complete standalone FM index; the aligner runs
+    every shard and merges candidates with global joined coordinates."""
+    frags = _fragments_from_seqs(seqs)
+    joined, frag_joined, frag_ref, frag_off, ref_names, ref_lens = frags
     n = len(joined)
     if n == 0:
         raise ValueError("reference contains no ACGT bases")
+    limit = shard_bp or SHARD_LIMIT_BP
+    if n > limit:
+        from .format import ShardedFMIndex
+        fj = np.append(np.asarray(frag_joined, np.int64), n)
+        sizes = np.diff(fj)
+        groups, cur, cur_bp = [], [], 0
+        for fi, sz in enumerate(sizes):
+            if cur and cur_bp + sz > limit:
+                groups.append(cur)
+                cur, cur_bp = [], 0
+            cur.append(fi)
+            cur_bp += int(sz)
+        if cur:
+            groups.append(cur)
+        shards, bases = [], []
+        for g in groups:
+            base = int(fj[g[0]])
+            gjoined = joined[fj[g[0]]:fj[g[-1] + 1]]
+            gfj = [int(fj[fi]) - base for fi in g]
+            shards.append(_build_single(
+                gjoined, np.asarray(gfj, np.int32),
+                np.asarray([frag_ref[fi] for fi in g], np.int32),
+                np.asarray([frag_off[fi] for fi in g], np.int32),
+                ref_names, ref_lens, off_rate, ftab_k))
+            bases.append(base)
+        return ShardedFMIndex(shards=shards, shard_bases=bases)
+    return _build_single(joined, np.asarray(frag_joined, np.int32),
+                         np.asarray(frag_ref, np.int32),
+                         np.asarray(frag_off, np.int32),
+                         ref_names, ref_lens, off_rate, ftab_k)
+
+
+def _build_single(joined, frag_joined, frag_ref, frag_off,
+                  ref_names, ref_lens, off_rate, ftab_k) -> FMIndex:
+    n = len(joined)
     if off_rate is None:
         off_rate = 0 if n < (1 << 27) else 4
     rows = n + 1

@@ -99,16 +99,81 @@ class FMIndex:
                  **{k: np.asarray(v) for k, v in self.arrays().items()})
 
     @staticmethod
-    def load(path: str) -> "FMIndex":
+    def load(path: str):
         if not path.endswith(".npz"):
             path = path + ".npz"
         with np.load(path) as z:
             meta_d = json.loads(bytes(z["__meta__"]).decode())
+            if "shard_bases" in meta_d:
+                bases = meta_d["shard_bases"]
+                base_path = path[:-len(".npz")]
+                shards = [FMIndex.load(f"{base_path}.s{i}")
+                          for i in range(len(bases))]
+                return ShardedFMIndex(shards=shards, shard_bases=bases)
             meta_d["ref_names"] = tuple(meta_d["ref_names"])
             meta_d["ref_lens"] = tuple(meta_d["ref_lens"])
             meta = FMMeta(**meta_d)
             kw = {k: z[k] for k in z.files if k != "__meta__"}
         return FMIndex(meta=meta, **kw)
+
+
+@dataclasses.dataclass
+class ShardedFMIndex:
+    """Whole-genome scale: sub-indexes over fragment groups, each a
+    complete standalone FMIndex with SHARD-LOCAL joined coordinates; the
+    aligner runs all shards and rebases candidates into a GLOBAL joined
+    space (shard_bases[s] + local).  The reference handles >2^32 genomes
+    with its 64-bit -align-l flavor (hisat2:444-457); int32 positions on
+    the TPU favor sharding instead, which is also the natural multi-chip
+    index-distribution axis."""
+    shards: list
+    shard_bases: list
+
+    @property
+    def meta(self) -> FMMeta:
+        """Global meta: total joined length over the shards."""
+        n = self.shard_bases[-1] + self.shards[-1].meta.n
+        m0 = self.shards[0].meta
+        return FMMeta(n=n, rows=n + 1, zrow=-1, off_rate=m0.off_rate,
+                      ftab_k=m0.ftab_k, ref_names=m0.ref_names,
+                      ref_lens=m0.ref_lens)
+
+    # global fragment tables (concatenation, shard-local starts rebased)
+    @property
+    def frag_joined(self):
+        parts = [np.asarray(sh.frag_joined[:-1]) + b
+                 for sh, b in zip(self.shards, self.shard_bases)]
+        return np.concatenate(parts + [[self.meta.n]]).astype(np.int64)
+
+    @property
+    def frag_ref(self):
+        return np.concatenate(
+            [np.asarray(sh.frag_ref) for sh in self.shards])
+
+    @property
+    def frag_off(self):
+        return np.concatenate(
+            [np.asarray(sh.frag_off) for sh in self.shards])
+
+    @property
+    def ref_words(self):
+        raise AttributeError(
+            "sharded index has no single packed reference; "
+            "use per-shard ref_words")
+
+    def global_ref_codes(self):
+        from ..utils import bitops
+        return np.concatenate([
+            bitops.unpack_2bit(np.asarray(sh.ref_words), sh.meta.n)
+            for sh in self.shards])
+
+    def save(self, path: str) -> None:
+        base = path[:-len(".npz")] if path.endswith(".npz") else path
+        meta = {"shard_bases": [int(b) for b in self.shard_bases]}
+        np.savez(base + ".npz", __meta__=np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8))
+        for i, sh in enumerate(self.shards):
+            sh.save(f"{base}.s{i}")
 
 
 # Register FMIndex as a pytree so a whole index bundle can be passed as one

@@ -105,3 +105,40 @@ def test_native_sais_matches_lexsort():
     # structural checks for the large case
     n = len(t)
     assert sa[0] == n and len(np.unique(sa)) == n + 1
+
+
+def test_sharded_index_matches_single():
+    """A genome over the shard limit splits into sub-indexes; alignment
+    results (incl. cross-shard multimaps) are identical to one big
+    index (ShardedFMIndex, the int32-bound equivalent of the
+    reference's 64-bit -l flavor, hisat2:444-457)."""
+    import numpy as np
+    from hisat2_tpu.align.pipeline import TPUAligner
+    from hisat2_tpu.index.builder import build_fm_index
+    from hisat2_tpu.index.format import FMIndex, ShardedFMIndex
+    rng = np.random.default_rng(12)
+    ga = rng.integers(0, 4, 60000).astype(np.uint8)
+    gb = rng.integers(0, 4, 60000).astype(np.uint8)
+    gb[20000:22000] = ga[10000:12000]          # cross-shard duplicate
+    seqs = [("cA", ga), ("cB", gb)]
+    one = build_fm_index(seqs)
+    sh = build_fm_index(seqs, shard_bp=70000)
+    assert isinstance(sh, ShardedFMIndex) and len(sh.shards) == 2
+    # round-trip persistence
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        sh.save(os.path.join(td, "s"))
+        sh = FMIndex.load(os.path.join(td, "s"))
+    reads, lens = [], []
+    for o in (5000, 10500, 40000):             # unique A, dup, unique A
+        reads.append(ga[o:o + 80])
+    for o in (5000, 21000, 50000):             # unique B, dup, unique B
+        reads.append(gb[o:o + 80])
+    codes = np.stack(reads).astype(np.uint8)
+    quals = np.full(codes.shape, 40, np.uint8)
+    lens = np.full(6, 80, np.int32)
+    r1 = TPUAligner(one, spliced=False).align_batch(codes, quals, lens)
+    r2 = TPUAligner(sh, spliced=False).align_batch(codes, quals, lens)
+    for a, b in zip(r1.alignments, r2.alignments):
+        assert [(x.ref_id, x.ref_pos, x.score, x.rc, x.nh) for x in a] \
+            == [(x.ref_id, x.ref_pos, x.score, x.rc, x.nh) for x in b]
