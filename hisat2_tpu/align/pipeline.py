@@ -135,7 +135,7 @@ class TPUAligner:
                  cand_per_hit: int = 4, no_fw: bool = False,
                  no_rc: bool = False, variants=None, spliced: bool = False,
                  max_pairs: int = 4, splice_db=None, ss_slots: int = 2,
-                 lane_meta: bool = False):
+                 lane_meta: bool = False, shard_devices=None):
         self.meta = index.meta
         self.scoring = scoring or Scoring()
         self.k = k
@@ -197,7 +197,13 @@ class TPUAligner:
             self.shard_bases = [0]
             self.ref_codes = bitops.unpack_2bit(
                 np.asarray(index.ref_words), index.meta.n)
-        self.devs = [sh.to_device() for sh in self.shards]
+        if shard_devices is not None:
+            # one chip per index shard (MPMD): each shard's device pass
+            # runs where its arrays live; the batch is broadcast
+            self.devs = [sh.to_device(shard_devices[i % len(shard_devices)])
+                         for i, sh in enumerate(self.shards)]
+        else:
+            self.devs = [sh.to_device() for sh in self.shards]
         self.dev = self.devs[0]
         self.frag_joined = np.asarray(index.frag_joined)
         self.frag_ref = np.asarray(index.frag_ref)

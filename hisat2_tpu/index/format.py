@@ -84,10 +84,17 @@ class FMIndex:
         return {f.name: getattr(self, f.name)
                 for f in dataclasses.fields(self) if f.name != "meta"}
 
-    def to_device(self):
-        """Upload all arrays to the default device as jnp arrays."""
+    def to_device(self, device=None):
+        """Upload all arrays as jnp arrays (optionally onto a specific
+        device — index shards distribute across chips MPMD-style, each
+        shard's compute following its arrays)."""
+        import jax
         import jax.numpy as jnp
-        kw = {k: jnp.asarray(v) for k, v in self.arrays().items()}
+        if device is not None:
+            kw = {k: jax.device_put(np.asarray(v), device)
+                  for k, v in self.arrays().items()}
+        else:
+            kw = {k: jnp.asarray(v) for k, v in self.arrays().items()}
         return FMIndex(meta=self.meta, **kw)
 
     # ---- persistence (native format) ------------------------------------
