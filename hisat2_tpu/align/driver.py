@@ -57,13 +57,11 @@ def run_align(args) -> int:
     if os.path.exists(args.index + ".var.npz"):
         from ..index.variants import VariantDB
         variants = VariantDB.load(args.index)
-    paired_input = bool((args.m1 and args.m2)
-                        or getattr(args, "tab12", None))
     aligner = TPUAligner(index, scoring, k=args.khits,
                          no_fw=args.nofw, no_rc=args.norc,
                          variants=variants,
                          spliced=not args.no_spliced_alignment,
-                         lane_meta=paired_input)
+                         lane_meta=True)
     if aligner.splice_db is not None:
         if args.known_splicesite_infile:
             aligner.splice_db.add_from_file(args.known_splicesite_infile)
@@ -218,11 +216,13 @@ def run_align(args) -> int:
             seeds = rng_mod.gen_rand_seeds(b.codes, b.lens, b.quals,
                                            b.names,
                                            seed=getattr(args, "seed", 0))
+            ranks = _replay_unpaired_giveup(aligner, res, b.lens)
             for i, name in enumerate(b.names):
                 L = int(b.lens[i])
                 alns = rng_mod.finalize_unpaired(
                     res.alignments[i], int(seeds[i]), args.khits,
-                    aligner.ref_codes)
+                    aligner.ref_codes,
+                    orient_rank=ranks[i] if ranks else None)
                 writer.write_read(name, b.codes[i, :L], b.quals[i, :L],
                                   alns, ref_fn)
                 sink = sink_al if alns else sink_un
@@ -283,13 +283,56 @@ def run_align(args) -> int:
     return 0
 
 
+def _replay_unpaired_giveup(aligner, res, lens):
+    """Unpaired interleaved-search replay: drop alignments from lanes the
+    reference never completed (found[] starts {true, false} unpaired, so
+    one failed align() after the junk orientation finishes ends the
+    search, hi_aligner.h:3891-3901) and report each read's orientation
+    COMPLETION order (align() call order = report order across
+    orientations)."""
+    from . import replay as replay_mod
+    lm = res.lanes
+    if lm is None or aligner.graph is not None:
+        # graph indexes: the reference's GBWT search walks THROUGH known
+        # SNVs, so its round structure differs from our linear-search
+        # logs — the interleave replay would mispredict (verified on the
+        # graph fuzz corpus); skip until per-round SNV merging lands
+        return None
+    B = res.n_reads
+    minw_cap = 2 * max(2 * aligner.k, 10)
+    ranks = []
+    for i in range(B):
+        lane_ids = [i, i + B]
+        metas = []
+        for l in lane_ids:
+            rounds = replay_mod.decode_rounds(lm["h_rounds"][l],
+                                              lm["h_rn"][l])
+            verdict = bool(lm["h_alignable"][l])                 and int(lm["h_minw"][l]) <= minw_cap
+            metas.append((rounds, verdict, int(lm["best"][l])))
+        ms = aligner.scoring.min_score(int(lens[i]))
+        spl = 1 if any(a.junc_kind == 1 for a in res.alignments[i]) else 0
+        completed = replay_mod.replay_pair(
+            metas, (ms, ms), aligner.scoring.mm_max, aligner.min_k,
+            lambda c: False, paired=False, spliced=(spl, spl))
+        keep = [(0 in completed), (1 in completed)]
+        alns = res.alignments[i]
+        out = [a for a in alns if keep[1 if a.rc else 0]]
+        if len(out) != len(alns):
+            res.alignments[i] = out
+        rank = [2, 2]
+        for pos, c in enumerate(completed):
+            rank[c] = pos
+        ranks.append(rank)
+    return ranks
+
+
 def _replay_pair_giveup(aligner, res, policy, B, lens):
     """Replay the reference's interleaved paired search (align/replay.py)
     and drop alignments from lanes the reference never completed."""
     from . import replay as replay_mod
     lm = res.lanes
-    if lm is None:
-        return
+    if lm is None or aligner.graph is not None:
+        return                  # see _replay_unpaired_giveup
     Bt = 2 * B                  # total reads (mate1 block + mate2 block)
     minw_cap = 2 * max(2 * aligner.k, 10)       # kseeds * 2
     for i in range(B):

@@ -116,7 +116,7 @@ def select_by_score(scores, rep_order, rnd: RandomSource):
     return buf
 
 
-def finalize_unpaired(alns, seed, k: int, ref_codes):
+def finalize_unpaired(alns, seed, k: int, ref_codes, orient_rank=None):
     """finishRead's unpaired reporting order (aln_sink.h:2060-2100):
     truncate to the best-score streak (selectByScore truncates `select`
     at the first score drop unless --secondary), shuffle the streak with
@@ -133,7 +133,7 @@ def finalize_unpaired(alns, seed, k: int, ref_codes):
     best = max(a.score for a in alns)
     top = [a for a in alns if a.score == best]
     if len(top) > 1:
-        rep = _report_ranks(top, ref_codes)
+        rep = _report_ranks(top, ref_codes, orient_rank)
         order = select_by_score([0] * len(top), rep, RandomSource(seed))
         top = [top[j] for j in order]
     top = top[:k]
@@ -165,16 +165,22 @@ def _suffix_cmp(ref_codes, pa: int, pb: int) -> int:
     return -1 if pa < pb else 1
 
 
-def _report_ranks(top, ref_codes):
-    """Approximate report indices for an equal-score group: fw before rc
-    (pickNextReadToSearch iterates fwi=0 first on ties), then SA-row order
-    = suffix order at the alignment's joined start."""
+def _report_ranks(top, ref_codes, orient_rank=None):
+    """Report indices for an equal-score group: orientation completion
+    order first (align() runs when a lane's search finishes — the
+    interleave replay provides the order; fw-first when unknown), then
+    SA-row order = suffix order at the alignment's joined start."""
     import functools
+
+    def okey(a):
+        if orient_rank is None:
+            return 1 if a.rc else 0
+        return orient_rank[1 if a.rc else 0]
 
     def cmp(i, j):
         a, b = top[i], top[j]
-        if a.rc != b.rc:
-            return -1 if not a.rc else 1
+        if okey(a) != okey(b):
+            return -1 if okey(a) < okey(b) else 1
         return _suffix_cmp(ref_codes, a.joined_pos, b.joined_pos)
 
     order = sorted(range(len(top)), key=functools.cmp_to_key(cmp))
