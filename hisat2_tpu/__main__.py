@@ -29,10 +29,12 @@ def main():
         from .tools.variants import main as m
     elif cmd == "simulate-reads":
         from .tools.simulate import main as m
+    elif cmd == "genotype":
+        from .genotype.driver import main as m
     else:
         print(f"unknown command {cmd!r}: expected align|build|inspect|"
               "extract-splice-sites|extract-exons|extract-snps-haplotypes|"
-              "simulate-reads", file=sys.stderr)
+              "simulate-reads|genotype", file=sys.stderr)
         return 2
     return m(argv)
 

@@ -1,0 +1,112 @@
+"""Allele abundance EM + allele calling (reference:
+hisatgenotype_modules/hisatgenotype_typing_common.py:908-1013
+single_abundance; hisatgenotype_locus.py:1319-1380 typing flow).
+
+Reads collapse into COMPATIBILITY CLASSES: each class is the set of
+alleles a read aligns to equally best, with a count of member reads.
+The EM distributes class counts across alleles proportional to the
+current allele probabilities, normalized by allele length, with the
+SQUAREM acceleration step (Varadhan & Roland 2008, as in Sailfish) the
+reference uses.  Alleles below a tenth of the max drop after 10
+iterations (select_alleles) — the reference's convergence accelerator.
+
+The vectorized formulation: classes form a sparse membership matrix
+M [n_classes, n_alleles]; one EM step is two matrix products — MXU
+work at scale, numpy here (class counts are tiny after collapsing).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def em_abundance(cmpt: dict, lengths: dict, exonic: bool = False):
+    """cmpt: {"alleleA-alleleB-...": read_count}; lengths: {allele: bp}.
+    Returns [(allele, prob)] sorted by prob desc, then name (the
+    reference sorts with Gene_prob_cmp: prob desc, fewer '*'-fields
+    first, name asc)."""
+    alleles = sorted({a for k in cmpt for a in k.split("-")})
+    ai = {a: i for i, a in enumerate(alleles)}
+    n = len(alleles)
+    if n == 0:
+        return []
+    classes = list(cmpt.items())
+    counts = np.array([c for _, c in classes], np.float64)
+    memb = np.zeros((len(classes), n), bool)
+    for r, (k, _) in enumerate(classes):
+        for a in k.split("-"):
+            memb[r, ai[a]] = True
+    ln = np.array([lengths.get(a, 1) for a in alleles], np.float64)
+
+    def normalize(p):
+        if exonic:
+            return p / p.sum()
+        q = p / ln
+        return q / q.sum()
+
+    def next_prob(p):
+        # distribute each class's count across member alleles by p
+        denom = memb @ p                                  # [n_classes]
+        w = np.where(denom > 0, counts / np.maximum(denom, 1e-300), 0.0)
+        return normalize((memb * p[None, :]).T @ w)
+
+    # initial: split each class count evenly across member alleles
+    p = normalize(memb.T @ (counts / memb.sum(axis=1)))
+    live = np.ones(n, bool)
+    diff, it = 1.0, 0
+    while diff > 1e-4 and it < 1000:
+        p1 = next_prob(p)
+        # SQUAREM acceleration (typing_common.py:972-988)
+        p2 = next_prob(p1)
+        r = p1 - p
+        v = p2 - p1 - r
+        ssv = float(v @ v)
+        if ssv > 0.0:
+            gamma = -math.sqrt(float(r @ r) / ssv)
+            p2 = np.maximum(0.0, p - 2 * gamma * r + gamma * gamma * v)
+            p1 = next_prob(p2)
+        diff = float(np.abs(p - p1)[live].sum())
+        p = p1
+        if it >= 10:
+            # select_alleles: drop below max/10
+            live &= p >= p[live].max() / 10.0
+            p = np.where(live, p, 0.0)
+            s = p.sum()
+            if s > 0:
+                p = p / s
+        it += 1
+    live &= p >= (p[live].max() / 10.0 if live.any() else 0)
+    p = np.where(live, p, 0.0)
+    if p.sum() > 0:
+        p = p / p.sum()
+    out = [(alleles[i], float(p[i])) for i in range(n) if live[i]]
+    out.sort(key=lambda t: (-t[1], t[0].count("*"), t[0]))
+    return out
+
+
+def compatibility_classes(read_alleles: dict) -> dict:
+    """{read_name: set(alleles)} -> {'a-b-c': count} with alleles sorted
+    (the reference joins allele names with '-', locus typing flow)."""
+    cmpt = {}
+    for _, alset in read_alleles.items():
+        if not alset:
+            continue
+        key = "-".join(sorted(alset))
+        cmpt[key] = cmpt.get(key, 0) + 1
+    return cmpt
+
+
+def call_diploid(ranked, min_abundance: float = 0.1):
+    """Diploid allele call: the top allele, plus the runner-up when its
+    abundance clears 10% (hisatgenotype_locus.py:1372: pairs below 10%
+    collapse to a homozygous call)."""
+    if not ranked:
+        return []
+    calls = [ranked[0][0]]
+    if len(ranked) > 1 and ranked[1][1] >= min_abundance:
+        calls.append(ranked[1][0])
+    else:
+        calls.append(ranked[0][0])
+    return calls

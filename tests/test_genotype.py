@@ -1,0 +1,77 @@
+"""HISAT-genotype equivalent: EM typing + diploid calling (reference:
+hisatgenotype_modules/hisatgenotype_typing_common.py:908 single_abundance,
+hisatgenotype_locus.py typing flow)."""
+
+import numpy as np
+import pytest
+
+from hisat2_tpu.genotype.typing import (call_diploid, compatibility_classes,
+                                        em_abundance)
+
+
+def test_em_unique_classes():
+    # 60/40 reads uniquely assignable -> abundances recover the mix
+    cmpt = {"A*01": 60, "B*01": 40}
+    ranked = em_abundance(cmpt, {"A*01": 1000, "B*01": 1000})
+    assert ranked[0][0] == "A*01" and abs(ranked[0][1] - 0.6) < 0.01
+    assert ranked[1][0] == "B*01" and abs(ranked[1][1] - 0.4) < 0.01
+
+
+def test_em_shared_class_resolves():
+    # shared reads split by the EM toward the allele with unique support
+    cmpt = {"A*01": 50, "A*01-A*02": 100, "A*02": 5}
+    ranked = em_abundance(cmpt, {"A*01": 1000, "A*02": 1000})
+    assert ranked[0][0] == "A*01"
+    assert ranked[0][1] > 0.75
+
+
+def test_select_alleles_drops_noise():
+    # a noise allele below a tenth of the max drops (select_alleles)
+    cmpt = {"A*01": 200, "A*02": 3}
+    ranked = em_abundance(cmpt, {"A*01": 1000, "A*02": 1000})
+    assert [a for a, _ in ranked] == ["A*01"]
+
+
+def test_length_normalization():
+    # equal counts, 2x length difference -> the short allele gets 2/3
+    cmpt = {"A*01": 100, "A*02": 100}
+    ranked = em_abundance(cmpt, {"A*01": 500, "A*02": 1000})
+    assert ranked[0][0] == "A*01" and abs(ranked[0][1] - 2 / 3) < 0.01
+
+
+def test_diploid_call():
+    assert call_diploid([("a", 0.6), ("b", 0.4)]) == ["a", "b"]
+    assert call_diploid([("a", 0.95), ("b", 0.05)]) == ["a", "a"]
+
+
+def test_genotype_end_to_end():
+    from hisat2_tpu.genotype.driver import main
+    import tempfile, os
+    rng = np.random.default_rng(42)
+    ACGT = np.array(list("ACGT"))
+    base = rng.integers(0, 4, 2000)
+    alleles = {}
+    for i, nm in enumerate(["X*01:01", "X*02:01", "X*03:01"]):
+        a = base.copy()
+        for p in rng.integers(100, 1900, 6):
+            a[p] = (a[p] + 1 + i) % 4
+        alleles[nm] = a
+    with tempfile.TemporaryDirectory() as td:
+        af = os.path.join(td, "a.fa")
+        rf = os.path.join(td, "r.fa")
+        out = os.path.join(td, "rep.txt")
+        with open(af, "w") as f:
+            for nm, a in alleles.items():
+                f.write(f">{nm}\n" + "".join(ACGT[a]) + "\n")
+        with open(rf, "w") as f:
+            rid = 0
+            for nm in ("X*01:01", "X*02:01"):
+                a = alleles[nm]
+                for _ in range(120):
+                    o = int(rng.integers(0, len(a) - 80))
+                    f.write(f">g{rid}\n" + "".join(ACGT[a[o:o+80]]) + "\n")
+                    rid += 1
+        assert main(["--alleles", af, "-U", rf, "--out", out]) == 0
+        rep = open(out).read()
+        assert "call: X*01:01 / X*02:01" in rep \
+            or "call: X*02:01 / X*01:01" in rep
