@@ -900,6 +900,11 @@ class TPUAligner:
             (self.splice_db.device_tables(b, dev.meta.n)
              if self.spliced else None))
             for dev, b in zip(self.devs, self.shard_bases)]
+        for pk in packed:
+            # enqueue the D2H copy NOW, before the next batch's compute is
+            # dispatched — otherwise the (serialized) transfer queues
+            # behind it and collect() stalls a full device step
+            pk.copy_to_host_async()
         return (packed, codes, quals, lens, rdids, minsc, ver)
 
     def collect(self, handle) -> BatchResult:
@@ -990,12 +995,17 @@ class TPUAligner:
         z2 = np.zeros((2 * B, T), np.int64)
         zq = np.zeros((2 * B, Q), np.int64)
 
+        # int32 math throughout the host phase when positions fit (the
+        # arrays are memory-bound; int64 doubles the traffic) — sharded
+        # multi-gigabase genomes fall back to int64
+        hdt = np.int64 if self.meta.n >= 2 ** 31 - 2 ** 24 else np.int32
+
         def flat(base, pair, q=None):
-            blocks_ = [base.astype(np.int64)]
+            blocks_ = [base.astype(hdt)]
             if T:
-                blocks_.append(pair.astype(np.int64))
+                blocks_.append(pair.astype(hdt))
             if Q:
-                blocks_.append((zq if q is None else q).astype(np.int64))
+                blocks_.append((zq if q is None else q).astype(hdt))
             return np.concatenate(blocks_, axis=1).reshape(-1)
 
         if Q:
@@ -1174,7 +1184,7 @@ class TPUAligner:
         Km0 = K
         validm0 = valid.reshape(2 * B, Km0)
         s_m0 = starts.reshape(2 * B, Km0)
-        sc_m0 = np.where(validm0, score.reshape(2 * B, Km0), -2 ** 40)
+        sc_m0 = np.where(validm0, score.reshape(2 * B, Km0), np.int64(-2 ** 40))
         jk_m0 = junc_kind.reshape(2 * B, Km0)
         ordm0 = np.lexsort((-jk_m0, s_m0, -sc_m0), axis=1)
         s_s0 = np.take_along_axis(s_m0, ordm0, axis=1)
@@ -1190,8 +1200,8 @@ class TPUAligner:
                     & (kept_sc0 > csc[:, None])).any(axis=1)
             keep_r = v_s0[:, r] & ~near
             kept0[:, r] = keep_r
-            kept_pos0[:, r] = np.where(keep_r, cand, -2 ** 60)
-            kept_sc0[:, r] = np.where(keep_r, csc, -2 ** 40)
+            kept_pos0[:, r] = np.where(keep_r, cand, np.int64(-2 ** 60))
+            kept_sc0[:, r] = np.where(keep_r, csc, np.int64(-2 ** 40))
         vm0 = np.zeros((2 * B, Km0), bool)
         np.put_along_axis(vm0, ordm0, kept0, axis=1)
         valid &= vm0.reshape(-1)
@@ -1217,7 +1227,7 @@ class TPUAligner:
         e_r = s_r + np.concatenate([span_m[:B], span_m[B:]], axis=1) - 1
         sc_r = np.where(vread, np.concatenate(
             [score.reshape(2 * B, Km)[:B],
-             score.reshape(2 * B, Km)[B:]], axis=1), -2 ** 40)
+             score.reshape(2 * B, Km)[B:]], axis=1), np.int64(-2 ** 40))
         jk_r = np.concatenate([junc_kind.reshape(2 * B, Km)[:B],
                                junc_kind.reshape(2 * B, Km)[B:]], axis=1)
         ordm = np.lexsort((-jk_r, s_r, -sc_r), axis=1)
@@ -1243,8 +1253,8 @@ class TPUAligner:
                       & (cand[:, None] <= kept_e)).any(axis=1)
             keep_r = v_s[:, r] & ~inside
             kept[:, r] = keep_r
-            kept_s[:, r] = np.where(keep_r, cand, -2 ** 60)
-            kept_e[:, r] = np.where(keep_r, e_s[:, r], -2 ** 60)
+            kept_s[:, r] = np.where(keep_r, cand, np.int64(-2 ** 60))
+            kept_e[:, r] = np.where(keep_r, e_s[:, r], np.int64(-2 ** 60))
             # an exact same-start suppression is a duplicate representation
             # of the kept alignment, not secondary evidence
             same_start = (cand[:, None] == kept_s).any(axis=1)
@@ -1367,16 +1377,16 @@ class TPUAligner:
             a5 = -(np.take_along_axis(ccl, dl[:, None], axis=1)[:, 0]
                    + total - np.take_along_axis(pcl, dl[:, None],
                                                 axis=1)[:, 0])
-            a5 = np.where(anyp & (dl <= T), a5, -2 ** 40)
+            a5 = np.where(anyp & (dl <= T), a5, np.int64(-2 ** 40))
             dr = L0 - last
             cut = np.maximum(L0 - dr, 0)
             tot_c = np.take_along_axis(ccl, L0[:, None], axis=1)[:, 0]
             a3 = -((tot_c - np.take_along_axis(ccl, cut[:, None],
                                                axis=1)[:, 0])
                    + np.take_along_axis(pcl, cut[:, None], axis=1)[:, 0])
-            a3 = np.where(anyp & (dr <= T - 1), a3, -2 ** 40)
+            a3 = np.where(anyp & (dr <= T - 1), a3, np.int64(-2 ** 40))
             alt = np.maximum(a5, a3)
-            alt = np.where(alt >= minsc[rde], alt, -2 ** 40)
+            alt = np.where(alt >= minsc[rde], alt, np.int64(-2 ** 40))
             alt_of_best[el] = alt
         alt_valid = alt_of_best >= minsc[seg_read]
         sec_cand = np.where(seg_len > 1,
