@@ -223,8 +223,10 @@ def run_align(args) -> int:
                     res.alignments[i], int(seeds[i]), args.khits,
                     aligner.ref_codes,
                     orient_rank=ranks[i] if ranks else None)
+                nf = int((b.codes[i, :L] > 3).sum()) \
+                    > aligner.scoring.max_n(L)
                 writer.write_read(name, b.codes[i, :L], b.quals[i, :L],
-                                  alns, ref_fn)
+                                  alns, ref_fn, n_filtered=nf)
                 sink = sink_al if alns else sink_un
                 if sink is not None:
                     sink.write(name, b.codes[i, :L], b.quals[i, :L])

@@ -213,20 +213,26 @@ class SamWriter:
                 f"{tlen}\t{seq}\t{qual}\t" + "\t".join(tags) + "\n")
 
     def _unal_line(self, name, codes, quals, flag_extra=0, rname="*",
-                   pos=0, rnext="*", pnext=0, yt="UU"):
+                   pos=0, rnext="*", pnext=0, yt="UU", yf=None):
         seq = bitops.decode_dna(codes)
         qual = "".join(chr(int(q) + 33) for q in quals)
+        tail = f"\tYF:Z:{yf}" if yf else ""
         return (f"{name}\t{FLAG_UNMAPPED | flag_extra}\t{rname}\t{pos}\t0\t*"
-                f"\t{rnext}\t{pnext}\t0\t{seq}\t{qual}\tYT:Z:{yt}\n")
+                f"\t{rnext}\t{pnext}\t0\t{seq}\t{qual}\tYT:Z:{yt}"
+                f"{tail}\n")
 
     # ------------------------------------------------------------------
-    def write_read(self, name, codes, quals, alns, ref_codes_fn):
-        """All SAM lines for one unpaired read."""
+    def write_read(self, name, codes, quals, alns, ref_codes_fn,
+                   n_filtered: bool = False):
+        """All SAM lines for one unpaired read.  n_filtered marks reads
+        rejected by the N-ceiling (YF:Z:NS, sam.h / nFilter)."""
         self.n_reads += 1
         if not alns:
             self.n_unal += 1
             if not self.no_unal:
-                self.out.write(self._unal_line(name, codes, quals))
+                self.out.write(self._unal_line(
+                    name, codes, quals,
+                    yf="NS" if n_filtered else None))
             return
         if alns[0].nh == 1:
             self.n_uniq += 1
