@@ -248,7 +248,9 @@ def run_align(args) -> int:
     elif paired_mode:
         policy = PairPolicy(minins=args.minins, maxins=args.maxins,
                             orient=args.orient, no_mixed=args.no_mixed,
-                            no_discordant=args.no_discordant)
+                            no_discordant=args.no_discordant,
+                            spliced=not args.no_spliced_alignment,
+                            max_intron=args.max_intronlen)
         for b1, b2 in paired_batches():
             rdids = rdid0 + np.arange(len(b1.names), dtype=np.int64)
             rdid0 += len(b1.names)
@@ -412,6 +414,9 @@ def _align_pair_batch(aligner, writer, policy, scoring, k, b1, b2, ref_fn,
 
     c1, q1 = padto(b1.codes, b1.quals, L)
     c2, q2 = padto(b2.codes, b2.quals, L)
+    seeds1 = rng_mod.gen_rand_seeds(b1.codes, b1.lens, b1.quals, b1.names)
+    seeds2 = rng_mod.gen_rand_seeds(b2.codes, b2.lens, b2.quals, b2.names)
+    pair_seeds = (seeds1 ^ seeds2).astype(np.uint32)
     codes = np.concatenate([c1, c2])
     quals = np.concatenate([q1, q2])
     lens = np.concatenate([b1.lens, b2.lens])
@@ -481,7 +486,8 @@ def _align_pair_batch(aligner, writer, policy, scoring, k, b1, b2, ref_fn,
         l1, l2 = int(b1.lens[i]), int(b2.lens[i])
         alns1 = res.alignments[i]
         alns2 = res.alignments[B + i]
-        pairs = all_pairs[i]
+        pairs = rng_mod.finalize_pairs(all_pairs[i], int(pair_seeds[i]),
+                                        k, aligner.ref_codes)
         sink = sink_al_conc if pairs else sink_un_conc
         if sink is not None:
             sink.write(name, b1.codes[i, :l1], b1.quals[i, :l1],

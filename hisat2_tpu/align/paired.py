@@ -20,6 +20,12 @@ class PairPolicy:
     orient: str = "fr"       # --fr/--rf/--ff
     no_mixed: bool = False
     no_discordant: bool = False
+    # RNA mode pairs WITHOUT the insert-size policy: any correctly
+    # oriented colinear pair whose inner gap fits maxIntronLen is
+    # concordant (pairReads, hi_aligner.h:5090-5105: the
+    # PairedEndPolicy/-I/-X check runs only under no_spliced_alignment)
+    spliced: bool = False
+    max_intron: int = 500000
 
     def concordant(self, a1, a2, len1: int, len2: int, intron_fn=None,
                    rdid: int = 0):
@@ -72,10 +78,15 @@ class PairPolicy:
         if intron_fn is not None and up_right + 100 < dn_left:
             intron = intron_fn(a1.ref_id, up, dn, rdid)
         frag = 1 + dn - up - intron
-        if frag < max(self.minins, 1) and self.minins > 0:
-            return False, 0
-        if frag < self.minins or frag > self.maxins:
-            return False, 0
+        if self.spliced:
+            # colinear + gap within maxIntronLen; no -I/-X check
+            if dn_left > up_right + 1 + self.max_intron:
+                return False, 0
+        else:
+            if frag < max(self.minins, 1) and self.minins > 0:
+                return False, 0
+            if frag < self.minins or frag > self.maxins:
+                return False, 0
         tlen1 = frag if left_is_1 else -frag
         return True, tlen1
 

@@ -822,6 +822,13 @@ class TPUAligner:
                 for t2 in range(1, len(recs)):
                     recs[t2] = dataclasses.replace(recs[t2],
                                                    zs=recs[0].score)
+            # alignMate resolves a local segment only when nelt <= 5
+            # (hi_aligner.h:4760): a mate matching the window more than
+            # 5 times equally well is never rescued
+            if recs:
+                nbest = sum(1 for a in recs if a.score == recs[0].score)
+                if nbest > 5:
+                    recs = []
             out.append(recs)
         return out
 

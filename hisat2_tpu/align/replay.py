@@ -113,7 +113,11 @@ def replay_pair(lanes, minsc, mm_max: int, min_k: int, has_concord,
             ln.na += 1
         if ln.k == len(ln.rounds):
             ln.done = True
-            completed.append(i)
+            # a lane completing with a FALSE align() verdict (minWidth >
+            # kseeds*2 or no usable anchors) exits before hybridSearch:
+            # it reports NOTHING, so it does not join the completed set
+            if ln.verdict:
+                completed.append(i)
             found[m] = ln.verdict
             if ln.verdict and ln.best >= minsc[m]:
                 best_unp[m] = max(best_unp[m], ln.best)

@@ -188,3 +188,37 @@ def _report_ranks(top, ref_codes, orient_rank=None):
     for pos, i in enumerate(order):
         rank[i] = pos
     return rank
+
+
+def finalize_pairs(pairs, seed, k: int, ref_codes):
+    """Concordant-pair reporting order (finishRead paired branch,
+    aln_sink.h:1860-1870): selectByScore over pair score SUMS — best-sum
+    streak only (truncation at the first drop), shuffled with
+    rnd.init(seed1 ^ seed2), min(streak, k) reported.  Report-order
+    proxy: pairs discover in pairReads' rs1 x rs2 loop order, ranked
+    here by (mate1 orientation/suffix, mate2 suffix)."""
+    if not pairs:
+        return pairs
+    sums = [a1.score + a2.score for a1, a2, _ in pairs]
+    best = max(sums)
+    top = [p for p, sm in zip(pairs, sums) if sm == best]
+    if len(top) > 1:
+        import functools
+
+        def cmp(i, j):
+            a1, a2, _ = top[i]
+            b1, b2, _ = top[j]
+            if a1.rc != b1.rc:
+                return -1 if not a1.rc else 1
+            c = _suffix_cmp(ref_codes, a1.joined_pos, b1.joined_pos)
+            if c:
+                return c
+            return _suffix_cmp(ref_codes, a2.joined_pos, b2.joined_pos)
+
+        order = sorted(range(len(top)), key=functools.cmp_to_key(cmp))
+        rank = [0] * len(top)
+        for pos, i in enumerate(order):
+            rank[i] = pos
+        sel = select_by_score([0] * len(top), rank, RandomSource(seed))
+        top = [top[j] for j in sel]
+    return top[:k]

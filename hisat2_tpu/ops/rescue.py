@@ -25,7 +25,10 @@ from . import rank as rk
 def rescue_candidates(ref_words, n_text: int, reads, quals, lens,
                       win_start, W: int, mm_pen, clip_pen,
                       n_pen: int, allow_softclip: bool = True,
-                      snv_delta1=None, snv_delta2=None, top: int = 4):
+                      snv_delta1=None, snv_delta2=None, top: int = 8):
+    # top must exceed the reference's nelt cap of 5 (hi_aligner.h:4760):
+    # the host counts equally-scoring placements among these diagonals to
+    # decide whether the mate repeats too often in the window to rescue
     """reads: int32 [R, L] mate codes ALREADY in the expected orientation;
     win_start: int32 [R] joined start of each lane's search window of W
     diagonals (the reference searches the 57,344 bp local-index window
