@@ -281,12 +281,22 @@ class TPUAligner:
                              rdids=None, ss=None):
         out = self._align_device(d, params, reads, quals, lens, minsc,
                                  rdids, ss)
-        # values that fit int16 travel two-per-word over the (slow,
-        # tunneled) D2H link; genome positions and round logs stay int32
+        # D2H is the tunnel bottleneck: genome positions and round logs
+        # stay int32, scores travel int16 (2/word), and small counters /
+        # flags / read offsets travel int8 (4/word)
         I32 = {"starts", "p_d1", "p_d2", "p_event", "h_rounds",
                "q2_d", "q2_bd1", "q2_bd2"}
+        # read-length-bounded fields fit int8 only for short reads (L is
+        # static at trace time)
+        L = reads.shape[1]
+        I8 = {"valid", "post", "ab", "p_kind", "p_spldir", "p_known",
+              "p_ab", "p_post", "p_selfgap", "h_alignable", "h_stop",
+              "q2_bkind", "q2_bdir", "q2_dir", "q2_bknown"}
+        if L <= 127:
+            I8 |= {"n_mm", "n_n", "clip_l", "clip_r", "p_x", "q2_x",
+                   "q2_bx"}
         cols, specs = [], []
-        half = []
+        half, quart = [], []
         for k in sorted(out):
             v = out[k]
             dt = v.dtype
@@ -298,6 +308,9 @@ class TPUAligner:
             if k in I32 or str(dt) == "float32":
                 specs.append((k, str(dt), v.shape[1:], v2.shape[1], "i32"))
                 cols.append(v2)
+            elif k in I8:
+                specs.append((k, str(dt), v.shape[1:], v2.shape[1], "i8"))
+                quart.append(jnp.clip(v2, -128, 127))
             else:
                 specs.append((k, str(dt), v.shape[1:], v2.shape[1], "i16"))
                 half.append(jnp.clip(v2, -32768, 32767))
@@ -309,6 +322,18 @@ class TPUAligner:
                     axis=1)
             packed16 = (hcat[:, 0::2] & 0xFFFF) | (hcat[:, 1::2] << 16)
             cols.append(packed16)
+        if quart:
+            qcat = jnp.concatenate(quart, axis=1)
+            pad = (-qcat.shape[1]) % 4
+            if pad:
+                qcat = jnp.concatenate(
+                    [qcat, jnp.zeros((qcat.shape[0], pad), jnp.int32)],
+                    axis=1)
+            packed8 = ((qcat[:, 0::4] & 0xFF)
+                       | ((qcat[:, 1::4] & 0xFF) << 8)
+                       | ((qcat[:, 2::4] & 0xFF) << 16)
+                       | (qcat[:, 3::4] << 24))
+            cols.append(packed8)
         self._out_specs = specs          # static; set at trace time
         return jnp.concatenate(cols, axis=1)
 
@@ -316,8 +341,9 @@ class TPUAligner:
         buf = np.asarray(packed)         # ONE device->host transfer
         out = {}
         off = 0
-        # int32 columns first (transfer layout), then the int16 halves
+        # transfer layout: int32 columns, then int16 halves, then int8 quads
         n16 = sum(w for *_, w, m in self._out_specs if m == "i16")
+        n8 = sum(w for *_, w, m in self._out_specs if m == "i8")
         w32 = sum(w for *_, w, m in self._out_specs if m == "i32")
         if n16:
             words = buf[:, w32:w32 + (n16 + 1) // 2]
@@ -327,11 +353,22 @@ class TPUAligner:
                               np.int32)
             halves[:, 0::2] = lo
             halves[:, 1::2] = hi
-        off16 = 0
+        if n8:
+            q0 = w32 + (n16 + 1) // 2
+            qw = buf[:, q0:q0 + (n8 + 3) // 4]
+            quads = np.empty((buf.shape[0], 4 * qw.shape[1]), np.int32)
+            quads[:, 0::4] = (qw << 24) >> 24   # sign-extended bytes
+            quads[:, 1::4] = (qw << 16) >> 24
+            quads[:, 2::4] = (qw << 8) >> 24
+            quads[:, 3::4] = qw >> 24
+        off16 = off8 = 0
         for k, dt, shape, w, mode in self._out_specs:
             if mode == "i32":
                 v = np.ascontiguousarray(buf[:, off:off + w])
                 off += w
+            elif mode == "i8":
+                v = np.ascontiguousarray(quads[:, off8:off8 + w])
+                off8 += w
             else:
                 v = np.ascontiguousarray(halves[:, off16:off16 + w])
                 off16 += w
@@ -375,7 +412,7 @@ class TPUAligner:
         # close every min_k+12 bp (hi_aligner.h:5603)
         H = max(self.max_hits, L // (self.min_k + 12) + 2)
         hits = search_ops.partial_search(
-            d.bwt_words, d.occ, d.fchr, meta.zrow, meta.rows, ar, al,
+            d.blocked, d.fchr, meta.zrow, meta.rows, ar, al,
             H, self.min_hit_len, self.min_k)
 
         P = self.cand_per_hit
@@ -394,7 +431,7 @@ class TPUAligner:
         cval = hv[:, :, None] & (j[None, None, :] < w[:, :, None])
         rows_flat = jnp.where(cval, rowm, 0).reshape(-1)
         offs = resolve_ops.resolve_rows(
-            d.bwt_words, d.occ, d.fchr, d.mark_words, d.mark_chk,
+            d.blocked, d.fchr, d.mark_words, d.mark_chk,
             d.sa_marked, meta.zrow, meta.off_rate, rows_flat)
         lo = hits.lo[:, :, None]                                  # [2B,H,1]
         starts = (offs.reshape(2 * B, H, P) - lo).reshape(2 * B, H * P)
@@ -414,7 +451,7 @@ class TPUAligner:
             cut = jnp.where(hits.nh >= 2, cut, 0).astype(jnp.int32)
             H2 = 2
             hits2 = search_ops.partial_search(
-                d.bwt_words, d.occ, d.fchr, meta.zrow, meta.rows, ar,
+                d.blocked, d.fchr, meta.zrow, meta.rows, ar,
                 cut, H2, self.min_hit_len, self.min_k)
             w2 = hits2.bot - hits2.top
             hv2 = jnp.arange(H2, dtype=jnp.int32)[None, :] \
@@ -424,7 +461,7 @@ class TPUAligner:
             rowm2 = hits2.top[:, :, None] + j2[None, None, :]
             cval2 = hv2[:, :, None] & (j2[None, None, :] < w2[:, :, None])
             offs2 = resolve_ops.resolve_rows(
-                d.bwt_words, d.occ, d.fchr, d.mark_words, d.mark_chk,
+                d.blocked, d.fchr, d.mark_words, d.mark_chk,
                 d.sa_marked, meta.zrow, meta.off_rate,
                 jnp.where(cval2, rowm2, 0).reshape(-1))
             starts2 = (offs2.reshape(2 * B, H2, P)
@@ -669,8 +706,13 @@ class TPUAligner:
                                event=jnp.full((2 * B, Cs), -1, jnp.int32),
                                selfgap=jnp.zeros((2 * B, Cs), jnp.int32)))
         # (splscore is consumed on-device only - not shipped to the host)
-        for k2 in ("score", "d1", "d2", "x", "kind", "spldir",
-                   "known", "event", "ab", "post", "selfgap"):
+        # event rows exist only for known ALT indels: skip the (int32,
+        # D2H-expensive) plane entirely on indel-free indexes (the host
+        # defaults missing p_event to -1)
+        pkeys = ("score", "d1", "d2", "x", "kind", "spldir",
+                 "known", "ab", "post", "selfgap") \
+            + (("event",) if self.has_indels else ())
+        for k2 in pkeys:
             out["p_" + k2] = jnp.concatenate(
                 [b[k2] for b in blocks], axis=1)
         if self.spliced:
@@ -1077,12 +1119,15 @@ class TPUAligner:
                       if "h_rounds" in o_np else None)
         lane = np.repeat(np.arange(2 * B, dtype=np.int64), K)
         # host-side policy filters (all vectorized)
-        maxn = np.array([self.scoring.max_n(int(l)) for l in lens], np.int64)
+        # vectorize per-length scoring bounds over the distinct lengths
+        ulens, uinv = np.unique(lens, return_inverse=True)
+        maxn = np.array([self.scoring.max_n(int(l)) for l in ulens],
+                        np.int64)[uinv]
         read_of_lane = lane % B
         is_rc = lane >= B
         # pairs span the whole read: their N count is the read's N count
-        n_read = np.array([(codes[i, :lens[i]] > 3).sum()
-                           for i in range(B)], np.int64)
+        inlen = np.arange(codes.shape[1])[None, :] < np.asarray(lens)[:, None]
+        n_read = ((codes > 3) & inlen).sum(axis=1).astype(np.int64)
         n_n = np.where(junc_kind > 0, n_read[read_of_lane], n_n_dev)
         if self.no_fw:
             valid = valid & is_rc
@@ -1091,6 +1136,34 @@ class TPUAligner:
         is_pair = junc_kind > 0
         valid = valid & (n_n <= maxn[read_of_lane]) \
             & (is_pair | (score >= minsc[read_of_lane]))
+        # column compaction: all downstream work (containment, merge loops,
+        # lexsorts) scales with K, but each lane rarely carries more than a
+        # few valid candidates — keep the M best (valid-first, score desc)
+        # slots per lane and drop the rest of the K columns
+        ab = flat(o_np["ab"], o_np.get("p_ab", z2))
+        post = flat(o_np["post"], o_np.get("p_post", z2)).astype(bool)
+        selfgap = flat(np.zeros((2 * B, C), np.int64),
+                       o_np.get("p_selfgap", z2)).astype(bool)
+        M = 10
+        if M < K:
+            v2 = valid.reshape(2 * B, K)
+            sc2 = np.where(v2, score.reshape(2 * B, K), np.int64(-2 ** 40))
+            ordc = np.lexsort((-sc2, ~v2), axis=1)[:, :M]
+            take = (np.arange(2 * B, dtype=np.int64)[:, None] * K
+                    + ordc).reshape(-1)
+            (valid, starts, score, n_mm, n_n, clip_l, clip_r, junc_kind,
+             junc_x, d2, spl_dir, junc_known, junc_event, junc_snp,
+             junc2_kind, junc2_x, junc2_d3, junc2_dir, ab, post,
+             selfgap) = (a[take] for a in (
+                 valid, starts, score, n_mm, n_n, clip_l, clip_r, junc_kind,
+                 junc_x, d2, spl_dir, junc_known, junc_event, junc_snp,
+                 junc2_kind, junc2_x, junc2_d3, junc2_dir, ab, post,
+                 selfgap))
+            K = M
+            lane = np.repeat(np.arange(2 * B, dtype=np.int64), K)
+            read_of_lane = lane % B
+            is_rc = lane >= B
+            is_pair = junc_kind > 0
         # fragment containment (joinedToTextOff straddle check, gfm.h:5076);
         # junction candidates check each segment separately, and a splice may
         # cross an N-gap fragment boundary within the same reference
@@ -1151,8 +1224,6 @@ class TPUAligner:
         # rounds per orientation; candidates born in later rounds are never
         # generated.  `ab` = non-unique rounds before a candidate's earliest
         # source segment.
-        ab = flat(o_np["ab"], o_np.get("p_ab", z2))
-        post = flat(o_np["post"], o_np.get("p_post", z2)).astype(bool)
         vsel = np.flatnonzero(valid)
         if vsel.size:
             bestr = np.full(B, -2 ** 40, np.int64)
@@ -1170,8 +1241,6 @@ class TPUAligner:
             # a strictly-worse gap once a better alignment exists (verified
             # vs oracle: an equal-score remote 32M1D68M IS reported, a
             # worse-by-2 remote 86M1I13M is not and never feeds ZS)
-            selfgap = flat(np.zeros((2 * B, C), np.int64),
-                           o_np.get("p_selfgap", z2)).astype(bool)
             valid &= ~(selfgap & (score < bestr[read_of_lane]))
             # post-anchor-stop candidates exist only when the pre-stop
             # anchor's extension leaves part of the read uncovered
@@ -1201,6 +1270,10 @@ class TPUAligner:
         kept_pos0 = np.full((2 * B, Km0), -2 ** 60, np.int64)
         kept_sc0 = np.full((2 * B, Km0), -2 ** 40, np.int64)
         for r in range(Km0):
+            # rows are sorted valid-(score desc)-first: the first column
+            # with no valid entry anywhere ends the scan
+            if not v_s0[:, r].any():
+                break
             cand = s_s0[:, r]
             csc = sc_s0[:, r]
             near = ((np.abs(kept_pos0 - cand[:, None]) <= W)
@@ -1255,6 +1328,8 @@ class TPUAligner:
         # contained equal-scoring ungapped representation)
         shadow_sec = np.full(B, -2 ** 40, np.int64)
         for r in range(K2):
+            if not v_s[:, r].any():
+                break
             cand = s_s[:, r]
             inside = ((cand[:, None] >= kept_s)
                       & (cand[:, None] <= kept_e)).any(axis=1)
@@ -1407,8 +1482,8 @@ class TPUAligner:
         shadow = shadow_sec[seg_read]
         secbest = np.maximum(secbest, shadow)
         has_sec = (seg_len > 1) | alt_valid | (shadow > -2 ** 39)
-        perfect = np.zeros(len(bnd), np.int64) + np.array(
-            [self.scoring.perfect_score(int(lens[x])) for x in seg_read])
+        perfect = np.array([self.scoring.perfect_score(int(l))
+                            for l in ulens], np.int64)[uinv[seg_read]]
         mq = mapq_mod.mapq_v2(best, np.maximum(sec_cand, -2 ** 30),
                               seg_len > 1, perfect, minsc[seg_read])
         seg_zs = np.where(has_sec, secbest, 0)
@@ -1422,31 +1497,37 @@ class TPUAligner:
         ref_id = self.frag_ref[fi]
         ref_pos = self.frag_off[fi] + (astart - self.frag_joined[fi])
         rd_len = lens[r[ki]]
+        # bulk numpy->python conversion: .tolist() converts whole arrays at
+        # C speed; per-element int(arr[i]) in the loop costs ~10x more
+        so = seg_of[ki]
+        cols = [r[ki], o[ki], ref_id, ref_pos, s[ki],
+                clip_l[gi], clip_r[gi],
+                (rd_len.astype(np.int64) - clip_l[gi] - clip_r[gi]
+                 + junc_len[gi] + junc2_len[gi]),
+                sc[ki], n_mm[gi], n_n[gi], mq[so], n_rep[so],
+                pos_in_seg[ki] > 0, has_sec[so], seg_zs[so],
+                junc_kind[gi], junc_x[gi], junc_len[gi], d2[gi],
+                spl_dir[gi], junc_known[gi], junc_snp[gi],
+                junc2_kind[gi], junc2_x[gi], junc2_len[gi],
+                junc2_d3[gi], junc2_dir[gi]]
+        cols = [c.tolist() for c in cols]
         for t in range(len(ki)):
-            i = ki[t]
-            g = gi[t]
-            rd = int(r[i])
-            jk = int(junc_kind[g])
-            jl = int(junc_len[g])
-            jl2 = int(junc2_len[g])
-            span = int(rd_len[t]) - int(clip_l[g]) - int(clip_r[g]) \
-                + jl + jl2
+            (rd, rc_t, rid, rpos, jp, cl, cr, span, sct, nmm, nnn, mqt,
+             nrep, sec2, hs, zs2, jk, jx, jl, jd2, sd, jkn, jsnp,
+             j2k, j2x, j2l, j2d3, j2d) = (c[t] for c in cols)
             per_read[rd].append(Alignment(
-                read_idx=rd, rc=bool(o[i]), ref_id=int(ref_id[t]),
-                ref_pos=int(ref_pos[t]), joined_pos=int(s[i]),
-                clip_l=int(clip_l[g]), clip_r=int(clip_r[g]),
-                aln_span=span,
-                score=int(sc[i]), n_mm=int(n_mm[g]), n_n=int(n_n[g]),
-                mapq=int(mq[seg_of[i]]), nh=int(n_rep[seg_of[i]]),
-                secondary=bool(pos_in_seg[i] > 0),
-                zs=(int(seg_zs[seg_of[i]])
-                    if has_sec[seg_of[i]] else None),
-                junc_kind=jk, junc_x=int(junc_x[g]), junc_len=jl,
-                junc_d2=int(d2[g]), spl_dir=int(spl_dir[g]),
-                junc_known=bool(junc_known[g]),
-                junc_snp=int(junc_snp[g]),
-                junc2_kind=int(junc2_kind[g]), junc2_x=int(junc2_x[g]),
-                junc2_len=jl2, junc2_d3=int(junc2_d3[g]),
-                junc2_dir=int(junc2_dir[g])))
+                read_idx=rd, rc=bool(rc_t), ref_id=rid,
+                ref_pos=rpos, joined_pos=jp,
+                clip_l=cl, clip_r=cr, aln_span=span,
+                score=sct, n_mm=nmm, n_n=nnn,
+                mapq=mqt, nh=nrep,
+                secondary=bool(sec2),
+                zs=(zs2 if hs else None),
+                junc_kind=jk, junc_x=jx, junc_len=jl,
+                junc_d2=jd2, spl_dir=sd,
+                junc_known=bool(jkn), junc_snp=jsnp,
+                junc2_kind=j2k, junc2_x=j2x,
+                junc2_len=j2l, junc2_d3=j2d3,
+                junc2_dir=j2d))
         return BatchResult(alignments=per_read, n_reads=B,
                            lanes=lanes_meta)

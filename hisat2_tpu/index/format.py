@@ -42,6 +42,18 @@ from typing import Any
 import numpy as np
 
 BLOCK_BASES = 128           # rank checkpoint interval (rows per occ block)
+
+
+def fuse_blocked(occ, bwt_words):
+    """uint32 [nblocks+1, 12]: per 128-row block, [occ c0..c3 | 8 BWT
+    words] — the rank kernel's whole working set for a row, one gather."""
+    occ = np.asarray(occ)
+    bw = np.asarray(bwt_words).reshape(-1, 8)
+    nblk = bw.shape[0]
+    out = np.zeros((nblk + 1, 12), np.uint32)
+    out[:, :4] = occ.astype(np.uint32)
+    out[:nblk, 4:] = bw
+    return out
 WORDS_PER_BLOCK = BLOCK_BASES // 16
 DEFAULT_OFF_RATE = 5        # SA sampled every 32 rows   (gfm.h:3909)
 DEFAULT_FTAB_K = 10         # global k-mer jumpstart     (hisat2_build.cpp:101)
@@ -79,10 +91,16 @@ class FMIndex:
     frag_joined: Any        # int32  [F + 1]
     frag_ref: Any           # int32  [F]
     frag_off: Any           # int32  [F]
+    # derived, device-only (built by to_device, never persisted): the occ
+    # checkpoint fused in front of each 128-row block's 8 BWT words, so a
+    # rank query costs ONE row gather instead of two separate gathers
+    blocked: Any = None     # uint32 [nblocks + 1, 12]
 
     def arrays(self) -> dict[str, Any]:
         return {f.name: getattr(self, f.name)
-                for f in dataclasses.fields(self) if f.name != "meta"}
+                for f in dataclasses.fields(self)
+                if f.name not in ("meta", "blocked")
+                and getattr(self, f.name) is not None}
 
     def to_device(self, device=None):
         """Upload all arrays as jnp arrays (optionally onto a specific
@@ -90,11 +108,13 @@ class FMIndex:
         shard's compute following its arrays)."""
         import jax
         import jax.numpy as jnp
+        arrs = self.arrays()
+        arrs["blocked"] = fuse_blocked(self.occ, self.bwt_words)
         if device is not None:
             kw = {k: jax.device_put(np.asarray(v), device)
-                  for k, v in self.arrays().items()}
+                  for k, v in arrs.items()}
         else:
-            kw = {k: jnp.asarray(v) for k, v in self.arrays().items()}
+            kw = {k: jnp.asarray(v) for k, v in arrs.items()}
         return FMIndex(meta=self.meta, **kw)
 
     # ---- persistence (native format) ------------------------------------

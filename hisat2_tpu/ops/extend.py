@@ -81,13 +81,15 @@ def pen_planes(ref_words, n_text: int, reads, quals, lens, cand_start,
     vp = jnp.broadcast_to(col < ln[:, :, None], pos.shape)
 
     oob = vp & ((pos < 0) | (pos >= n_text))
-    cpos = jnp.clip(pos, 0, n_text - 1)
-    rc = rk.ref_char(ref_words, cpos)
+    rc4 = rk.ref_chars_block(ref_words, n_text, cand_start, L)
+    rc = jnp.minimum(rc4, 3)          # keep legacy clip-to-text semantics
     isn = vp & (rd >= 4)
     mm_raw = vp & (rd < 4) & (rd != rc) & ~oob
     if snv_delta1 is not None:
-        v1 = rk.ref_char(snv_delta1, cpos)
-        v2 = rk.ref_char(snv_delta2, cpos)
+        v1 = jnp.minimum(rk.ref_chars_block(snv_delta1, n_text,
+                                            cand_start, L), 3)
+        v2 = jnp.minimum(rk.ref_chars_block(snv_delta2, n_text,
+                                            cand_start, L), 3)
         snp_ok = mm_raw & (((v1 != 0) & (rd == ((rc + v1) & 3)))
                            | ((v2 != 0) & (rd == ((rc + v2) & 3))))
         mm = mm_raw & ~snp_ok

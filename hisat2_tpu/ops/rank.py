@@ -35,12 +35,22 @@ def _word_offsets():
     return jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32)[None, :]
 
 
-def rank(bwt_words, occ, zrow: int, i, c):
-    """# occurrences of char c in bwt[0:i), '$' excluded.  i,c: int32 [B]."""
+def rank(blocked, zrow: int, i, c):
+    """# occurrences of char c in bwt[0:i), '$' excluded.  i,c: int32 [B].
+
+    blocked: the fused [nblocks+1, 12] layout (index.format.fuse_blocked)
+    — occ checkpoint + the block's 8 BWT words in ONE gathered row (two
+    separate gathers cost ~2x on the TPU's descriptor-bound gather path).
+    """
     blk = i >> 7
     within = i & 127
-    base = occ[blk, c]
-    w = bwt_words[(blk << 3)[:, None] + _word_offsets()]          # [B, 8]
+    row = blocked[blk]                                            # [B, 12]
+    # occ[c] via a 4-way select (cheaper than a second gather)
+    base = jnp.where(
+        c < 2,
+        jnp.where(c == 0, row[:, 0], row[:, 1]),
+        jnp.where(c == 2, row[:, 2], row[:, 3])).astype(jnp.int32)
+    w = row[:, 4:12]
     pat = (c.astype(jnp.uint32) * _PAIR_LO)[:, None]
     x = ~(w ^ pat)
     pairs = x & (x >> _ONE) & _PAIR_LO                             # 1/match-pair
@@ -55,16 +65,16 @@ def rank(bwt_words, occ, zrow: int, i, c):
     return base + cnt - corr
 
 
-def lf(bwt_words, occ, fchr, zrow: int, i, c):
+def lf(blocked, fchr, zrow: int, i, c):
     """LF mapping: row of the suffix obtained by prepending char c."""
-    return fchr[c] + rank(bwt_words, occ, zrow, i, c)
+    return fchr[c] + rank(blocked, zrow, i, c)
 
 
-def lf_range(bwt_words, occ, fchr, zrow: int, top, bot, c):
+def lf_range(blocked, fchr, zrow: int, top, bot, c):
     """One backward-search step on [top, bot) ranges (2 rank queries/lane)."""
     i2 = jnp.concatenate([top, bot])
     c2 = jnp.concatenate([c, c])
-    r = lf(bwt_words, occ, fchr, zrow, i2, c2)
+    r = lf(blocked, fchr, zrow, i2, c2)
     b = top.shape[0]
     return r[:b], r[b:]
 
@@ -102,3 +112,30 @@ def ref_char(ref_words, pos):
     w = ref_words[pos >> 4]
     return ((w >> (2 * (pos & 15)).astype(jnp.uint32)) & np.uint32(3)
             ).astype(jnp.int32)
+
+
+def ref_chars_block(ref_words, n_text: int, start, L: int):
+    """Chars ref[start + t] for t in [0, L): [..., L] int32, 4 where the
+    position leaves the text.
+
+    One scalar word-gather per CHAR (ref_char over a [N,C,L] position
+    grid) is descriptor-bound on TPU; this gathers each diagonal's
+    ceil(L/16)+1 packed words as an index-arithmetic row and extracts the
+    chars with an 8-way one-hot select + shift — pure VPU work."""
+    W = L // 16 + 2
+    w0 = start >> 4                                       # [..., C]
+    rel = (start & 15)[..., None]                         # char offset in w0
+    woff = jnp.arange(W, dtype=jnp.int32)
+    nw = ref_words.shape[0]
+    widx = jnp.clip(w0[..., None] + woff, 0, nw - 1)
+    words = ref_words[widx]                               # [..., C, W]
+    t = jnp.arange(L, dtype=jnp.int32)
+    bitpos = rel + t                                      # broadcast [..., L]
+    wsel = bitpos >> 4                                    # [..., C, L] in [0,W)
+    sh = (2 * (bitpos & 15)).astype(jnp.uint32)
+    sel = jnp.zeros(wsel.shape[:-1] + (L,), jnp.uint32)
+    for wi in range(W):
+        sel = jnp.where(wsel == wi, words[..., wi:wi + 1], sel)
+    ch = ((sel >> sh) & np.uint32(3)).astype(jnp.int32)
+    pos = start[..., None] + t
+    return jnp.where((pos < 0) | (pos >= n_text), jnp.int32(4), ch)

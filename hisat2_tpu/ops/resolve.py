@@ -26,7 +26,7 @@ _FULL = np.uint32(0xFFFFFFFF)
 _ONE = np.uint32(1)
 
 
-def resolve_rows(bwt_words, occ, fchr, mark_words, mark_chk, sa_marked,
+def resolve_rows(blocked, fchr, mark_words, mark_chk, sa_marked,
                  zrow: int, off_rate: int, row):
     """SA values for each row in `row` (int32 [M]) -> joined offsets [M]."""
     if off_rate == 0:
@@ -40,7 +40,8 @@ def resolve_rows(bwt_words, occ, fchr, mark_words, mark_chk, sa_marked,
         r, steps, done, off = st
         blk = r >> 7
         within = r & 127
-        bw = bwt_words[(blk << 3)[:, None] + w8]                   # [M, 8]
+        brow = blocked[blk]                                        # [M, 12]
+        bw = brow[:, 4:12]
         mw = mark_words[(blk << 2)[:, None] + w4]                  # [M, 4]
         # mark bit + mark rank from the same 4 words
         mword = jnp.take_along_axis(mw, ((r >> 5) & 3)[:, None],
@@ -72,7 +73,10 @@ def resolve_rows(bwt_words, occ, fchr, mark_words, mark_chk, sa_marked,
             jnp.int32).sum(axis=1)
         corr = ((c == 0) & (zrow >= (blk << 7)) & (r > zrow)
                 ).astype(jnp.int32)
-        r2 = fchr[c] + occ[blk, c] + cnt - corr
+        base = jnp.where(
+            c < 2, jnp.where(c == 0, brow[:, 0], brow[:, 1]),
+            jnp.where(c == 2, brow[:, 2], brow[:, 3])).astype(jnp.int32)
+        r2 = fchr[c] + base + cnt - corr
         r = jnp.where(done, r, r2)
         steps = steps + (~done).astype(jnp.int32)
         return r, steps, done, off

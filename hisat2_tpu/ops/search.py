@@ -60,7 +60,7 @@ class PartialHits(NamedTuple):
     #   width-1 hits — max_size=1, hi_aligner.h:4341)
 
 
-def partial_search(bwt_words, occ, fchr, zrow: int, rows: int,
+def partial_search(blocked, fchr, zrow: int, rows: int,
                    reads, lens, max_hits: int = 8,
                    min_hit_len: int = 16, min_k: int = 16) -> PartialHits:
     """reads: int32 [B, L] codes (0-4), left-aligned; lens: int32 [B]."""
@@ -105,7 +105,7 @@ def partial_search(bwt_words, occ, fchr, zrow: int, rows: int,
             reads, jnp.maximum(pos, 0)[:, None], axis=1)[:, 0]
         cc = jnp.minimum(c, 3)
         valid_c = (c < 4) & active
-        t2, b2 = rk.lf_range(bwt_words, occ, fchr, zrow, top, bot, cc)
+        t2, b2 = rk.lf_range(blocked, fchr, zrow, top, bot, cc)
         ok = valid_c & (b2 > t2)
         seg = rb - pos                               # segment len incl. char
         width = b2 - t2

@@ -202,12 +202,8 @@ def diag_chars(ref_words, n_text: int, starts, L: int, margin: int):
     """Gather reference chars along candidate diagonals with margin:
     out[b,c,m] = ref[starts[b,c] + m - margin], 4 when out of text."""
     from . import rank as rk
-    N, C = starts.shape
-    col = jnp.arange(L + 2 * margin, dtype=jnp.int32)[None, None, :] - margin
-    pos = starts[:, :, None] + col
-    oob = (pos < 0) | (pos >= n_text)
-    ch = rk.ref_char(ref_words, jnp.clip(pos, 0, n_text - 1))
-    return jnp.where(oob, jnp.int32(4), ch)
+    return rk.ref_chars_block(ref_words, n_text, starts - margin,
+                              L + 2 * margin)
 
 
 def pair_sweep(ch, pen_spl, pen_ind, ismm, starts, valid, lens, minsc,

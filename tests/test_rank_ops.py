@@ -4,6 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hisat2_tpu.index.builder import suffix_array
+from hisat2_tpu.index.format import fuse_blocked
 from hisat2_tpu.ops import rank as rk
 from hisat2_tpu.ops import resolve as rs
 
@@ -21,8 +22,8 @@ def test_rank_matches_naive(small_index, rng):
     rows = idx.meta.rows
     i = rng.integers(0, rows + 1, 500).astype(np.int32)
     c = rng.integers(0, 4, 500).astype(np.int32)
-    got = np.asarray(rk.rank(jnp.asarray(idx.bwt_words),
-                             jnp.asarray(idx.occ), idx.meta.zrow,
+    blocked = jnp.asarray(fuse_blocked(idx.occ, idx.bwt_words))
+    got = np.asarray(rk.rank(blocked, idx.meta.zrow,
                              jnp.asarray(i), jnp.asarray(c)))
     for k in range(500):
         expect = int((bwt[:i[k]] == c[k]).sum())
@@ -39,8 +40,8 @@ def test_lf_is_sa_shift(small_index, rng):
     r = rng.integers(0, rows, 300).astype(np.int32)
     r = r[r != zrow]
     c = bwt[r].astype(np.int32)
-    got = np.asarray(rk.lf(jnp.asarray(idx.bwt_words), jnp.asarray(idx.occ),
-                           jnp.asarray(idx.fchr), idx.meta.zrow,
+    blocked = jnp.asarray(fuse_blocked(idx.occ, idx.bwt_words))
+    got = np.asarray(rk.lf(blocked, jnp.asarray(idx.fchr), idx.meta.zrow,
                            jnp.asarray(r), jnp.asarray(c)))
     inv = np.zeros(rows, np.int64)
     inv[sa] = np.arange(rows)
@@ -64,7 +65,7 @@ def test_resolve_rows(small_index, rng):
     sa, _, _ = _bwt_of(seq)
     r = rng.integers(0, idx.meta.rows, 400).astype(np.int32)
     got = np.asarray(rs.resolve_rows(
-        jnp.asarray(idx.bwt_words), jnp.asarray(idx.occ),
+        jnp.asarray(fuse_blocked(idx.occ, idx.bwt_words)),
         jnp.asarray(idx.fchr), jnp.asarray(idx.mark_words),
         jnp.asarray(idx.mark_chk), jnp.asarray(idx.sa_marked),
         idx.meta.zrow, idx.meta.off_rate, jnp.asarray(r)))
