@@ -279,22 +279,25 @@ class TPUAligner:
 
     def _align_device_packed(self, d, params, reads, quals, lens, minsc,
                              rdids=None, ss=None):
-        out = self._align_device(d, params, reads, quals, lens, minsc,
+        # reads/quals upload as uint8 (4x less H2D over the tunnel);
+        # widen on device
+        out = self._align_device(d, params, reads.astype(jnp.int32),
+                                 quals.astype(jnp.int32), lens, minsc,
                                  rdids, ss)
         # D2H is the tunnel bottleneck: genome positions and round logs
         # stay int32, scores travel int16 (2/word), and small counters /
         # flags / read offsets travel int8 (4/word)
-        I32 = {"starts", "p_d1", "p_d2", "p_event", "h_rounds",
+        I32 = {"u_d1", "u_d2", "u_event", "h_rounds",
                "q2_d", "q2_bd1", "q2_bd2"}
         # read-length-bounded fields fit int8 only for short reads (L is
         # static at trace time)
         L = reads.shape[1]
-        I8 = {"valid", "post", "ab", "p_kind", "p_spldir", "p_known",
-              "p_ab", "p_post", "p_selfgap", "h_alignable", "h_stop",
+        I8 = {"u_valid", "u_post", "u_ab", "u_kind", "u_spldir",
+              "u_known", "u_selfgap", "h_alignable", "h_stop",
               "q2_bkind", "q2_bdir", "q2_dir", "q2_bknown"}
         if L <= 127:
-            I8 |= {"n_mm", "n_n", "clip_l", "clip_r", "p_x", "q2_x",
-                   "q2_bx"}
+            I8 |= {"u_n_mm", "u_n_n", "u_clip_l", "u_clip_r", "u_x",
+                   "q2_x", "q2_bx"}
         cols, specs = [], []
         half, quart = [], []
         for k in sorted(out):
@@ -706,15 +709,66 @@ class TPUAligner:
                                event=jnp.full((2 * B, Cs), -1, jnp.int32),
                                selfgap=jnp.zeros((2 * B, Cs), jnp.int32)))
         # (splscore is consumed on-device only - not shipped to the host)
-        # event rows exist only for known ALT indels: skip the (int32,
-        # D2H-expensive) plane entirely on indel-free indexes (the host
-        # defaults missing p_event to -1)
-        pkeys = ("score", "d1", "d2", "x", "kind", "spldir",
-                 "known", "ab", "post", "selfgap") \
-            + (("event",) if self.has_indels else ())
-        for k2 in pkeys:
-            out["p_" + k2] = jnp.concatenate(
-                [b[k2] for b in blocks], axis=1)
+        # --- unified slot compaction: merge the ungapped candidates and
+        # every junction block into ONE per-slot schema, keep each lane's
+        # M best (valid-first, score-desc, stable) slots, and ship only
+        # those.  D2H bytes and the host phase both scale with slot count;
+        # lanes rarely carry more than a few real candidates.
+        # (event rows exist only for known ALT indels: the plane is
+        # omitted on indel-free indexes; the host defaults it to -1.)
+        Cb = cstart.shape[1]
+        BIGs = np.int32(2 ** 30)
+        z_b = jnp.zeros((2 * B, Cb), jnp.int32)
+        uni = {"score": ext.score, "d1": cstart, "d2": cstart,
+               "x": z_b, "kind": z_b, "spldir": z_b, "known": z_b,
+               "ab": cab, "post": cpost.astype(jnp.int32),
+               "selfgap": z_b, "n_mm": ext.n_mm, "n_n": ext.n_n,
+               "clip_l": ext.clip_l, "clip_r": ext.clip_r,
+               "valid": (cvalid_long & ext.ok).astype(jnp.int32)}
+        if self.has_indels:
+            uni["event"] = jnp.full((2 * B, Cb), -1, jnp.int32)
+        for b in blocks:
+            W2 = b["score"].shape[1]
+            zw = jnp.zeros((2 * B, W2), jnp.int32)
+            uni = {
+                "score": jnp.concatenate([uni["score"], b["score"]], 1),
+                "d1": jnp.concatenate([uni["d1"], b["d1"]], 1),
+                "d2": jnp.concatenate([uni["d2"], b["d2"]], 1),
+                "x": jnp.concatenate([uni["x"], b["x"]], 1),
+                "kind": jnp.concatenate([uni["kind"], b["kind"]], 1),
+                "spldir": jnp.concatenate([uni["spldir"],
+                                           b["spldir"]], 1),
+                "known": jnp.concatenate([uni["known"], b["known"]], 1),
+                "ab": jnp.concatenate([uni["ab"], b["ab"]], 1),
+                "post": jnp.concatenate(
+                    [uni["post"], b["post"].astype(jnp.int32)], 1),
+                "selfgap": jnp.concatenate([uni["selfgap"],
+                                            b["selfgap"]], 1),
+                "n_mm": jnp.concatenate([uni["n_mm"], zw], 1),
+                "n_n": jnp.concatenate([uni["n_n"], zw], 1),
+                "clip_l": jnp.concatenate([uni["clip_l"], zw], 1),
+                "clip_r": jnp.concatenate([uni["clip_r"], zw], 1),
+                "valid": jnp.concatenate(
+                    [uni["valid"],
+                     (b["score"] > -BIGs).astype(jnp.int32)], 1),
+                **({"event": jnp.concatenate([uni["event"],
+                                              b["event"]], 1)}
+                   if self.has_indels else {}),
+            }
+        Ktot = uni["score"].shape[1]
+        Mdev = min(Ktot, 12)
+        if Mdev < Ktot:
+            skey = jnp.where(uni["valid"] > 0, -uni["score"],
+                             np.int32(2 ** 31 - 1))
+            ordc = jnp.argsort(skey, axis=1, stable=True)[:, :Mdev]
+            uni = {k2: jnp.take_along_axis(v2, ordc, axis=1)
+                   for k2, v2 in uni.items()}
+        for k2, v2 in uni.items():
+            out["u_" + k2] = v2
+        # the base-block per-slot fields are superseded by the unified set
+        for k2 in ("starts", "score", "n_mm", "n_n", "clip_l", "clip_r",
+                   "valid", "ab", "post"):
+            del out[k2]
         if self.spliced:
             # second junction (multi-exon reads): composite sweep off the
             # best UNGATED junction candidate (its unfixed tail's penalties
@@ -943,7 +997,8 @@ class TPUAligner:
         ver = self.splice_db.n_sites if self.splice_db is not None else 0
         packed = [self._device_step(
             dev, self.params,
-            jnp.asarray(codes, jnp.int32), jnp.asarray(quals, jnp.int32),
+            jnp.asarray(np.asarray(codes, np.uint8)),
+            jnp.asarray(np.asarray(quals, np.uint8)),
             jnp.asarray(lens, jnp.int32), jnp.asarray(minsc, jnp.int32),
             jnp.asarray(rdids, jnp.int32) if self.spliced else None,
             (self.splice_db.device_tables(b, dev.meta.n)
@@ -977,7 +1032,7 @@ class TPUAligner:
         return res
 
     # position-valued output keys (rebased by shard_base at merge)
-    _POS_KEYS = ("starts", "p_d1", "p_d2", "q2_d", "q2_bd1", "q2_bd2")
+    _POS_KEYS = ("u_d1", "u_d2", "q2_d", "q2_bd1", "q2_bd2")
 
     def _merge_shards(self, packed_list) -> dict:
         """Fetch per-shard packed outputs and merge into one candidate
@@ -1025,7 +1080,8 @@ class TPUAligner:
                          np.int64)
         packed = [self._device_step(
             dev, self.params,
-            jnp.asarray(codes, jnp.int32), jnp.asarray(quals, jnp.int32),
+            jnp.asarray(np.asarray(codes, np.uint8)),
+            jnp.asarray(np.asarray(quals, np.uint8)),
             jnp.asarray(lens, jnp.int32), jnp.asarray(minsc, jnp.int32),
             jnp.asarray(rdids, jnp.int32) if self.spliced else None,
             (self.splice_db.device_tables(b, dev.meta.n)
@@ -1037,24 +1093,20 @@ class TPUAligner:
     def _host_phase(self, o_np: dict, codes: np.ndarray, quals: np.ndarray,
                     lens: np.ndarray, minsc: np.ndarray) -> BatchResult:
         B = codes.shape[0]
-        C = o_np["starts"].shape[1]     # max_cands x #shards after merge
-        T = o_np["p_score"].shape[1] if "p_score" in o_np else 0
+        U = o_np["u_score"].shape[1]    # unified slots (device-compacted)
         Q = 2 if "q2_score" in o_np else 0   # two-junction composites
-        K = C + T + Q
-        z2 = np.zeros((2 * B, T), np.int64)
-        zq = np.zeros((2 * B, Q), np.int64)
+        K = U + Q
 
         # int32 math throughout the host phase when positions fit (the
         # arrays are memory-bound; int64 doubles the traffic) — sharded
         # multi-gigabase genomes fall back to int64
         hdt = np.int64 if self.meta.n >= 2 ** 31 - 2 ** 24 else np.int32
 
-        def flat(base, pair, q=None):
-            blocks_ = [base.astype(hdt)]
-            if T:
-                blocks_.append(pair.astype(hdt))
+        def flat(u, q=None):
+            blocks_ = [u.astype(hdt)]
             if Q:
-                blocks_.append((zq if q is None else q).astype(hdt))
+                blocks_.append((np.zeros((2 * B, Q)) if q is None
+                                else q).astype(hdt))
             return np.concatenate(blocks_, axis=1).reshape(-1)
 
         if Q:
@@ -1078,36 +1130,31 @@ class TPUAligner:
             q_start = q_score = q_j1x = q_j1d2 = q_j1kind = None
             q_j1dir = q_j1known = q_j2x = q_j2d3 = q_j2kind = q_j2dir = None
 
-        starts = flat(o_np["starts"], o_np.get("p_d1", z2), q_start)
-        score = flat(o_np["score"], o_np.get("p_score", z2), q_score)
-        n_mm = flat(o_np["n_mm"], z2)
-        n_n_dev = flat(o_np["n_n"], z2)
-        clip_l = flat(o_np["clip_l"], z2)
-        clip_r = flat(o_np["clip_r"], z2)
-        junc_kind = flat(np.zeros((2 * B, C)), o_np.get("p_kind", z2),
-                         q_j1kind)
-        junc_x = flat(np.zeros((2 * B, C)), o_np.get("p_x", z2), q_j1x)
-        d2 = flat(o_np["starts"], o_np.get("p_d2", z2), q_j1d2)
-        spl_dir = flat(np.zeros((2 * B, C)), o_np.get("p_spldir", z2),
-                       q_j1dir)
-        junc_known = flat(np.zeros((2 * B, C)), o_np.get("p_known", z2),
-                          q_j1known)
-        junc_event = flat(np.full((2 * B, C), -1),
-                          o_np.get("p_event", z2 - 1),
+        starts = flat(o_np["u_d1"], q_start)
+        score = flat(o_np["u_score"], q_score)
+        n_mm = flat(o_np["u_n_mm"])
+        n_n_dev = flat(o_np["u_n_n"])
+        clip_l = flat(o_np["u_clip_l"])
+        clip_r = flat(o_np["u_clip_r"])
+        junc_kind = flat(o_np["u_kind"], q_j1kind)
+        junc_x = flat(o_np["u_x"], q_j1x)
+        d2 = flat(o_np["u_d2"], q_j1d2)
+        spl_dir = flat(o_np["u_spldir"], q_j1dir)
+        junc_known = flat(o_np["u_known"], q_j1known)
+        junc_event = flat(o_np.get("u_event",
+                                   np.full((2 * B, U), -1, np.int32)),
                           np.full((2 * B, Q), -1) if Q else None)
-        junc2_kind = flat(np.zeros((2 * B, C)), z2, q_j2kind)
-        junc2_x = flat(np.zeros((2 * B, C)), z2, q_j2x)
-        junc2_d3 = flat(o_np["starts"], o_np.get("p_d2", z2), q_j2d3)
-        junc2_dir = flat(np.zeros((2 * B, C)), z2, q_j2dir)
+        junc2_kind = flat(np.zeros((2 * B, U)), q_j2kind)
+        junc2_x = flat(np.zeros((2 * B, U)), q_j2x)
+        junc2_d3 = flat(o_np["u_d2"], q_j2d3)
+        junc2_dir = flat(np.zeros((2 * B, U)), q_j2dir)
         # map indel-event table rows to VariantDB snp indices
         junc_snp = np.full(len(junc_event), -1, np.int64)
         if self.indel_row_db is not None:
             has_ev = junc_event >= 0
             junc_snp[has_ev] = self.indel_row_db[junc_event[has_ev]]
         BIGV = 2 ** 29
-        vparts = [o_np["valid"]]
-        if T:
-            vparts.append(o_np["p_score"] > -BIGV)
+        vparts = [o_np["u_valid"] > 0]
         if Q:
             vparts.append((q_score > -BIGV)
                           & (q_j1kind != splice_ops.KIND_NONE))
@@ -1140,10 +1187,9 @@ class TPUAligner:
         # lexsorts) scales with K, but each lane rarely carries more than a
         # few valid candidates — keep the M best (valid-first, score desc)
         # slots per lane and drop the rest of the K columns
-        ab = flat(o_np["ab"], o_np.get("p_ab", z2))
-        post = flat(o_np["post"], o_np.get("p_post", z2)).astype(bool)
-        selfgap = flat(np.zeros((2 * B, C), np.int64),
-                       o_np.get("p_selfgap", z2)).astype(bool)
+        ab = flat(o_np["u_ab"])
+        post = flat(o_np["u_post"]).astype(bool)
+        selfgap = flat(o_np["u_selfgap"]).astype(bool)
         M = 10
         if M < K:
             v2 = valid.reshape(2 * B, K)

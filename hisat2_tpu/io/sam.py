@@ -119,7 +119,7 @@ class SamWriter:
             seq = qual = "*"
         else:
             seq = bitops.decode_dna(rd)
-            qual = "".join(chr(int(q) + 33) for q in quals)
+            qual = (np.asarray(quals, np.uint8) + 33).tobytes().decode()
             if a.rc:
                 qual = qual[::-1]
         L = len(codes)
@@ -130,9 +130,14 @@ class SamWriter:
         if a.junc_kind == 0:
             cigar = (f"{cl}S" if cl else "") + f"{mid}M" \
                 + (f"{cr}S" if cr else "")
-            ref = ref_codes_fn(a.joined_pos + cl, mid)
             rd_aligned = rd[cl:L - cr]
-            md, nm = md_and_nm(rd_aligned, ref)
+            if a.n_mm == 0 and a.n_n == 0 and self.annotator is None:
+                # edit-free (and no SNP annotation that could put ref
+                # chars in MD): skip the reference gather entirely
+                md, nm = str(mid), 0
+            else:
+                ref = ref_codes_fn(a.joined_pos + cl, mid)
+                md, nm = md_and_nm(rd_aligned, ref)
             xm = nm
         else:
             # junction alignment: xM (gap op) yM [(gap op) zM] with clips
@@ -215,7 +220,7 @@ class SamWriter:
     def _unal_line(self, name, codes, quals, flag_extra=0, rname="*",
                    pos=0, rnext="*", pnext=0, yt="UU", yf=None):
         seq = bitops.decode_dna(codes)
-        qual = "".join(chr(int(q) + 33) for q in quals)
+        qual = (np.asarray(quals, np.uint8) + 33).tobytes().decode()
         tail = f"\tYF:Z:{yf}" if yf else ""
         return (f"{name}\t{FLAG_UNMAPPED | flag_extra}\t{rname}\t{pos}\t0\t*"
                 f"\t{rnext}\t{pnext}\t0\t{seq}\t{qual}\tYT:Z:{yt}"

@@ -61,7 +61,7 @@ def sharded_align_step(aligner, mesh: Mesh):
     def step(d, params, reads, quals, lens, minsc, rdids, ss):
         out = aligner._align_device(d, params, reads, quals, lens, minsc,
                                     rdids, ss)
-        n_cand = out["valid"].sum()  # XLA inserts the cross-shard reduce
+        n_cand = out["u_valid"].sum()  # XLA inserts the cross-shard reduce
         return out, n_cand
 
     repl = NamedSharding(mesh, P())
