@@ -288,46 +288,13 @@ def run_align(args) -> int:
 
 
 def _replay_unpaired_giveup(aligner, res, lens):
-    """Unpaired interleaved-search replay: drop alignments from lanes the
-    reference never completed (found[] starts {true, false} unpaired, so
-    one failed align() after the junk orientation finishes ends the
-    search, hi_aligner.h:3891-3901) and report each read's orientation
-    COMPLETION order (align() call order = report order across
-    orientations)."""
-    from . import replay as replay_mod
-    lm = res.lanes
-    if lm is None or aligner.graph is not None:
-        # graph indexes: the reference's GBWT search walks THROUGH known
-        # SNVs, so its round structure differs from our linear-search
-        # logs — the interleave replay would mispredict (verified on the
-        # graph fuzz corpus); skip until per-round SNV merging lands
+    """Unpaired interleave replay now runs INSIDE the host phase
+    (TPUAligner._eval_order_suppress): lane drops and sink best gating
+    happen before ZS/NH are computed there.  This shim only surfaces the
+    orientation report ranks the host phase recorded."""
+    if res.orient_ranks is None:
         return None
-    B = res.n_reads
-    minw_cap = 2 * max(2 * aligner.k, 10)
-    ranks = []
-    for i in range(B):
-        lane_ids = [i, i + B]
-        metas = []
-        for l in lane_ids:
-            rounds = replay_mod.decode_rounds(lm["h_rounds"][l],
-                                              lm["h_rn"][l])
-            verdict = bool(lm["h_alignable"][l])                 and int(lm["h_minw"][l]) <= minw_cap
-            metas.append((rounds, verdict, int(lm["best"][l])))
-        ms = aligner.scoring.min_score(int(lens[i]))
-        spl = 1 if any(a.junc_kind == 1 for a in res.alignments[i]) else 0
-        completed = replay_mod.replay_pair(
-            metas, (ms, ms), aligner.scoring.mm_max, aligner.min_k,
-            lambda c: False, paired=False, spliced=(spl, spl))
-        keep = [(0 in completed), (1 in completed)]
-        alns = res.alignments[i]
-        out = [a for a in alns if keep[1 if a.rc else 0]]
-        if len(out) != len(alns):
-            res.alignments[i] = out
-        rank = [2, 2]
-        for pos, c in enumerate(completed):
-            rank[c] = pos
-        ranks.append(rank)
-    return ranks
+    return [list(r) for r in res.orient_ranks]
 
 
 def _replay_pair_giveup(aligner, res, policy, B, lens):
@@ -423,7 +390,8 @@ def _align_pair_batch(aligner, writer, policy, scoring, k, b1, b2, ref_fn,
     if rdids is None:
         rdids = np.arange(B, dtype=np.int64)
     res = aligner.align_batch(codes, quals, lens,
-                              rdids=np.concatenate([rdids, rdids]))
+                              rdids=np.concatenate([rdids, rdids]),
+                              paired=True)
     _replay_pair_giveup(aligner, res, policy, B, lens)
 
     # mate rescue (HI_Aligner::go, hi_aligner.h:3912-3952): when no

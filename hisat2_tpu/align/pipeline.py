@@ -113,6 +113,8 @@ class BatchResult:
     # for the paired give-up replay: round log words, round counts,
     # align() verdict, per-lane best reported score
     lanes: Optional[dict] = None
+    # unpaired orientation report ranks [B, 2] from the eval-order replay
+    orient_ranks: Optional[np.ndarray] = None
 
     @property
     def n_aligned(self):
@@ -974,8 +976,8 @@ class TPUAligner:
 
     # ------------------------------------------------------------------
     def align_batch(self, codes: np.ndarray, quals: np.ndarray,
-                    lens: np.ndarray, rdids: np.ndarray = None
-                    ) -> BatchResult:
+                    lens: np.ndarray, rdids: np.ndarray = None,
+                    paired: bool = False) -> BatchResult:
         """Align one padded batch; returns per-read alignment lists.
 
         In spliced mode the batch re-runs until the splice-site DB reaches a
@@ -983,7 +985,8 @@ class TPUAligner:
         zero-penalty known sites for later reads (readid-gated on device),
         replicating the reference's sequential temp-splice-site semantics
         (useTempSpliceSite, hisat2.cpp:3180-3203,3559) batch-synchronously."""
-        return self.collect(self.dispatch(codes, quals, lens, rdids))
+        return self.collect(self.dispatch(codes, quals, lens, rdids),
+                            paired=paired)
 
     def dispatch(self, codes: np.ndarray, quals: np.ndarray,
                  lens: np.ndarray, rdids: np.ndarray = None):
@@ -1011,13 +1014,13 @@ class TPUAligner:
             pk.copy_to_host_async()
         return (packed, codes, quals, lens, rdids, minsc, ver)
 
-    def collect(self, handle) -> BatchResult:
+    def collect(self, handle, paired: bool = False) -> BatchResult:
         """Finish a dispatched batch: fetch, run the host phase, and (in
         spliced mode) iterate the splice-table fixed point — re-running the
         device pass when the dispatched one used a stale site table."""
         packed, codes, quals, lens, rdids, minsc, ver = handle
         res = self._host_phase(self._merge_shards(packed), codes, quals,
-                               lens, minsc)
+                               lens, minsc, paired=paired)
         if not self.spliced or self.splice_db is None:
             return res
         for _ in range(4):
@@ -1028,7 +1031,7 @@ class TPUAligner:
             ver = self.splice_db.n_sites
             h = self.dispatch(codes, quals, lens, rdids)
             res = self._host_phase(self._merge_shards(h[0]), codes, quals,
-                                   lens, minsc)
+                                   lens, minsc, paired=paired)
         return res
 
     # position-valued output keys (rebased by shard_base at merge)
@@ -1075,7 +1078,8 @@ class TPUAligner:
         return merged
 
     def _run_batch(self, codes: np.ndarray, quals: np.ndarray,
-                   lens: np.ndarray, rdids: np.ndarray) -> BatchResult:
+                   lens: np.ndarray, rdids: np.ndarray,
+                   paired: bool = False) -> BatchResult:
         minsc = np.array([self.scoring.min_score(int(l)) for l in lens],
                          np.int64)
         packed = [self._device_step(
@@ -1090,8 +1094,120 @@ class TPUAligner:
         return self._host_phase(self._merge_shards(packed), codes, quals,
                                 lens, minsc)
 
+    def _eval_order_suppress(self, valid, score, junc_kind, lanes_meta,
+                             lens, minsc, B, K):
+        """Unpaired interleaved-search replay + sink best gating.
+
+        Replays the reference's fw/rc round interleave (HI_Aligner::go)
+        per read, drops candidates of lanes the reference never aligned,
+        and suppresses candidates whose score is below the best reported
+        by earlier-completing lanes (`minsc = max(minsc,
+        sink.bestUnp1())`, spliced_aligner.h:635-637).  Returns (valid,
+        best_before_lane [2B], orientation report ranks [B, 2]).
+
+        Python replay runs only for reads where order can matter: both
+        orientations carry candidates, a give-up gate could fire, or a
+        lane completes with a false align() verdict."""
+        v2 = valid.reshape(2 * B, K)
+        sc2 = np.where(v2, score.reshape(2 * B, K), np.int64(-2 ** 40))
+        lane_best = sc2.max(axis=1)                             # [2B]
+        ms64 = np.asarray(minsc, np.int64)
+        # vectorized round log: byte t of lane l = len*2 + uniq
+        words = np.asarray(lanes_meta["h_rounds"])
+        rn2b = np.asarray(lanes_meta["h_rn"]).astype(np.int64)
+        bts = ((words[:, :, None] >> (np.arange(4) * 8)[None, None, :])
+               & 0xFF).reshape(2 * B, -1)
+        minw_cap = 2 * max(2 * self.k, 10)
+        verdict2b = np.asarray(lanes_meta["h_alignable"]).astype(bool) \
+            & (np.asarray(lanes_meta["h_minw"]) <= minw_cap)
+        spl_l = (v2 & (junc_kind.reshape(2 * B, K)
+                       == splice_ops.KIND_SPL)).any(axis=1)
+        spl = (spl_l[:B] | spl_l[B:]).astype(np.int64)
+
+        # ---- fully vectorized 2-lane interleave (replay_pair, unpaired
+        # flow) across all reads: lanes are (fw, rc) of the same mate,
+        # found[] = {last align() verdict, False}, so the FIRST lane that
+        # completes with a false verdict ends the whole search
+        R = bts.shape[1]
+        rlen = (bts >> 1).astype(np.int64).reshape(2, B, R) \
+            .transpose(1, 0, 2)                                # [B, 2, R]
+        runiq = (bts & 1).astype(bool).reshape(2, B, R).transpose(1, 0, 2)
+        rn = np.stack([rn2b[:B], rn2b[B:]], axis=1)            # [B, 2]
+        verdict = np.stack([verdict2b[:B], verdict2b[B:]], axis=1)
+        lbest = np.stack([lane_best[:B], lane_best[B:]], axis=1)
+        idxmask = np.arange(R)[None, None, :] < rn[:, :, None]
+        P2 = np.zeros((B, 2, R + 1), np.int64)
+        P2[:, :, 1:] = np.cumsum(np.where(idxmask, rlen * rlen, 0), axis=2)
+        mk2 = np.int64(self.min_k) ** 2
+        mmmax = max(self.scoring.mm_max, 1)
+        NEG = np.int64(-2 ** 62)
+        INF = np.int64(2 ** 62 - 1)
+        k = np.zeros((B, 2), np.int64)
+        na = np.zeros((B, 2), np.int64)
+        done = rn == 0                       # empty lanes never complete
+        ended = np.zeros(B, bool)
+        comp_rank = np.full((B, 2), -1, np.int64)
+        order_ctr = np.zeros(B, np.int64)
+        best_unp = np.full(B, np.int64(-2 ** 40))
+        ar = np.arange(B)
+        for _ in range(2 * R + 4):
+            act = ~ended & ~done.all(axis=1)
+            if not act.any():
+                break
+            cum = np.take_along_axis(P2, k[:, :, None], axis=2)[:, :, 0]
+            pen = np.minimum(2 * na, 62)
+            scl = np.where(k == 0, INF,
+                           cum - na * mk2 - (np.int64(1) << pen))
+            scl = np.where(done, NEG, scl)
+            pick = np.argmax(scl, axis=1)            # ties -> fw (lane 0)
+            pna = na[ar, pick]
+            # budget gate (hi_aligner.h:3993-4027): unpaired -> search over
+            maxmm = -(-np.maximum(-best_unp, 0) // mmmax)
+            budget = act & (best_unp >= ms64[:B]) \
+                & (pna > maxmm + spl + 1)
+            # sibling gate (hi_aligner.h:4030-4036): search over
+            sibna = na[ar, 1 - pick]
+            sibdone = done[ar, 1 - pick]
+            sib = act & ~budget & sibdone & (best_unp < ms64[:B]) \
+                & (pna > sibna + 1)
+            ended |= budget | sib
+            consume = act & ~budget & ~sib
+            kp = k[ar, pick]
+            uq = runiq[ar, pick, np.minimum(kp, R - 1)]
+            k[ar, pick] = np.where(consume, kp + 1, kp)
+            na[ar, pick] = np.where(consume & ~uq, pna + 1, pna)
+            complete = consume & (k[ar, pick] == rn[ar, pick])
+            done[ar, pick] |= complete
+            vd = verdict[ar, pick]
+            newrank = complete & vd & (comp_rank[ar, pick] < 0)
+            comp_rank[ar, pick] = np.where(newrank, order_ctr,
+                                           comp_rank[ar, pick])
+            order_ctr += newrank
+            upd = complete & vd & (lbest[ar, pick] >= ms64[:B])
+            best_unp = np.where(upd, np.maximum(best_unp,
+                                                lbest[ar, pick]),
+                                best_unp)
+            # go() break: a false-verdict completion ends the search
+            ended |= complete & ~vd
+
+        completed = comp_rank >= 0                              # [B, 2]
+        # sink best gate: lanes completing later report only candidates
+        # that beat the best accepted by earlier lanes
+        first = np.where(completed & (comp_rank == 0), lbest,
+                         np.int64(-2 ** 40)).max(axis=1)
+        first = np.where(first >= ms64[:B], first, np.int64(-2 ** 40))
+        bb = np.where(comp_rank >= 1, first, np.int64(-2 ** 40))
+        bb = np.where(completed, bb, np.int64(2 ** 40))        # drop all
+        best_before = np.concatenate([bb[:, 0], bb[:, 1]])
+        gate = np.maximum(best_before,
+                          ms64[np.arange(2 * B) % B])
+        v2 &= sc2 >= gate[:, None]
+        ranks = np.where(comp_rank < 0, 2, comp_rank)
+        return v2.reshape(-1), best_before, ranks
+
     def _host_phase(self, o_np: dict, codes: np.ndarray, quals: np.ndarray,
-                    lens: np.ndarray, minsc: np.ndarray) -> BatchResult:
+                    lens: np.ndarray, minsc: np.ndarray,
+                    paired: bool = False) -> BatchResult:
         B = codes.shape[0]
         U = o_np["u_score"].shape[1]    # unified slots (device-compacted)
         Q = 2 if "q2_score" in o_np else 0   # two-junction composites
@@ -1332,6 +1448,19 @@ class TPUAligner:
         np.put_along_axis(vm0, ordm0, kept0, axis=1)
         valid &= vm0.reshape(-1)
 
+        # evaluation-order suppression (sink best gating): every combined
+        # representation is reported only if its score beats the mate's
+        # best-so-far (`minsc = max(minsc, sink.bestUnp1())`,
+        # spliced_aligner.h:635-637 et al.) — a lane whose search completes
+        # AFTER a better lane reports NOTHING below that best, and its
+        # candidates never feed ZS/NH.  Completion order comes from the
+        # interleaved-search replay (align/replay.py).
+        best_before = np.full(2 * B, np.int64(-2 ** 40))
+        orient_ranks = None
+        if not paired and lanes_meta is not None and self.graph is None:
+            valid, best_before, orient_ranks = self._eval_order_suppress(
+                valid, score, junc_kind, lanes_meta, lens, minsc, B, K)
+
         # redundancy rule (HI_Aligner::redundant): a candidate whose
         # leftmost aligned position falls WITHIN the reference extent of an
         # already-reported alignment of the same mate (either orientation)
@@ -1402,7 +1531,8 @@ class TPUAligner:
             lanes_meta["best"] = lane_best
         if not sel.size:
             return BatchResult(alignments=per_read, n_reads=B,
-                               lanes=lanes_meta)
+                               lanes=lanes_meta,
+                               orient_ranks=orient_ranks)
         # dedup identical (read, orient, start, junction), keeping the BEST
         # score per placement (a known splice site and the novel sweep can
         # produce the same junction; the known, unpenalized one must win)
@@ -1515,6 +1645,11 @@ class TPUAligner:
             a3 = np.where(anyp & (dr <= T - 1), a3, np.int64(-2 ** 40))
             alt = np.maximum(a5, a3)
             alt = np.where(alt >= minsc[rde], alt, np.int64(-2 ** 40))
+            # a trimmed representation is reported during its candidate's
+            # own processing, but still sits behind the sink best gate of
+            # earlier-completing lanes
+            alt = np.where(alt >= best_before[lane[ge]], alt,
+                           np.int64(-2 ** 40))
             alt_of_best[el] = alt
         alt_valid = alt_of_best >= minsc[seg_read]
         sec_cand = np.where(seg_len > 1,
@@ -1576,4 +1711,5 @@ class TPUAligner:
                 junc2_len=j2l, junc2_d3=j2d3,
                 junc2_dir=j2d))
         return BatchResult(alignments=per_read, n_reads=B,
+                           orient_ranks=orient_ranks,
                            lanes=lanes_meta)
