@@ -1196,7 +1196,7 @@ class TPUAligner:
         first = np.where(completed & (comp_rank == 0), lbest,
                          np.int64(-2 ** 40)).max(axis=1)
         first = np.where(first >= ms64[:B], first, np.int64(-2 ** 40))
-        bb = np.where(comp_rank >= 1, first, np.int64(-2 ** 40))
+        bb = np.where(comp_rank >= 1, first[:, None], np.int64(-2 ** 40))
         bb = np.where(completed, bb, np.int64(2 ** 40))        # drop all
         best_before = np.concatenate([bb[:, 0], bb[:, 1]])
         gate = np.maximum(best_before,
