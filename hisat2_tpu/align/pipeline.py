@@ -294,8 +294,7 @@ class TPUAligner:
         # read-length-bounded fields fit int8 only for short reads (L is
         # static at trace time)
         L = reads.shape[1]
-        I8 = {"u_valid", "u_post", "u_ab", "u_kind", "u_spldir",
-              "u_known", "u_selfgap", "h_alignable", "h_stop",
+        I8 = {"u_flags", "u_dd", "u_ab", "h_alignable", "h_stop",
               "q2_bkind", "q2_bdir", "q2_dir", "q2_bknown"}
         if L <= 127:
             I8 |= {"u_n_mm", "u_n_n", "u_clip_l", "u_clip_r", "u_x",
@@ -550,12 +549,32 @@ class TPUAligner:
         # sweep-only candidates (short or wide-while-stopped) never become
         # ungapped alignments themselves
         cvalid_long = cvalid & jnp.any(same & align_slot[:, None, :], axis=2)
+        # ONE diagonal ref-char gather serves the penalty planes, the
+        # junction sweep windows, and the ungapped extension: the sweep
+        # window [start - margin, start + L + margin) is a superset of the
+        # extension's [start, start + L)
+        sp = self.splice_params
+        g_budget = max(1, (-int(self.scoring.min_score(L))
+                           - min(sp.rd_gap_open, sp.rf_gap_open))
+                       // max(min(sp.rd_gap_ext, sp.rf_gap_ext), 1))
+        g_budget = min(g_budget, sp.min_intron - 1)
+        margin = max(16, g_budget)
+        mstart = jnp.where(cvalid, cstart, -1)
+        ch = splice_ops.diag_chars(d.ref_words, meta.n, mstart, L, margin)
+        snv1_w = snv2_w = None
+        if self.graph is not None:
+            snv1_w = splice_ops.diag_chars(params["snv1"], meta.n,
+                                           mstart, L, margin)
+            snv2_w = splice_ops.diag_chars(params["snv2"], meta.n,
+                                           mstart, L, margin)
         planes = extend_ops.pen_planes(
             d.ref_words, meta.n, ar, aq, al,
-            jnp.where(cvalid, cstart, -1), params["mm_pen"],
+            mstart, params["mm_pen"],
             self.scoring.n_pen,
             snv_delta1=params["snv1"] if self.graph is not None else None,
-            snv_delta2=params["snv2"] if self.graph is not None else None)
+            snv_delta2=params["snv2"] if self.graph is not None else None,
+            win_chars=ch, win_margin=margin,
+            snv1_win=snv1_w, snv2_win=snv2_w)
         ext = extend_ops.extend_grouped(
             d.ref_words, meta.n, ar, aq, al,
             jnp.where(cvalid, cstart, -1), params["mm_pen"],
@@ -581,16 +600,9 @@ class TPUAligner:
                         "h_alignable": lane_alignable,
                         "h_stop": hits.stopped})
         # --- junction candidates: novel sweep + event injections ---
-        # static gap bound from the longest read's score budget: a gap of
-        # size g costs open + ext*g, which must stay within -minsc; gaps
-        # of min_intron or more are introns, not indels
-        sp = self.splice_params
-        g_budget = max(1, (-int(self.scoring.min_score(L))
-                           - min(sp.rd_gap_open, sp.rf_gap_open))
-                       // max(min(sp.rd_gap_ext, sp.rf_gap_ext), 1))
-        g_budget = min(g_budget, sp.min_intron - 1)
-        margin = max(16, g_budget)
-        ch = splice_ops.diag_chars(d.ref_words, meta.n, cstart, L, margin)
+        # (g_budget: static gap bound from the longest read's score budget —
+        # a gap of size g costs open + ext*g, which must stay within -minsc;
+        # gaps of min_intron or more are introns, not indels)
         if sp.allow_spliced:
             # the O(C^2) diagonal-pair sweep is needed only for splice
             # joins; DNA indel geometry is fully covered by the
@@ -665,12 +677,6 @@ class TPUAligner:
         # no global FM anchor (the partial search walks through the gap and
         # lands on a chimeric diagonal; the reference re-searches the span
         # in its 57kb local index, spliced_aligner.h:736)
-        snv1_w = snv2_w = None
-        if self.graph is not None:
-            snv1_w = splice_ops.diag_chars(params["snv1"], meta.n,
-                                           cstart, L, margin)
-            snv2_w = splice_ops.diag_chars(params["snv2"], meta.n,
-                                           cstart, L, margin)
         selfw = splice_ops.self_indel_sweep(
             ch, ar, aq, al, cstart, cvalid, am, params["mm_pen"],
             self.scoring.n_pen, self.splice_params,
@@ -758,13 +764,30 @@ class TPUAligner:
                    if self.has_indels else {}),
             }
         Ktot = uni["score"].shape[1]
-        Mdev = min(Ktot, 12)
+        # host-side column compaction keeps M=10 (valid-first, score-desc)
+        # slots with the SAME ordering key, so truncating to 10 on device
+        # is lossless
+        Mdev = min(Ktot, 10)
         if Mdev < Ktot:
             skey = jnp.where(uni["valid"] > 0, -uni["score"],
                              np.int32(2 ** 31 - 1))
             ordc = jnp.argsort(skey, axis=1, stable=True)[:, :Mdev]
             uni = {k2: jnp.take_along_axis(v2, ordc, axis=1)
                    for k2, v2 in uni.items()}
+        # D2H shrink: 4 single-bit fields + the (kind, spldir) pair pack
+        # into one byte per slot; spldir is only ever nonzero for splice
+        # joins, so the pair has 8 reachable values (3 bits)
+        cs = jnp.where(uni["spldir"] > 0, 3 + uni["spldir"], uni["kind"])
+        uni["flags"] = (uni["valid"] | (uni["post"] << 1)
+                        | (uni["selfgap"] << 2) | (uni["known"] << 3)
+                        | (cs << 4))
+        for k2 in ("valid", "post", "selfgap", "known", "kind", "spldir"):
+            del uni[k2]
+        if not sp.allow_spliced:
+            # DNA mode: |d2 - d1| <= max(gap budget, ALT indel len < 20),
+            # so the second diagonal ships as a byte delta
+            uni["dd"] = uni["d2"] - uni["d1"]
+            del uni["d2"]
         for k2, v2 in uni.items():
             out["u_" + k2] = v2
         # the base-block per-slot fields are superseded by the unified set
@@ -1209,6 +1232,20 @@ class TPUAligner:
                     lens: np.ndarray, minsc: np.ndarray,
                     paired: bool = False) -> BatchResult:
         B = codes.shape[0]
+        # unpack the per-slot flags byte and the DNA-mode d2 delta (see
+        # _align_device's D2H shrink)
+        if "u_flags" in o_np:
+            fl = o_np.pop("u_flags")
+            cs = (fl >> 4) & 7
+            o_np["u_valid"] = fl & 1
+            o_np["u_post"] = (fl >> 1) & 1
+            o_np["u_selfgap"] = (fl >> 2) & 1
+            o_np["u_known"] = (fl >> 3) & 1
+            o_np["u_kind"] = np.where(cs >= 4, np.int32(splice_ops.KIND_SPL),
+                                      cs)
+            o_np["u_spldir"] = np.where(cs >= 4, cs - 3, 0)
+        if "u_dd" in o_np:
+            o_np["u_d2"] = o_np["u_d1"] + o_np.pop("u_dd")
         U = o_np["u_score"].shape[1]    # unified slots (device-compacted)
         Q = 2 if "q2_score" in o_np else 0   # two-junction composites
         K = U + Q

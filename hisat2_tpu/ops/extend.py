@@ -69,9 +69,16 @@ class PenPlanes(NamedTuple):
 
 def pen_planes(ref_words, n_text: int, reads, quals, lens, cand_start,
                mm_pen, n_pen: int,
-               snv_delta1=None, snv_delta2=None) -> PenPlanes:
+               snv_delta1=None, snv_delta2=None,
+               win_chars=None, win_margin: int = 0,
+               snv1_win=None, snv2_win=None) -> PenPlanes:
     """Gather reference chars along candidate diagonals and compute
-    per-column penalties (one big gather; everything else fuses)."""
+    per-column penalties (one big gather; everything else fuses).
+
+    win_chars/snv*_win: optional pre-gathered diagonal windows
+    (splice.diag_chars output, [B, C, L + 2*win_margin]) — the junction
+    sweep gathers the same diagonals with margin, so the pipeline gathers
+    once and both consumers slice."""
     rd = reads[:, None, :]                                    # [B, 1, L]
     q = jnp.minimum(quals, 63)[:, None, :]
     ln = lens[:, None]                                        # [B, 1]
@@ -81,15 +88,22 @@ def pen_planes(ref_words, n_text: int, reads, quals, lens, cand_start,
     vp = jnp.broadcast_to(col < ln[:, :, None], pos.shape)
 
     oob = vp & ((pos < 0) | (pos >= n_text))
-    rc4 = rk.ref_chars_block(ref_words, n_text, cand_start, L)
+    if win_chars is not None:
+        rc4 = win_chars[:, :, win_margin:win_margin + L]
+    else:
+        rc4 = rk.ref_chars_block(ref_words, n_text, cand_start, L)
     rc = jnp.minimum(rc4, 3)          # keep legacy clip-to-text semantics
     isn = vp & (rd >= 4)
     mm_raw = vp & (rd < 4) & (rd != rc) & ~oob
     if snv_delta1 is not None:
-        v1 = jnp.minimum(rk.ref_chars_block(snv_delta1, n_text,
-                                            cand_start, L), 3)
-        v2 = jnp.minimum(rk.ref_chars_block(snv_delta2, n_text,
-                                            cand_start, L), 3)
+        v1 = (snv1_win[:, :, win_margin:win_margin + L]
+              if snv1_win is not None
+              else rk.ref_chars_block(snv_delta1, n_text, cand_start, L))
+        v2 = (snv2_win[:, :, win_margin:win_margin + L]
+              if snv2_win is not None
+              else rk.ref_chars_block(snv_delta2, n_text, cand_start, L))
+        v1 = jnp.minimum(v1, 3)
+        v2 = jnp.minimum(v2, 3)
         snp_ok = mm_raw & (((v1 != 0) & (rd == ((rc + v1) & 3)))
                            | ((v2 != 0) & (rd == ((rc + v2) & 3))))
         mm = mm_raw & ~snp_ok

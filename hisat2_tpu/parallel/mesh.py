@@ -61,7 +61,8 @@ def sharded_align_step(aligner, mesh: Mesh):
     def step(d, params, reads, quals, lens, minsc, rdids, ss):
         out = aligner._align_device(d, params, reads, quals, lens, minsc,
                                     rdids, ss)
-        n_cand = out["u_valid"].sum()  # XLA inserts the cross-shard reduce
+        # valid = bit 0 of the packed flags byte (pipeline D2H shrink)
+        n_cand = (out["u_flags"] & 1).sum()  # XLA inserts the x-shard reduce
         return out, n_cand
 
     repl = NamedSharding(mesh, P())

@@ -16,7 +16,7 @@ def test_entry_compiles():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     # all simulated reads must produce at least one valid candidate
-    valid = np.asarray(out["u_valid"])
+    valid = np.asarray(out["u_flags"]) & 1
     assert valid.any()
 
 
@@ -63,4 +63,5 @@ def test_sharded_matches_single_device(small_index):
             sh = np.clip(sh, -128, 127)     # int8 D2H tier (flags/counters)
         np.testing.assert_array_equal(np.asarray(single[k]), sh,
                                       err_msg=k)
-    assert int(np.asarray(n_cand)) == int(np.asarray(single["u_valid"]).sum())
+    assert int(np.asarray(n_cand)) == int(
+        (np.asarray(single["u_flags"]) & 1).sum())
