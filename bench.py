@@ -80,16 +80,15 @@ def main():
     total = 0
     ref_fn = lambda p, s: aligner.ref_codes[p:p + s]  # noqa: E731
 
+    names = [batch.names[i % len(batch.names)] for i in range(B)]
+
     def emit(handle):
         res = aligner.collect(handle)
         sink = io.StringIO()
         w = SamWriter(sink, index.meta.ref_names, index.meta.ref_lens,
                       no_head=True)
-        for i in range(B):
-            L = int(lens[i])
-            w.write_read(batch.names[i % len(batch.names)],
-                         codes[i, :L], quals[i, :L],
-                         res.alignments[i], ref_fn)
+        w.write_batch(names, codes, quals, lens, res.alignments,
+                      aligner.ref_codes)
 
     pending = None
     for _ in range(K):

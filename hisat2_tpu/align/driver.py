@@ -217,19 +217,26 @@ def run_align(args) -> int:
                                            b.names,
                                            seed=getattr(args, "seed", 0))
             ranks = _replay_unpaired_giveup(aligner, res, b.lens)
-            for i, name in enumerate(b.names):
-                L = int(b.lens[i])
-                alns = rng_mod.finalize_unpaired(
-                    res.alignments[i], int(seeds[i]), args.khits,
-                    aligner.ref_codes,
-                    orient_rank=ranks[i] if ranks else None)
-                nf = int((b.codes[i, :L] > 3).sum()) \
-                    > aligner.scoring.max_n(L)
-                writer.write_read(name, b.codes[i, :L], b.quals[i, :L],
-                                  alns, ref_fn, n_filtered=nf)
-                sink = sink_al if alns else sink_un
-                if sink is not None:
-                    sink.write(name, b.codes[i, :L], b.quals[i, :L])
+            inlen = (np.arange(b.codes.shape[1])[None, :]
+                     < b.lens[:, None])
+            ncnt = ((b.codes > 3) & inlen).sum(axis=1)
+            maxn = np.array([aligner.scoring.max_n(int(l))
+                             for l in b.lens])
+            nfv = ncnt > maxn
+            alns_list = [rng_mod.finalize_unpaired(
+                res.alignments[i], int(seeds[i]), args.khits,
+                aligner.ref_codes,
+                orient_rank=ranks[i] if ranks else None)
+                for i in range(len(b.names))]
+            writer.write_batch(b.names, b.codes, b.quals, b.lens,
+                               alns_list, aligner.ref_codes,
+                               n_filtered=nfv)
+            if sink_al is not None or sink_un is not None:
+                for i, name in enumerate(b.names):
+                    L = int(b.lens[i])
+                    sink = sink_al if alns_list[i] else sink_un
+                    if sink is not None:
+                        sink.write(name, b.codes[i, :L], b.quals[i, :L])
             if met is not None:
                 met.maybe_report(writer, n_bases)
 

@@ -277,15 +277,16 @@ class TPUAligner:
         # dominate wall time, so the device step returns ONE packed int32
         # buffer (floats bit-cast) fetched in a single transfer
         self._out_specs = None
-        self._device_step = jax.jit(self._align_device_packed)
+        self._device_step = jax.jit(self._align_device_packed,
+                                    static_argnames=("uniform",))
 
     def _align_device_packed(self, d, params, reads, quals, lens, minsc,
-                             rdids=None, ss=None):
+                             rdids=None, ss=None, uniform=False):
         # reads/quals upload as uint8 (4x less H2D over the tunnel);
         # widen on device
         out = self._align_device(d, params, reads.astype(jnp.int32),
                                  quals.astype(jnp.int32), lens, minsc,
-                                 rdids, ss)
+                                 rdids, ss, uniform=uniform)
         # D2H is the tunnel bottleneck: genome positions and round logs
         # stay int32, scores travel int16 (2/word), and small counters /
         # flags / read offsets travel int8 (4/word)
@@ -389,7 +390,7 @@ class TPUAligner:
 
     # ------------------------------------------------------------------
     def _align_device(self, d, params, reads, quals, lens, minsc,
-                      rdids=None, ss=None):
+                      rdids=None, ss=None, uniform=False):
         """Device computation for one batch: [B, L] -> candidate dict.
 
         Lanes 0..B-1 are forward, B..2B-1 reverse-complement.
@@ -580,7 +581,7 @@ class TPUAligner:
             jnp.where(cvalid, cstart, -1), params["mm_pen"],
             params["clip_pen"], self.scoring.n_pen,
             allow_softclip=not self.scoring.no_softclip,
-            planes=planes)
+            planes=planes, uniform_len=uniform)
         # per-lane search metadata for the paired give-up replay (the
         # interleaved nextBWT/align simulation in align/replay.py):
         # round log, round count, align() verdict ingredients
@@ -1020,6 +1021,7 @@ class TPUAligner:
             rdids = np.arange(codes.shape[0], dtype=np.int64)
         minsc = np.array([self.scoring.min_score(int(l)) for l in lens],
                          np.int64)
+        uniform = bool(np.all(np.asarray(lens) == codes.shape[1]))
         ver = self.splice_db.n_sites if self.splice_db is not None else 0
         packed = [self._device_step(
             dev, self.params,
@@ -1028,7 +1030,7 @@ class TPUAligner:
             jnp.asarray(lens, jnp.int32), jnp.asarray(minsc, jnp.int32),
             jnp.asarray(rdids, jnp.int32) if self.spliced else None,
             (self.splice_db.device_tables(b, dev.meta.n)
-             if self.spliced else None))
+             if self.spliced else None), uniform=uniform)
             for dev, b in zip(self.devs, self.shard_bases)]
         for pk in packed:
             # enqueue the D2H copy NOW, before the next batch's compute is
@@ -1105,6 +1107,7 @@ class TPUAligner:
                    paired: bool = False) -> BatchResult:
         minsc = np.array([self.scoring.min_score(int(l)) for l in lens],
                          np.int64)
+        uniform = bool(np.all(np.asarray(lens) == codes.shape[1]))
         packed = [self._device_step(
             dev, self.params,
             jnp.asarray(np.asarray(codes, np.uint8)),
@@ -1112,7 +1115,7 @@ class TPUAligner:
             jnp.asarray(lens, jnp.int32), jnp.asarray(minsc, jnp.int32),
             jnp.asarray(rdids, jnp.int32) if self.spliced else None,
             (self.splice_db.device_tables(b, dev.meta.n)
-             if self.spliced else None))
+             if self.spliced else None), uniform=uniform)
             for dev, b in zip(self.devs, self.shard_bases)]
         return self._host_phase(self._merge_shards(packed), codes, quals,
                                 lens, minsc)

@@ -227,6 +227,140 @@ class SamWriter:
                 f"{tail}\n")
 
     # ------------------------------------------------------------------
+    def write_batch(self, names, codes2d, quals2d, lens, alns_list,
+                    ref_codes, n_filtered=None):
+        """All SAM lines for a batch of unpaired reads — vectorized.
+
+        Replaces the write_read loop on the hot path: sequence/quality
+        ASCII decoding (both orientations) and ungapped MD/NM computation
+        run as whole-batch numpy ops; only line assembly is per record.
+        Junction / SNP-annotated records fall back to _line (bit-identical
+        output by construction).
+
+        codes2d/quals2d: [B, L] padded; lens: [B]; alns_list: per-read
+        alignment lists; ref_codes: the joined reference as a uint8 array.
+        """
+        B, L = codes2d.shape
+        lens = np.asarray(lens, np.int64)
+        codes2d = np.asarray(codes2d, np.uint8)
+        lut = np.frombuffer(b"ACGTN", np.uint8)
+        fw_ascii = lut[np.minimum(codes2d, 4)]
+        q_ascii = (np.asarray(quals2d, np.uint8) + 33)
+        # rc view: reverse each row within its length
+        ridx = np.clip(lens[:, None] - 1 - np.arange(L)[None, :], 0, L - 1)
+        rc_codes = np.take_along_axis(
+            np.where(codes2d < 4, 3 - codes2d, codes2d), ridx, axis=1)
+        rc_ascii = lut[np.minimum(rc_codes, 4)]
+        rq_ascii = np.take_along_axis(q_ascii, ridx, axis=1)
+        fw_b = fw_ascii.tobytes()
+        rc_b = rc_ascii.tobytes()
+        q_b = q_ascii.tobytes()
+        rq_b = rq_ascii.tobytes()
+
+        def seq_of(i, rc):
+            s = i * L
+            return (rc_b if rc else fw_b)[s:s + lens[i]].decode()
+
+        def qual_of(i, rc):
+            s = i * L
+            return (rq_b if rc else q_b)[s:s + lens[i]].decode()
+
+        # pass 1: collect simple (ungapped, unannotated) records for the
+        # batched MD/NM computation
+        simple = []          # (read i, aln a, rc, cl, mid, start)
+        for i, alns in enumerate(alns_list):
+            for a in alns:
+                if a.junc_kind == 0 and self.annotator is None:
+                    li = int(lens[i])
+                    simple.append((i, a, int(a.clip_l),
+                                   li - a.clip_l - a.clip_r))
+        md_strs = {}
+        if simple:
+            ri = np.array([s[0] for s in simple], np.int64)
+            cl = np.array([s[2] for s in simple], np.int64)
+            mid = np.array([s[3] for s in simple], np.int64)
+            st = np.array([s[1].joined_pos for s in simple], np.int64) + cl
+            isrc = np.array([s[1].rc for s in simple], bool)
+            col = np.arange(L, dtype=np.int64)[None, :]
+            colm = col < mid[:, None]
+            refm = ref_codes[np.clip(st[:, None] + col, 0,
+                                     len(ref_codes) - 1)]
+            rdall = np.where(isrc[:, None], rc_codes[ri], codes2d[ri])
+            rdal = np.take_along_axis(
+                rdall, np.minimum(cl[:, None] + col, L - 1), axis=1)
+            mm = ((rdal != refm) | (rdal > 3)) & colm
+            nmv = mm.sum(axis=1)
+            wr, wc = np.nonzero(mm)
+            # group mismatch columns per record (wr ascending)
+            bounds = np.searchsorted(wr, np.arange(len(simple) + 1))
+            for k in range(len(simple)):
+                if nmv[k] == 0:
+                    md_strs[k] = (str(int(mid[k])), 0)
+                else:
+                    cols = wc[bounds[k]:bounds[k + 1]]
+                    parts = []
+                    prev = -1
+                    rrow = refm[k]
+                    for m in cols:
+                        parts.append(str(m - prev - 1))
+                        parts.append("ACGTN"[min(rrow[m], 4)])
+                        prev = m
+                    parts.append(str(int(mid[k]) - prev - 1))
+                    md_strs[k] = ("".join(parts), int(nmv[k]))
+
+        out_w = self.out.write
+        srd = self.rna_strandness
+        k = 0
+        for i, alns in enumerate(alns_list):
+            name = names[i]
+            self.n_reads += 1
+            if not alns:
+                self.n_unal += 1
+                if not self.no_unal:
+                    nf = n_filtered[i] if n_filtered is not None else False
+                    tail = "\tYF:Z:NS" if nf else ""
+                    out_w(f"{name}\t4\t*\t0\t0\t*\t*\t0\t0\t"
+                          f"{seq_of(i, False)}\t{qual_of(i, False)}"
+                          f"\tYT:Z:UU{tail}\n")
+                continue
+            if alns[0].nh == 1:
+                self.n_uniq += 1
+            else:
+                self.n_multi += 1
+            for a in alns:
+                if not (a.junc_kind == 0 and self.annotator is None):
+                    out_w(self._line(
+                        name, codes2d[i, :lens[i]], q_ascii[i, :lens[i]] - 33,
+                        a, lambda p, s: ref_codes[p:p + s]))
+                    continue
+                md, nm = md_strs[k]
+                k += 1
+                flag = (16 if a.rc else 0) | (256 if a.secondary else 0)
+                if a.secondary and self.omit_sec_seq:
+                    seq = qual = "*"
+                else:
+                    seq = seq_of(i, a.rc)
+                    qual = qual_of(i, a.rc)
+                cl_, cr_ = a.clip_l, a.clip_r
+                mid_ = lens[i] - cl_ - cr_
+                cigar = ((f"{cl_}S" if cl_ else "") + f"{mid_}M"
+                         + (f"{cr_}S" if cr_ else ""))
+                zs = f"\tZS:i:{a.zs}" if a.zs is not None else ""
+                if srd != "unstranded":
+                    minus = (not a.rc and srd in ("R", "RF")) \
+                        or (a.rc and srd in ("F", "FR"))
+                    xs = "\tXS:A:" + ("-" if minus else "+")
+                else:
+                    xs = ""
+                out_w(f"{name}\t{flag}\t{self.ref_names[a.ref_id]}\t"
+                      f"{a.ref_pos + 1}\t{a.mapq}\t{cigar}\t*\t0\t0\t"
+                      f"{seq}\t{qual}\tAS:i:{a.score}{zs}\tXN:i:0\t"
+                      f"XM:i:{nm}\tXO:i:0\tXG:i:0\tNM:i:{nm}\tMD:Z:{md}"
+                      f"\tYT:Z:UU{xs}\tNH:i:{a.nh}\n")
+            # skip md slots consumed by fallback records
+        assert k == len(simple) or self.annotator is not None
+
+    # ------------------------------------------------------------------
     def write_read(self, name, codes, quals, alns, ref_codes_fn,
                    n_filtered: bool = False):
         """All SAM lines for one unpaired read.  n_filtered marks reads

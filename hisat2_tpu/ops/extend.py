@@ -123,7 +123,8 @@ def extend_grouped(ref_words, n_text: int, reads, quals, lens,
                    cand_start, mm_pen, clip_pen, n_pen: int,
                    allow_softclip: bool = True,
                    snv_delta1=None, snv_delta2=None,
-                   planes: PenPlanes = None) -> ExtendResult:
+                   planes: PenPlanes = None,
+                   uniform_len: bool = False) -> ExtendResult:
     """reads/quals: int32 [B, L]; lens: int32 [B]; cand_start: int32 [B, C]
     (joined genome start per candidate; negative = invalid).
     mm_pen / clip_pen: int32 [64] per-quality penalty tables.
@@ -158,8 +159,15 @@ def extend_grouped(ref_words, n_text: int, reads, quals, lens,
         # right clip of b columns gains (P[len] - P[len-b]) - C[b]
         # (trim3 clip COST uses quality of the first b columns — replicating
         # hi_aligner.h:3700-3702 exactly)
-        p_at = jnp.take_along_axis(
-            P, jnp.maximum(lnc[:, :, None] - brange, 0), -1)
+        if uniform_len:
+            # all lens == L (STATIC flag, the padded-batch common case):
+            # P[len-b] is a pure reversal — the general per-lane gather
+            # below is the single most expensive op of the device step
+            # (~14 ns/element on the TPU's gather path)
+            p_at = jnp.flip(P, -1)
+        else:
+            p_at = jnp.take_along_axis(
+                P, jnp.maximum(lnc[:, :, None] - brange, 0), -1)
         p_len = jnp.take_along_axis(P, lnc[:, :, None], -1)
         rgs = jnp.where(in_read, p_len - p_at - Cc, -1)
         clip_r = jnp.argmax(rgs, axis=-1).astype(jnp.int32)

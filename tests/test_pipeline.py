@@ -117,3 +117,30 @@ def test_multimapping_nh(rng):
     assert alns[0].nh == 2
     assert not alns[0].secondary and alns[1].secondary
     assert alns[0].mapq < 60  # equal secbest -> not unique
+
+
+def test_uniform_len_fast_path_matches_general(small_index):
+    """The static uniform-length clip optimization must be bit-identical
+    to the general per-lane gather path."""
+    import numpy as np
+
+    from hisat2_tpu.align.pipeline import TPUAligner
+
+    idx, seq = small_index
+    al = TPUAligner(idx)
+    rng = np.random.default_rng(7)
+    B, L = 12, 80
+    starts = rng.integers(0, len(seq) - L, B)
+    reads = np.stack([seq[s:s + L] for s in starts]).astype(np.uint8)
+    # plant mismatches near the edges to exercise clipping
+    reads[0, :4] = (reads[0, :4] + 1) % 4
+    reads[1, -5:] = (reads[1, -5:] + 2) % 4
+    quals = np.full((B, L), 40, np.uint8)
+    lens = np.full(B, L, np.int32)
+    minsc = np.full(B, -40, np.int32)
+    a = al._fetch_out(al._device_step(
+        al.dev, al.params, reads, quals, lens, minsc, uniform=True))
+    b = al._fetch_out(al._device_step(
+        al.dev, al.params, reads, quals, lens, minsc, uniform=False))
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
