@@ -82,13 +82,16 @@ def main():
 
     names = [batch.names[i % len(batch.names)] for i in range(B)]
 
+    from hisat2_tpu.align.pipeline import read_alignments
+
     def emit(handle):
         res = aligner.collect(handle)
         sink = io.StringIO()
         w = SamWriter(sink, index.meta.ref_names, index.meta.ref_lens,
                       no_head=True)
-        w.write_batch(names, codes, quals, lens, res.alignments,
-                      aligner.ref_codes)
+        w.write_batch_raw(names, codes, quals, lens, res.raw,
+                          aligner.ref_codes,
+                          finalize=lambda i: read_alignments(res.raw, i))
 
     pending = None
     for _ in range(K):

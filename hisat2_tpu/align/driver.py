@@ -19,6 +19,7 @@ from ..io.fasta import (batch_stream, iter_cmdline, iter_tabbed,
 from ..io.sam import SamWriter
 from . import mapq as mapq_mod
 from . import rng as rng_mod
+from . import pipeline as pipeline_mod
 from .paired import PairPolicy, best_pairs
 from .pipeline import TPUAligner
 from .scoring import Scoring, SimpleFunc
@@ -223,18 +224,23 @@ def run_align(args) -> int:
             maxn = np.array([aligner.scoring.max_n(int(l))
                              for l in b.lens])
             nfv = ncnt > maxn
-            alns_list = [rng_mod.finalize_unpaired(
-                res.alignments[i], int(seeds[i]), args.khits,
-                aligner.ref_codes,
-                orient_rank=ranks[i] if ranks else None)
-                for i in range(len(b.names))]
-            writer.write_batch(b.names, b.codes, b.quals, b.lens,
-                               alns_list, aligner.ref_codes,
-                               n_filtered=nfv)
+
+            def finalize(i, raw=res.raw):
+                return rng_mod.finalize_unpaired(
+                    pipeline_mod.read_alignments(raw, i), int(seeds[i]),
+                    args.khits, aligner.ref_codes,
+                    orient_rank=ranks[i] if ranks else None)
+
+            writer.write_batch_raw(b.names, b.codes, b.quals, b.lens,
+                                   res.raw, aligner.ref_codes,
+                                   n_filtered=nfv, finalize=finalize)
             if sink_al is not None or sink_un is not None:
+                has = np.zeros(len(b.names), bool)
+                if res.raw is not None and len(res.raw["cols"][0]):
+                    has[np.asarray(res.raw["cols"][0])] = True
                 for i, name in enumerate(b.names):
                     L = int(b.lens[i])
-                    sink = sink_al if alns_list[i] else sink_un
+                    sink = sink_al if has[i] else sink_un
                     if sink is not None:
                         sink.write(name, b.codes[i, :L], b.quals[i, :L])
             if met is not None:

@@ -105,9 +105,60 @@ class Alignment:
         return self.joined_pos + self.clip_l
 
 
+# column order of BatchResult.raw["cols"] (one entry per kept alignment,
+# rows sorted by read then report rank) — matches the Alignment fields
+# materialized in _materialize_alignments
+RAW_COLS = ("read", "rc", "ref_id", "ref_pos", "joined_pos", "clip_l",
+            "clip_r", "aln_span", "score", "n_mm", "n_n", "mapq", "nh",
+            "secondary", "has_sec", "zs", "junc_kind", "junc_x",
+            "junc_len", "junc_d2", "spl_dir", "junc_known", "junc_snp",
+            "junc2_kind", "junc2_x", "junc2_len", "junc2_d3", "junc2_dir")
+
+
+def _materialize_alignments(raw, n_reads):
+    """Build per-read Alignment object lists from the raw column arrays
+    (the slow path — array-native consumers read raw directly)."""
+    per_read = [[] for _ in range(n_reads)]
+    if raw is None or not len(raw["cols"][0]):
+        return per_read
+    cols = [c.tolist() for c in raw["cols"]]
+    for t in range(len(cols[0])):
+        (rd, rc_t, rid, rpos, jp, cl, cr, span, sct, nmm, nnn, mqt,
+         nrep, sec2, hs, zs2, jk, jx, jl, jd2, sd, jkn, jsnp,
+         j2k, j2x, j2l, j2d3, j2d) = (c[t] for c in cols)
+        per_read[rd].append(Alignment(
+            read_idx=rd, rc=bool(rc_t), ref_id=rid,
+            ref_pos=rpos, joined_pos=jp,
+            clip_l=cl, clip_r=cr, aln_span=span,
+            score=sct, n_mm=nmm, n_n=nnn,
+            mapq=mqt, nh=nrep,
+            secondary=bool(sec2),
+            zs=(zs2 if hs else None),
+            junc_kind=jk, junc_x=jx, junc_len=jl,
+            junc_d2=jd2, spl_dir=sd,
+            junc_known=bool(jkn), junc_snp=jsnp,
+            junc2_kind=j2k, junc2_x=j2x,
+            junc2_len=j2l, junc2_d3=j2d3,
+            junc2_dir=j2d))
+    return per_read
+
+
+def read_alignments(raw, i):
+    """Alignment objects for ONE read from the raw columns (rows are
+    sorted by read, so a binary search bounds the slice)."""
+    if raw is None:
+        return []
+    rd = raw["cols"][0]
+    lo = int(np.searchsorted(rd, i))
+    hi = int(np.searchsorted(rd, i + 1))
+    if lo == hi:
+        return []
+    sub = {"cols": [c[lo:hi] for c in raw["cols"]]}
+    return _materialize_alignments(sub, i + 1)[i]
+
+
 @dataclasses.dataclass
 class BatchResult:
-    alignments: list          # list[list[Alignment]] per read
     n_reads: int
     # per-lane search metadata (lane = read for fw, read + n_reads for rc)
     # for the paired give-up replay: round log words, round counts,
@@ -115,6 +166,19 @@ class BatchResult:
     lanes: Optional[dict] = None
     # unpaired orientation report ranks [B, 2] from the eval-order replay
     orient_ranks: Optional[np.ndarray] = None
+    # array-native result: {"cols": [arrays in RAW_COLS order]} — rows are
+    # kept alignments sorted by read then report rank.  The vectorized SAM
+    # renderer consumes this directly; Alignment objects materialize only
+    # on first .alignments access (pair/splice/genotype consumers).
+    raw: Optional[dict] = None
+    _alignments: Optional[list] = None
+
+    @property
+    def alignments(self):
+        if self._alignments is None:
+            self._alignments = _materialize_alignments(self.raw,
+                                                       self.n_reads)
+        return self._alignments
 
     @property
     def n_aligned(self):
@@ -1562,7 +1626,6 @@ class TPUAligner:
         np.put_along_axis(vr, ordm, kept, axis=1)
         valid &= np.concatenate([vr[:, :Km], vr[:, Km:]]).reshape(-1)
 
-        per_read = [[] for _ in range(B)]
         lane_best = np.full(2 * B, -2 ** 40, np.int64)
         sel = np.flatnonzero(valid)
         if sel.size:
@@ -1570,8 +1633,7 @@ class TPUAligner:
         if lanes_meta is not None:
             lanes_meta["best"] = lane_best
         if not sel.size:
-            return BatchResult(alignments=per_read, n_reads=B,
-                               lanes=lanes_meta,
+            return BatchResult(n_reads=B, lanes=lanes_meta,
                                orient_ranks=orient_ranks)
         # dedup identical (read, orient, start, junction), keeping the BEST
         # score per placement (a known splice site and the novel sweep can
@@ -1718,8 +1780,8 @@ class TPUAligner:
         ref_id = self.frag_ref[fi]
         ref_pos = self.frag_off[fi] + (astart - self.frag_joined[fi])
         rd_len = lens[r[ki]]
-        # bulk numpy->python conversion: .tolist() converts whole arrays at
-        # C speed; per-element int(arr[i]) in the loop costs ~10x more
+        # array-native result (RAW_COLS order); Alignment objects
+        # materialize lazily only for object-path consumers
         so = seg_of[ki]
         cols = [r[ki], o[ki], ref_id, ref_pos, s[ki],
                 clip_l[gi], clip_r[gi],
@@ -1731,25 +1793,5 @@ class TPUAligner:
                 spl_dir[gi], junc_known[gi], junc_snp[gi],
                 junc2_kind[gi], junc2_x[gi], junc2_len[gi],
                 junc2_d3[gi], junc2_dir[gi]]
-        cols = [c.tolist() for c in cols]
-        for t in range(len(ki)):
-            (rd, rc_t, rid, rpos, jp, cl, cr, span, sct, nmm, nnn, mqt,
-             nrep, sec2, hs, zs2, jk, jx, jl, jd2, sd, jkn, jsnp,
-             j2k, j2x, j2l, j2d3, j2d) = (c[t] for c in cols)
-            per_read[rd].append(Alignment(
-                read_idx=rd, rc=bool(rc_t), ref_id=rid,
-                ref_pos=rpos, joined_pos=jp,
-                clip_l=cl, clip_r=cr, aln_span=span,
-                score=sct, n_mm=nmm, n_n=nnn,
-                mapq=mqt, nh=nrep,
-                secondary=bool(sec2),
-                zs=(zs2 if hs else None),
-                junc_kind=jk, junc_x=jx, junc_len=jl,
-                junc_d2=jd2, spl_dir=sd,
-                junc_known=bool(jkn), junc_snp=jsnp,
-                junc2_kind=j2k, junc2_x=j2x,
-                junc2_len=j2l, junc2_d3=j2d3,
-                junc2_dir=j2d))
-        return BatchResult(alignments=per_read, n_reads=B,
-                           orient_ranks=orient_ranks,
-                           lanes=lanes_meta)
+        return BatchResult(n_reads=B, orient_ranks=orient_ranks,
+                           lanes=lanes_meta, raw={"cols": cols})

@@ -361,6 +361,148 @@ class SamWriter:
         assert k == len(simple) or self.annotator is not None
 
     # ------------------------------------------------------------------
+    def write_batch_raw(self, names, codes2d, quals2d, lens, raw,
+                        ref_codes, n_filtered=None, finalize=None):
+        """Array-native unpaired batch writer: renders straight from
+        BatchResult.raw columns without materializing Alignment objects.
+
+        Reads that need per-read logic (multimaps -> RNG tie-break via the
+        `finalize` callback, junction CIGARs, SNP annotation) fall back to
+        the object path; everything else renders from whole-batch numpy.
+        Output is byte-identical to the write_read loop."""
+        B, L = codes2d.shape
+        lens = np.asarray(lens, np.int64)
+        codes2d = np.asarray(codes2d, np.uint8)
+        lut = np.frombuffer(b"ACGTN", np.uint8)
+        fw_ascii = lut[np.minimum(codes2d, 4)]
+        q_ascii = (np.asarray(quals2d, np.uint8) + 33)
+        ridx = np.clip(lens[:, None] - 1 - np.arange(L)[None, :], 0, L - 1)
+        rc_codes = np.take_along_axis(
+            np.where(codes2d < 4, 3 - codes2d, codes2d), ridx, axis=1)
+        rc_ascii = lut[np.minimum(rc_codes, 4)]
+        rq_ascii = np.take_along_axis(q_ascii, ridx, axis=1)
+        fw_b, rc_b = fw_ascii.tobytes(), rc_ascii.tobytes()
+        q_b, rq_b = q_ascii.tobytes(), rq_ascii.tobytes()
+
+        def seq_of(i, rc):
+            s = i * L
+            return (rc_b if rc else fw_b)[s:s + lens[i]].decode()
+
+        def qual_of(i, rc):
+            s = i * L
+            return (rq_b if rc else q_b)[s:s + lens[i]].decode()
+
+        cols = raw["cols"] if raw is not None else None
+        if cols is None or not len(cols[0]):
+            rd_col = np.empty(0, np.int64)
+        else:
+            rd_col = np.asarray(cols[0])
+        counts = np.bincount(rd_col, minlength=B)
+        cplx = counts > 1
+        if len(rd_col):
+            jk_col = np.asarray(cols[16])
+            cplx[rd_col[jk_col != 0]] = True
+        if self.annotator is not None:
+            cplx[:] = True
+        # simple rows: the read's single ungapped alignment
+        simp = np.flatnonzero(~cplx[rd_col]) if len(rd_col) else rd_col
+        md_cache = {}
+        if simp.size:
+            ri = rd_col[simp]
+            isrc = np.asarray(cols[1])[simp].astype(bool)
+            cl = np.asarray(cols[5])[simp]
+            cr = np.asarray(cols[6])[simp]
+            mid = lens[ri] - cl - cr
+            st = np.asarray(cols[4])[simp] + cl
+            col = np.arange(L, dtype=np.int64)[None, :]
+            colm = col < mid[:, None]
+            refm = ref_codes[np.clip(st[:, None] + col, 0,
+                                     len(ref_codes) - 1)]
+            rdall = np.where(isrc[:, None], rc_codes[ri], codes2d[ri])
+            rdal = np.take_along_axis(
+                rdall, np.minimum(cl[:, None] + col, L - 1), axis=1)
+            mm = ((rdal != refm) | (rdal > 3)) & colm
+            nmv = mm.sum(axis=1)
+            wr, wc = np.nonzero(mm)
+            bounds = np.searchsorted(wr, np.arange(simp.size + 1))
+            for t in range(simp.size):
+                if nmv[t] == 0:
+                    md_cache[simp[t]] = (str(int(mid[t])), 0)
+                else:
+                    cc = wc[bounds[t]:bounds[t + 1]]
+                    parts = []
+                    prev = -1
+                    rrow = refm[t]
+                    for m in cc:
+                        parts.append(str(m - prev - 1))
+                        parts.append("ACGTN"[min(rrow[m], 4)])
+                        prev = m
+                    parts.append(str(int(mid[t]) - prev - 1))
+                    md_cache[simp[t]] = ("".join(parts), int(nmv[t]))
+        # per-read first-row offsets (rows sorted by read)
+        row0 = np.searchsorted(rd_col, np.arange(B))
+        (c_rc, c_rid, c_rpos, c_cl, c_cr, c_sc, c_mq, c_hs, c_zs) = (
+            np.asarray(cols[j]) for j in (1, 2, 3, 5, 6, 8, 11, 14, 15)
+        ) if len(rd_col) else (np.empty(0, np.int64),) * 9
+        out_w = self.out.write
+        srd = self.rna_strandness
+        simp_md = md_cache
+        for i in range(B):
+            name = names[i]
+            self.n_reads += 1
+            if counts[i] == 0:
+                self.n_unal += 1
+                if not self.no_unal:
+                    nf = n_filtered[i] if n_filtered is not None else False
+                    tail = "\tYF:Z:NS" if nf else ""
+                    out_w(f"{name}\t4\t*\t0\t0\t*\t*\t0\t0\t"
+                          f"{seq_of(i, False)}\t{qual_of(i, False)}"
+                          f"\tYT:Z:UU{tail}\n")
+                continue
+            if cplx[i]:
+                alns = finalize(i)
+                if not alns:
+                    self.n_unal += 1
+                    if not self.no_unal:
+                        out_w(f"{name}\t4\t*\t0\t0\t*\t*\t0\t0\t"
+                              f"{seq_of(i, False)}\t{qual_of(i, False)}"
+                              f"\tYT:Z:UU\n")
+                    continue
+                if alns[0].nh == 1:
+                    self.n_uniq += 1
+                else:
+                    self.n_multi += 1
+                for a in alns:
+                    out_w(self._line(
+                        name, codes2d[i, :lens[i]],
+                        q_ascii[i, :lens[i]].astype(np.int32) - 33, a,
+                        lambda p, s: ref_codes[p:p + s]))
+                continue
+            self.n_uniq += 1
+            t = row0[i]
+            md, nm = simp_md[t]
+            rc = bool(c_rc[t])
+            flag = 16 if rc else 0
+            seq = seq_of(i, rc)
+            qual = qual_of(i, rc)
+            cl_, cr_ = c_cl[t], c_cr[t]
+            mid_ = lens[i] - cl_ - cr_
+            cigar = ((f"{cl_}S" if cl_ else "") + f"{mid_}M"
+                     + (f"{cr_}S" if cr_ else ""))
+            zs = f"\tZS:i:{c_zs[t]}" if c_hs[t] else ""
+            if srd != "unstranded":
+                minus = (not rc and srd in ("R", "RF")) \
+                    or (rc and srd in ("F", "FR"))
+                xs = "\tXS:A:" + ("-" if minus else "+")
+            else:
+                xs = ""
+            out_w(f"{name}\t{flag}\t{self.ref_names[c_rid[t]]}\t"
+                  f"{c_rpos[t] + 1}\t{c_mq[t]}\t{cigar}\t*\t0\t0\t"
+                  f"{seq}\t{qual}\tAS:i:{c_sc[t]}{zs}\tXN:i:0\t"
+                  f"XM:i:{nm}\tXO:i:0\tXG:i:0\tNM:i:{nm}\tMD:Z:{md}"
+                  f"\tYT:Z:UU{xs}\tNH:i:1\n")
+
+    # ------------------------------------------------------------------
     def write_read(self, name, codes, quals, alns, ref_codes_fn,
                    n_filtered: bool = False):
         """All SAM lines for one unpaired read.  n_filtered marks reads
