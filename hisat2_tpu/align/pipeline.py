@@ -29,6 +29,7 @@ import numpy as np
 
 from ..index.format import FMIndex
 from ..ops import extend as extend_ops
+from ..ops import rank as rk
 from ..ops import resolve as resolve_ops
 from ..ops import search as search_ops
 from ..ops import splice as splice_ops
@@ -518,6 +519,30 @@ class TPUAligner:
             i2 = jnp.maximum(hits.nh - 2, 0)[:, None]
             cut = jnp.take_along_axis(hits.lo, i2, axis=1)[:, 0]
             cut = jnp.where(hits.nh >= 2, cut, 0).astype(jnp.int32)
+            # extension-aware cut (the reference's hybridSearch searches
+            # the span its anchor EXTENSION leaves uncovered in the local
+            # index, spliced_aligner.h:736 — not the raw segment bounds):
+            # when a junction-boundary char was consumed into a chimeric
+            # segment, the raw cut misses the true flank.  Take the first
+            # align-capable width-1 hit's diagonal, find the leftmost
+            # column of its clean suffix run, and tighten the cut to it.
+            anchor_ok = (w == 1) & ((hits.hi - hits.lo) > self.min_k + 2)
+            first_a = jnp.argmax(anchor_ok, axis=1)            # [2B]
+            have_a = jnp.any(anchor_ok, axis=1)
+            starts3 = starts[:, :H * P].reshape(2 * B, H, P)
+            d0 = jnp.take_along_axis(
+                starts3[:, :, 0], first_a[:, None], axis=1)[:, 0]
+            rc0 = rk.ref_chars_block(d.ref_words, meta.n, d0[:, None],
+                                     L)[:, 0, :]
+            colL = jnp.arange(L, dtype=jnp.int32)[None, :]
+            inl = colL < al[:, None]
+            mm0 = inl & ((ar != jnp.minimum(rc0, 3)) | (ar > 3)
+                         | (rc0 > 3))
+            any0 = jnp.any(mm0, axis=1)
+            last0 = (L - 1) - jnp.argmax(mm0[:, ::-1], axis=1)
+            cut_ext = jnp.where(have_a & any0, last0 + 1,
+                                jnp.int32(2 ** 30))
+            cut = jnp.minimum(cut, cut_ext).astype(jnp.int32)
             H2 = 2
             hits2 = search_ops.partial_search(
                 d.blocked, d.fchr, meta.zrow, meta.rows, ar,
@@ -525,18 +550,25 @@ class TPUAligner:
             w2 = hits2.bot - hits2.top
             hv2 = jnp.arange(H2, dtype=jnp.int32)[None, :] \
                 < hits2.nh[:, None]
-            hv2 &= w2 <= self.short_rows
-            j2 = jnp.arange(P, dtype=jnp.int32)
+            # a short flank can be globally frequent yet unique within the
+            # reference's 57 kb local window — resolve more rows here (the
+            # proximity filter below keeps only window-local ones).  Full-SA
+            # indexes resolve rows with a plain gather, so the wider cap is
+            # cheap; sampled-SA indexes keep the narrow cap (each row costs
+            # an LF walk).
+            P2 = 32 if self.meta.off_rate == 0 else self.short_rows
+            hv2 &= w2 <= P2
+            j2 = jnp.arange(P2, dtype=jnp.int32)
             rowm2 = hits2.top[:, :, None] + j2[None, None, :]
             cval2 = hv2[:, :, None] & (j2[None, None, :] < w2[:, :, None])
             offs2 = resolve_ops.resolve_rows(
                 d.blocked, d.fchr, d.mark_words, d.mark_chk,
                 d.sa_marked, meta.zrow, meta.off_rate,
                 jnp.where(cval2, rowm2, 0).reshape(-1))
-            starts2 = (offs2.reshape(2 * B, H2, P)
-                       - hits2.lo[:, :, None]).reshape(2 * B, H2 * P)
-            cv2 = cval2.reshape(2 * B, H2 * P)
-            HP2 = H2 * P
+            starts2 = (offs2.reshape(2 * B, H2, P2)
+                       - hits2.lo[:, :, None]).reshape(2 * B, H2 * P2)
+            cv2 = cval2.reshape(2 * B, H2 * P2)
+            HP2 = H2 * P2
             starts = jnp.concatenate([starts, starts2], axis=1)
             cv = jnp.concatenate([cv, cv2], axis=1)
         # device-side dedup + compaction: different anchors of the same read
@@ -710,7 +742,9 @@ class TPUAligner:
                 ss["ss_kd"], ss["ss_ka"], ss["ss_rdid"],
                 ss["ss_ka_s"], ss["ss_kd_s"], ss["ss_rdid_a"],
                 params["mm_pen"], self.scoring.n_pen, am,
-                slots=self.ss_slots)
+                slots=self.ss_slots,
+                src_clip_l=ext.clip_l, src_clip_r=ext.clip_r,
+                clip_pen=params["clip_pen"])
             J = inj["score"].shape[1]
             src_i = inj.pop("src")
             inj["ab"] = jnp.take_along_axis(cab, src_i, axis=1)
@@ -819,8 +853,10 @@ class TPUAligner:
                                             b["selfgap"]], 1),
                 "n_mm": jnp.concatenate([uni["n_mm"], zw], 1),
                 "n_n": jnp.concatenate([uni["n_n"], zw], 1),
-                "clip_l": jnp.concatenate([uni["clip_l"], zw], 1),
-                "clip_r": jnp.concatenate([uni["clip_r"], zw], 1),
+                "clip_l": jnp.concatenate(
+                    [uni["clip_l"], b.get("clip_l", zw)], 1),
+                "clip_r": jnp.concatenate(
+                    [uni["clip_r"], b.get("clip_r", zw)], 1),
                 "valid": jnp.concatenate(
                     [uni["valid"],
                      (b["score"] > -BIGs).astype(jnp.int32)], 1),
@@ -1574,8 +1610,8 @@ class TPUAligner:
         # ungapped placement it contains), then position.
         Km = K
         ext_start = (starts + clip_l).reshape(2 * B, Km)
-        span_m = (np.where(is_pair, L_of - ins_len,
-                           L_of - clip_l - clip_r)
+        span_m = (L_of - clip_l - clip_r
+                  - np.where(is_pair, ins_len, 0)
                   + np.where(junc_kind > 0, junc_len, 0)
                   + junc2_len).reshape(2 * B, Km)
         # fold fw/rc lanes of the same mate together (redundant() scans all

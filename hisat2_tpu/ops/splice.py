@@ -257,8 +257,8 @@ def pair_sweep(ch, pen_spl, pen_ind, ismm, starts, valid, lens, minsc,
         asum_fw = af1 * af2
         # rc acceptor: revcomp of left-diagonal window [x-1 .. x+13]; the
         # packed 15-mer's top 7 chars are the REVERSED tail (x+13 .. x+7)
-        ar1 = acc1t[_pack_window(ch, M, range(13, 6, -1), rc=True, out_len=L + 1)]
-        ar2 = acc2t[_pack_window(ch, M, range(6, -2, -1), rc=True, out_len=L + 1)]
+        ar1 = acc1t[_pack_window(ch, M, range(7, 14), rc=True, out_len=L + 1)]
+        ar2 = acc2t[_pack_window(ch, M, range(-1, 7), rc=True, out_len=L + 1)]
         asum_rc = ar1 * ar2
 
     starts_l = starts[:, :, None]                                  # [N,C,1]
@@ -483,7 +483,8 @@ def pair_sweep(ch, pen_spl, pen_ind, ismm, starts, valid, lens, minsc,
 def inject_known(ref_words, n_text: int, reads, quals, lens, rdids,
                  starts, valid, P_raw, tot_raw, Pm, tot_m,
                  kd, ka, krdid, ka_s, kd_s, krdid_a,
-                 mm_pen, n_pen: int, minsc, slots: int = 2):
+                 mm_pen, n_pen: int, minsc, slots: int = 2,
+                 src_clip_l=None, src_clip_r=None, clip_pen=None):
     """Known/temp splice-site directed candidates (the TPU-native equivalent
     of the reference's splice-site-driven re-alignment,
     spliced_aligner.h:296-407 getLeftSpliceSites / :409-500,1213-1338
@@ -573,13 +574,48 @@ def inject_known(ref_words, n_text: int, reads, quals, lens, rdids,
     src_start = jnp.take_along_axis(starts, src, axis=1)
 
     is_donor_block = jnp.arange(J, dtype=jnp.int32)[None, :] < J1
-    # donor-keyed: left = src prefix, right = fresh suffix
-    score_d = -(ps_x + (tot_f - pf_x))
+    # inherited soft clips: combineWith extends the source GenomeHit,
+    # which may already be trimmed (hi_aligner.h:1285 operates on the
+    # trimmed hit) — the composite keeps the clip on the side the source
+    # still covers.  Clip cost prefix Cc[a] = sum clip_pen[q[0..a)]
+    # (the trim3 quirk indexes quality from the read START,
+    # hi_aligner.h:3700-3702, so one prefix serves both ends).
+    if src_clip_l is not None:
+        q = jnp.minimum(quals, 63)
+        ccost = jnp.where(
+            jnp.arange(L, dtype=jnp.int32)[None, :] < lens2,
+            clip_pen[q], 0)
+        Cc = jnp.concatenate(
+            [jnp.zeros((N, 1), jnp.int32), jnp.cumsum(ccost, axis=1)],
+            axis=1)                                              # [N, L+1]
+        cl_src = jnp.take_along_axis(src_clip_l, src, axis=1)
+        cr_src = jnp.take_along_axis(src_clip_r, src, axis=1)
+        cl_d = jnp.where(cl_src < x_all, cl_src, 0)
+        cr_a = jnp.where((lens2 - cr_src) > x_all, cr_src, 0)
+        ps_cl = jnp.take_along_axis(
+            jnp.take_along_axis(P_raw, src[:, :, None], axis=1),
+            cl_d[:, :, None], axis=2)[:, :, 0]
+        cc_cl = jnp.take_along_axis(Cc, cl_d, axis=1)
+        ps_cr = jnp.take_along_axis(
+            jnp.take_along_axis(P_raw, src[:, :, None], axis=1),
+            (lens2 - cr_a)[:, :, None], axis=2)[:, :, 0]
+        cc_cr = jnp.take_along_axis(Cc, cr_a, axis=1)
+    else:
+        cl_d = cr_a = jnp.zeros((N, J), jnp.int32)
+        ps_cl = cc_cl = cc_cr = jnp.zeros((N, J), jnp.int32)
+        ps_cr = None
+    # donor-keyed: left = src prefix (minus inherited left clip),
+    # right = fresh suffix
+    score_d = -((ps_x - ps_cl) + cc_cl + (tot_f - pf_x))
     mm_new_d = tot_fm - pfm_x
     anchor_d = lens2 - x_all
     d1_d, d2_d = src_start, fresh
-    # acceptor-keyed: left = fresh prefix, right = src suffix
-    score_a = -(pf_x + (tot_src - ps_x))
+    # acceptor-keyed: left = fresh prefix, right = src suffix (minus
+    # inherited right clip)
+    if ps_cr is not None:
+        score_a = -(pf_x + (ps_cr - ps_x) + cc_cr)
+    else:
+        score_a = -(pf_x + (tot_src - ps_x))
     mm_new_a = pfm_x
     anchor_a = x_all
     d1_a, d2_a = fresh, src_start
@@ -588,6 +624,8 @@ def inject_known(ref_words, n_text: int, reads, quals, lens, rdids,
     anchor_new = jnp.where(is_donor_block, anchor_d, anchor_a)
     d1 = jnp.where(is_donor_block, d1_d, d1_a)
     d2 = jnp.where(is_donor_block, d2_d, d2_a)
+    out_cl = jnp.where(is_donor_block, cl_d, 0)
+    out_cr = jnp.where(is_donor_block, 0, cr_a)
 
     # junction classification from the site's flanking dinucleotides
     jl = d1 + x_all                       # first intron base (joined)
@@ -616,11 +654,15 @@ def inject_known(ref_words, n_text: int, reads, quals, lens, rdids,
     # (nedits <= anchorLen / 4, spliced_aligner.h:391)
     ok_all &= mm_new <= anchor_new // 4
     ok_all &= score >= minsc[:, None]
+    # the clip must not swallow the junction-adjacent anchor entirely
+    ok_all &= (out_cl < x_all) & (out_cr < lens2 - x_all)
     score = jnp.where(ok_all, score, -_BIG)
     return dict(score=score, d1=d1, d2=d2, x=x_all,
                 kind=jnp.where(ok_all, KIND_SPL, KIND_NONE),
                 spldir=spldir,
                 splscore=jnp.zeros_like(score, jnp.float32),
+                clip_l=jnp.where(ok_all, out_cl, 0),
+                clip_r=jnp.where(ok_all, out_cr, 0),
                 src=src)
 
 
@@ -923,8 +965,8 @@ def second_sweep(ch, pen_spl, mm_raw, starts, valid, lens, minsc,
     dsum_rc = donor_sum[_pack_window(ch, M, range(-6, 3), rc=True, out_len=L + 1)]
     asum_fw = acc1t[_pack_window(ch, M, range(-14, -7), out_len=L + 1)] \
         * acc2t[_pack_window(ch, M, range(-7, 1), out_len=L + 1)]
-    asum_rc = acc1t[_pack_window(ch, M, range(13, 6, -1), rc=True, out_len=L + 1)] \
-        * acc2t[_pack_window(ch, M, range(6, -2, -1), rc=True, out_len=L + 1)]
+    asum_rc = acc1t[_pack_window(ch, M, range(7, 14), rc=True, out_len=L + 1)] \
+        * acc2t[_pack_window(ch, M, range(-1, 7), rc=True, out_len=L + 1)]
 
     def row(arr, idx):
         return jnp.take_along_axis(arr, idx[:, None, None], axis=1)[:, 0]
