@@ -384,13 +384,15 @@ class SamWriter:
         fw_b, rc_b = fw_ascii.tobytes(), rc_ascii.tobytes()
         q_b, rq_b = q_ascii.tobytes(), rq_ascii.tobytes()
 
+        lens_sl = lens.tolist()
+
         def seq_of(i, rc):
             s = i * L
-            return (rc_b if rc else fw_b)[s:s + lens[i]].decode()
+            return (rc_b if rc else fw_b)[s:s + lens_sl[i]].decode()
 
         def qual_of(i, rc):
             s = i * L
-            return (rq_b if rc else q_b)[s:s + lens[i]].decode()
+            return (rq_b if rc else q_b)[s:s + lens_sl[i]].decode()
 
         cols = raw["cols"] if raw is not None else None
         if cols is None or not len(cols[0]):
@@ -440,26 +442,31 @@ class SamWriter:
                     parts.append(str(int(mid[t]) - prev - 1))
                     md_cache[simp[t]] = ("".join(parts), int(nmv[t]))
         # per-read first-row offsets (rows sorted by read)
-        row0 = np.searchsorted(rd_col, np.arange(B))
+        row0 = np.searchsorted(rd_col, np.arange(B)).tolist()
         (c_rc, c_rid, c_rpos, c_cl, c_cr, c_sc, c_mq, c_hs, c_zs) = (
-            np.asarray(cols[j]) for j in (1, 2, 3, 5, 6, 8, 11, 14, 15)
-        ) if len(rd_col) else (np.empty(0, np.int64),) * 9
+            np.asarray(cols[j]).tolist()
+            for j in (1, 2, 3, 5, 6, 8, 11, 14, 15)
+        ) if len(rd_col) else ([],) * 9
+        counts = counts.tolist()
+        cplx_l = cplx.tolist()
         out_w = self.out.write
         srd = self.rna_strandness
         simp_md = md_cache
+        n_filt = (n_filtered.tolist()
+                  if isinstance(n_filtered, np.ndarray) else n_filtered)
         for i in range(B):
             name = names[i]
             self.n_reads += 1
             if counts[i] == 0:
                 self.n_unal += 1
                 if not self.no_unal:
-                    nf = n_filtered[i] if n_filtered is not None else False
+                    nf = n_filt[i] if n_filt is not None else False
                     tail = "\tYF:Z:NS" if nf else ""
                     out_w(f"{name}\t4\t*\t0\t0\t*\t*\t0\t0\t"
                           f"{seq_of(i, False)}\t{qual_of(i, False)}"
                           f"\tYT:Z:UU{tail}\n")
                 continue
-            if cplx[i]:
+            if cplx_l[i]:
                 alns = finalize(i)
                 if not alns:
                     self.n_unal += 1
@@ -474,19 +481,19 @@ class SamWriter:
                     self.n_multi += 1
                 for a in alns:
                     out_w(self._line(
-                        name, codes2d[i, :lens[i]],
-                        q_ascii[i, :lens[i]].astype(np.int32) - 33, a,
+                        name, codes2d[i, :lens_sl[i]],
+                        q_ascii[i, :lens_sl[i]].astype(np.int32) - 33, a,
                         lambda p, s: ref_codes[p:p + s]))
                 continue
             self.n_uniq += 1
             t = row0[i]
             md, nm = simp_md[t]
-            rc = bool(c_rc[t])
+            rc = c_rc[t]
             flag = 16 if rc else 0
             seq = seq_of(i, rc)
             qual = qual_of(i, rc)
             cl_, cr_ = c_cl[t], c_cr[t]
-            mid_ = lens[i] - cl_ - cr_
+            mid_ = lens_sl[i] - cl_ - cr_
             cigar = ((f"{cl_}S" if cl_ else "") + f"{mid_}M"
                      + (f"{cr_}S" if cr_ else ""))
             zs = f"\tZS:i:{c_zs[t]}" if c_hs[t] else ""
