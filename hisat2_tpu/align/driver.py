@@ -52,12 +52,17 @@ def make_scoring(args) -> Scoring:
 
 def run_align(args) -> int:
     t0 = time.time()
-    index = FMIndex.load(args.index)
+    index_base = args.index
+    if not os.path.exists(index_base + ".npz"):
+        from ..index.ht2 import convert_ht2, is_ht2
+        if is_ht2(index_base):
+            index_base = convert_ht2(index_base)
+    index = FMIndex.load(index_base)
     scoring = make_scoring(args)
     variants = None
-    if os.path.exists(args.index + ".var.npz"):
+    if os.path.exists(index_base + ".var.npz"):
         from ..index.variants import VariantDB
-        variants = VariantDB.load(args.index)
+        variants = VariantDB.load(index_base)
     aligner = TPUAligner(index, scoring, k=args.khits,
                          no_fw=args.nofw, no_rc=args.norc,
                          variants=variants,

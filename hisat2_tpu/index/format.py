@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 from typing import Any
 
 import numpy as np
@@ -128,6 +129,12 @@ class FMIndex:
     @staticmethod
     def load(path: str):
         if not path.endswith(".npz"):
+            if not os.path.exists(path + ".npz"):
+                from .ht2 import convert_ht2, is_ht2
+                if is_ht2(path):
+                    # a reference .ht2 index: convert to the native layout
+                    # on first use (cached beside it or under /tmp)
+                    path = convert_ht2(path)
             path = path + ".npz"
         with np.load(path) as z:
             meta_d = json.loads(bytes(z["__meta__"]).decode())
