@@ -281,30 +281,49 @@ class TPUAligner:
             "mm_pen": jnp.asarray(self.scoring.mm_pen_table()),
             "clip_pen": jnp.asarray(self.scoring.clip_pen_table()),
         }
-        # variant (ALT) database -> device planes + host Zs lookup tables
-        if variants is not None and len(self.shards) > 1:
-            raise NotImplementedError(
-                "sharded (>1.9 Gbp) graph indexes: per-shard variant "
-                "planes are a planned follow-up; build without --snp or "
-                "use sub-2Gbp references with variants")
+        # variant (ALT) database -> per-shard device planes + a host-side
+        # global view for Zs annotation (multi-gigabase graphs shard like
+        # linear ones; each shard carries its in-range variants rebased to
+        # local coordinates)
         self.variants = variants
         self.has_indels = False
-        self.indel_row_db = None
+        self.shard_params = [dict() for _ in self.shards]
+        self.shard_row_db = [None] * len(self.shards)
         if variants is not None and variants.n_snps:
-            from ..index.graph import build_graph_arrays, indel_device_tables
-            self.graph = build_graph_arrays(index, variants)
-            self.params["snv1"] = jnp.asarray(self.graph.snv_delta1)
-            self.params["snv2"] = jnp.asarray(self.graph.snv_delta2)
-            if len(self.graph.indel_pos):
-                tabs = indel_device_tables(self.graph)
-                self.indel_row_db = tabs.pop("_row_db")
-                self.params.update(
-                    {k2: jnp.asarray(v) for k2, v in tabs.items()})
-                self.has_indels = True
+            from ..index.graph import (build_graph_arrays,
+                                       indel_device_tables,
+                                       shard_graph_arrays)
+            if len(self.shards) == 1:
+                shard_graphs = [build_graph_arrays(index, variants)]
+                self.graph = shard_graphs[0]
+            else:
+                # host-only global view (planes are per-shard)
+                self.graph = build_graph_arrays(
+                    index, variants, ref_codes=self.ref_codes,
+                    with_planes=False)
+                shard_graphs = [
+                    shard_graph_arrays(sh, variants, b)
+                    for sh, b in zip(self.shards, self.shard_bases)]
+            self.has_indels = any(len(g.indel_pos) for g in shard_graphs)
+            for i, g in enumerate(shard_graphs):
+                sp_i = self.shard_params[i]
+                sp_i["snv1"] = jnp.asarray(g.snv_delta1)
+                sp_i["snv2"] = jnp.asarray(g.snv_delta2)
+                if self.has_indels:
+                    tabs = indel_device_tables(g)
+                    self.shard_row_db[i] = tabs.pop("_row_db")
+                    sp_i.update({k2: jnp.asarray(v)
+                                 for k2, v in tabs.items()})
         else:
             self.graph = None
-            self.params["snv1"] = jnp.zeros(1, jnp.uint32)
-            self.params["snv2"] = jnp.zeros(1, jnp.uint32)
+            for sp_i in self.shard_params:
+                sp_i["snv1"] = jnp.zeros(1, jnp.uint32)
+                sp_i["snv2"] = jnp.zeros(1, jnp.uint32)
+        if len(self.shards) == 1:
+            # single-shard (the common case): fold into the main param
+            # dict so mesh/rescue/dryrun consumers see one bundle
+            self.params.update(self.shard_params[0])
+            self.shard_params[0] = {}
         self.splice_params = splice_ops.SpliceParams(
             min_intron=self.scoring.min_intron_len,
             max_intron=self.scoring.max_intron_len,
@@ -1124,14 +1143,15 @@ class TPUAligner:
         uniform = bool(np.all(np.asarray(lens) == codes.shape[1]))
         ver = self.splice_db.n_sites if self.splice_db is not None else 0
         packed = [self._device_step(
-            dev, self.params,
+            dev, {**self.params, **self.shard_params[i]},
             jnp.asarray(np.asarray(codes, np.uint8)),
             jnp.asarray(np.asarray(quals, np.uint8)),
             jnp.asarray(lens, jnp.int32), jnp.asarray(minsc, jnp.int32),
             jnp.asarray(rdids, jnp.int32) if self.spliced else None,
             (self.splice_db.device_tables(b, dev.meta.n)
              if self.spliced else None), uniform=uniform)
-            for dev, b in zip(self.devs, self.shard_bases)]
+            for i, (dev, b) in enumerate(zip(self.devs,
+                                             self.shard_bases))]
         for pk in packed:
             # enqueue the D2H copy NOW, before the next batch's compute is
             # dispatched — otherwise the (serialized) transfer queues
@@ -1168,7 +1188,15 @@ class TPUAligner:
         the host phase dedup/selection then sees the union)."""
         outs = [self._fetch_out(pk) for pk in packed_list]
         if len(outs) == 1 and self.shard_bases[0] == 0:
-            return outs[0]
+            out0 = outs[0]
+            rdb = self.shard_row_db[0]
+            if rdb is not None and "u_event" in out0:
+                v = out0["u_event"]
+                ev = v >= 0
+                v = v.copy()
+                v[ev] = rdb[v[ev]]
+                out0["u_event"] = v
+            return out0
         merged = {}
         # q2_* keys are PER-LANE composite results (two-junction seeds),
         # not candidate rows: keep the whole set from the shard whose best
@@ -1179,10 +1207,17 @@ class TPUAligner:
                 [o["q2_score"].max(axis=1) for o in outs]), axis=0)
         for k in outs[0]:
             vs = []
-            for o, base in zip(outs, self.shard_bases):
+            for si, (o, base) in enumerate(zip(outs, self.shard_bases)):
                 v = o[k]
                 if k in self._POS_KEYS:
                     v = v.astype(np.int64) + base
+                elif k == "u_event":
+                    # shard-local indel-table rows -> global VariantDB rows
+                    rdb = self.shard_row_db[si]
+                    if rdb is not None:
+                        ev = v >= 0
+                        v = v.copy()
+                        v[ev] = rdb[v[ev]]
                 vs.append(v)
             if k.startswith("q2_"):
                 stk = np.stack(vs)                      # [S, 2B, ...]
@@ -1209,14 +1244,15 @@ class TPUAligner:
                          np.int64)
         uniform = bool(np.all(np.asarray(lens) == codes.shape[1]))
         packed = [self._device_step(
-            dev, self.params,
+            dev, {**self.params, **self.shard_params[i]},
             jnp.asarray(np.asarray(codes, np.uint8)),
             jnp.asarray(np.asarray(quals, np.uint8)),
             jnp.asarray(lens, jnp.int32), jnp.asarray(minsc, jnp.int32),
             jnp.asarray(rdids, jnp.int32) if self.spliced else None,
             (self.splice_db.device_tables(b, dev.meta.n)
              if self.spliced else None), uniform=uniform)
-            for dev, b in zip(self.devs, self.shard_bases)]
+            for i, (dev, b) in enumerate(zip(self.devs,
+                                             self.shard_bases))]
         return self._host_phase(self._merge_shards(packed), codes, quals,
                                 lens, minsc)
 
@@ -1405,10 +1441,8 @@ class TPUAligner:
         junc2_d3 = flat(o_np["u_d2"], q_j2d3)
         junc2_dir = flat(np.zeros((2 * B, U)), q_j2dir)
         # map indel-event table rows to VariantDB snp indices
-        junc_snp = np.full(len(junc_event), -1, np.int64)
-        if self.indel_row_db is not None:
-            has_ev = junc_event >= 0
-            junc_snp[has_ev] = self.indel_row_db[junc_event[has_ev]]
+        # u_event was mapped to GLOBAL VariantDB rows in _merge_shards
+        junc_snp = junc_event.astype(np.int64)
         BIGV = 2 ** 29
         vparts = [o_np["u_valid"] > 0]
         if Q:

@@ -46,11 +46,17 @@ class GraphArrays:
     snv_id: np.ndarray        # int32 [S] index into VariantDB records
 
 
-def build_graph_arrays(index, db: VariantDB) -> GraphArrays:
-    """Encode a VariantDB against an FMIndex's joined coordinates."""
+def build_graph_arrays(index, db: VariantDB, ref_codes=None,
+                       with_planes: bool = True) -> GraphArrays:
+    """Encode a VariantDB against an FMIndex's joined coordinates.
+
+    ref_codes: pre-unpacked joined reference (required for sharded
+    indexes, which have no single packed array).  with_planes=False skips
+    the device SNV planes (host-only global view of a sharded graph)."""
     n = index.meta.n
-    ref_codes = bitops.unpack_2bit(np.asarray(index.ref_words), n)
-    nwords = (n + 15) // 16
+    if ref_codes is None:
+        ref_codes = bitops.unpack_2bit(np.asarray(index.ref_words), n)
+    nwords = (n + 15) // 16 if with_planes else 1
     plane1 = np.zeros(nwords * 16, np.uint8)
     plane2 = np.zeros(nwords * 16, np.uint8)
 
@@ -74,9 +80,10 @@ def build_graph_arrays(index, db: VariantDB) -> GraphArrays:
     grp_start = np.maximum.accumulate(
         np.where(new_grp, np.arange(len(ps)), 0))
     rank = np.arange(len(ps)) - grp_start
-    plane1[ps[rank == 0]] = ds[rank == 0]
-    second = (rank == 1) & (ds != ds[np.maximum(grp_start, 0)])
-    plane2[ps[second]] = ds[second]
+    if with_planes:
+        plane1[ps[rank == 0]] = ds[rank == 0]
+        second = (rank == 1) & (ds != ds[np.maximum(grp_start, 0)])
+        plane2[ps[second]] = ds[second]
 
     def pack2(plane):
         p = plane.reshape(nwords, 16).astype(np.uint32)
@@ -92,13 +99,24 @@ def build_graph_arrays(index, db: VariantDB) -> GraphArrays:
     so = np.argsort(pos, kind="stable")
     return GraphArrays(
         snv_delta1=pack2(plane1), snv_delta2=pack2(plane2),
-        indel_pos=db.snp_joined[ind].astype(np.int32),
+        indel_pos=db.snp_joined[ind].astype(np.int64),
         indel_len=ilen[order],
         indel_seq=db.snp_seq[ind].astype(np.int64),
         indel_id=ind.astype(np.int32),
-        snv_joined=pos[so].astype(np.int32),
+        snv_joined=pos[so].astype(np.int64),
         snv_alt=alt[so].astype(np.int8),
         snv_id=sgl[so].astype(np.int32))
+
+
+def shard_graph_arrays(shard_index, db: VariantDB, base: int):
+    """Per-shard device graph: variants rebased into the shard's local
+    joined space (out-of-shard records drop to joined=-1)."""
+    import dataclasses as _dc
+    j = db.snp_joined.astype(np.int64)
+    n = shard_index.meta.n
+    loc = np.where((j >= base) & (j < base + n), j - base, -1)
+    db2 = _dc.replace(db, snp_joined=loc.astype(np.int64))
+    return build_graph_arrays(shard_index, db2)
 
 
 def indel_device_tables(graph: GraphArrays, max_ins: int = 16) -> dict:

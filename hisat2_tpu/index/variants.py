@@ -89,11 +89,12 @@ def _ref_ids(meta):
 
 
 def _to_joined(index, rid: np.ndarray, pos: np.ndarray) -> np.ndarray:
-    """(ref id, ref offset) -> joined offset, or -1 inside an N gap."""
+    """(ref id, ref offset) -> joined offset, or -1 inside an N gap.
+    int64: a sharded multi-gigabase GLOBAL joined space exceeds int32."""
     fj = np.asarray(index.frag_joined)
     fr = np.asarray(index.frag_ref)
     fo = np.asarray(index.frag_off)
-    out = np.full(len(rid), -1, np.int32)
+    out = np.full(len(rid), -1, np.int64)
     for r in np.unique(rid):
         sel = rid == r
         frs = np.flatnonzero(fr == r)
@@ -105,7 +106,7 @@ def _to_joined(index, rid: np.ndarray, pos: np.ndarray) -> np.ndarray:
         f = np.clip(f, 0, len(frs) - 1)
         inside = (pos[sel] >= starts[f]) & (pos[sel] < starts[f] + spans[f])
         j = fj[frs[f]] + (pos[sel] - starts[f])
-        out[sel] = np.where(inside, j, -1).astype(np.int32)
+        out[sel] = np.where(inside, j, -1).astype(np.int64)
     return out
 
 
