@@ -63,11 +63,17 @@ def run_align(args) -> int:
     if os.path.exists(index_base + ".var.npz"):
         from ..index.variants import VariantDB
         variants = VariantDB.load(index_base)
+    if args.khits is None:
+        # -k default: 5 on linear, 10 on graph indexes (hisat2.cpp:3701)
+        args.khits = 10 if (variants is not None
+                            and variants.n_snps) else 5
     aligner = TPUAligner(index, scoring, k=args.khits,
                          no_fw=args.nofw, no_rc=args.norc,
                          variants=variants,
                          spliced=not args.no_spliced_alignment,
-                         lane_meta=True)
+                         lane_meta=True,
+                         max_seeds=getattr(args, "max_seeds", 0),
+                         all_hits=getattr(args, "all_hits", False))
     if aligner.splice_db is not None:
         if args.known_splicesite_infile:
             aligner.splice_db.add_from_file(args.known_splicesite_infile)
@@ -230,11 +236,15 @@ def run_align(args) -> int:
                              for l in b.lens])
             nfv = ncnt > maxn
 
+            k_rep = 10 ** 9 if getattr(args, "all_hits", False) \
+                else args.khits
+
             def finalize(i, raw=res.raw):
                 return rng_mod.finalize_unpaired(
                     pipeline_mod.read_alignments(raw, i), int(seeds[i]),
-                    args.khits, aligner.ref_codes,
-                    orient_rank=ranks[i] if ranks else None)
+                    k_rep, aligner.ref_codes,
+                    orient_rank=ranks[i] if ranks else None,
+                    secondary=getattr(args, "secondary", False))
 
             writer.write_batch_raw(b.names, b.codes, b.quals, b.lens,
                                    res.raw, aligner.ref_codes,

@@ -202,10 +202,24 @@ class TPUAligner:
                  cand_per_hit: int = 4, no_fw: bool = False,
                  no_rc: bool = False, variants=None, spliced: bool = False,
                  max_pairs: int = 4, splice_db=None, ss_slots: int = 2,
-                 lane_meta: bool = False, shard_devices=None):
+                 lane_meta: bool = False, shard_devices=None,
+                 max_seeds: int = 0, all_hits: bool = False):
         self.meta = index.meta
         self.scoring = scoring or Scoring()
         self.k = k
+        # --max-seeds defaults to max(5, 2k) (hisat2.cpp:3073); -a lifts
+        # both limits — bounded here by a static device cap of 64
+        # placements per read (documented divergence for >64-copy repeats)
+        self.all_hits = all_hits
+        self.max_seeds = max_seeds if max_seeds else max(5, 2 * k)
+        if all_hits:
+            self.k = 10 ** 9
+            self.max_seeds = 10 ** 9
+        # device slot sizing must cover every placement the reference's
+        # sink can select from: up to max(khits, maxSeeds) rows resolve
+        # per hit (getAnchorHits, hi_aligner.h:4341-4351) and ALL of them
+        # enter the RNG streak shuffle (selectByScore, aln_sink.h:2504)
+        self.msize = min(max(self.k, self.max_seeds), 64)
         self.max_hits = max_hits
         # _minK (hi_aligner.h:3807-3813): #base-4 digits of the genome length
         n = index.meta.n
@@ -223,7 +237,7 @@ class TPUAligner:
             # mismatch-skip restart also drops - hence 7 recorded chars),
             # with +8 candidate slots for their diagonals
             self.min_hit_len = 7
-            self.max_cands = max(k + 1, 6) + 8
+            self.max_cands = max(k + 1, self.msize + 1, 6) + 8
             # short flanks resolve like the reference's LOCAL search: the
             # segment may occur many times genome-wide yet uniquely within
             # the 57kb window - resolve up to 16 rows and keep only those
@@ -235,7 +249,7 @@ class TPUAligner:
             # reference's local-search equivalent), so the candidate pool
             # stays small
             self.min_hit_len = min_hit_len2
-            self.max_cands = max(k + 1, 6)
+            self.max_cands = max(k + 1, self.msize + 1, 6)
             self.short_rows = 5
         # up to 6 rows resolve per hit in spliced mode (the reference
         # resolves short-segment ranges only when nelt <= 5,
@@ -512,9 +526,9 @@ class TPUAligner:
         # short re-search segments resolve only when nelt <= 5
         # (spliced_aligner.h:951)
         islong_h = (hits.hi - hits.lo) > self.min_k + 2
-        maxsize = max(self.k, 2 * self.k, 5)
+        maxsize = max(self.k, self.max_seeds)
         hv &= jnp.where(islong_h, w <= maxsize, w <= self.short_rows)
-        P = max(P, self.short_rows)
+        P = max(P, self.short_rows, self.msize)
         j = jnp.arange(P, dtype=jnp.int32)
         rowm = hits.top[:, :, None] + j[None, None, :]            # [2B,H,P]
         cval = hv[:, :, None] & (j[None, None, :] < w[:, :, None])
@@ -887,7 +901,7 @@ class TPUAligner:
         # host-side column compaction keeps M=10 (valid-first, score-desc)
         # slots with the SAME ordering key, so truncating to 10 on device
         # is lossless
-        Mdev = min(Ktot, 10)
+        Mdev = min(Ktot, max(10, self.msize + 2))
         if Mdev < Ktot:
             skey = jnp.where(uni["valid"] > 0, -uni["score"],
                              np.int32(2 ** 31 - 1))
@@ -1480,7 +1494,7 @@ class TPUAligner:
         ab = flat(o_np["u_ab"])
         post = flat(o_np["u_post"]).astype(bool)
         selfgap = flat(o_np["u_selfgap"]).astype(bool)
-        M = 10
+        M = max(10, self.msize + 2)
         if M < K:
             v2 = valid.reshape(2 * B, K)
             sc2 = np.where(v2, score.reshape(2 * B, K), np.int64(-2 ** 40))
@@ -1841,7 +1855,11 @@ class TPUAligner:
                               seg_len > 1, perfect, minsc[seg_read])
         seg_zs = np.where(has_sec, secbest, 0)
         n_rep = np.minimum(seg_len, self.k)
-        keep = pos_in_seg < n_rep[seg_of]
+        # the report pool keeps ALL selectable placements (the RNG
+        # tie-break shuffles the full streak before truncating to k,
+        # selectByScore aln_sink.h:2504) — truncation to k happens in
+        # finalize_unpaired
+        keep = pos_in_seg < np.minimum(seg_len, self.msize)[seg_of]
         # fragment mapping for kept candidates
         ki = np.flatnonzero(keep)
         gi = idx[ki]

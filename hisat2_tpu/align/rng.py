@@ -116,11 +116,12 @@ def select_by_score(scores, rep_order, rnd: RandomSource):
     return buf
 
 
-def finalize_unpaired(alns, seed, k: int, ref_codes, orient_rank=None):
+def finalize_unpaired(alns, seed, k: int, ref_codes, orient_rank=None,
+                      secondary: bool = False):
     """finishRead's unpaired reporting order (aln_sink.h:2060-2100):
-    truncate to the best-score streak (selectByScore truncates `select`
-    at the first score drop unless --secondary), shuffle the streak with
-    the read's LCG, report min(streak, k).
+    sort descending by score, shuffle every equal-score streak with the
+    read's LCG (selectByScore), report min(#alns, k), truncating at the
+    first score drop unless --secondary/-a.
 
     Report-order proxy: the reference accumulates alignments in SA-row
     resolution order, fw orientation searched before rc on equal
@@ -130,16 +131,21 @@ def finalize_unpaired(alns, seed, k: int, ref_codes, orient_rank=None):
     import dataclasses
     if not alns:
         return alns
-    best = max(a.score for a in alns)
-    top = [a for a in alns if a.score == best]
-    if len(top) > 1:
-        rep = _report_ranks(top, ref_codes, orient_rank)
-        order = select_by_score([0] * len(top), rep, RandomSource(seed))
-        top = [top[j] for j in order]
-    top = top[:k]
-    nh = len(top)
-    return [dataclasses.replace(a, nh=nh, secondary=i > 0)
-            for i, a in enumerate(top)]
+    if len(alns) == 1:
+        return [dataclasses.replace(alns[0], nh=1, secondary=False)]
+    rep = _report_ranks(alns, ref_codes, orient_rank)
+    order = select_by_score([a.score for a in alns], rep,
+                            RandomSource(seed))
+    sel = order[:min(k, len(order))]
+    if not secondary:
+        best = alns[sel[0]].score
+        for i in range(1, len(sel)):
+            if alns[sel[i]].score != best:
+                sel = sel[:i]
+                break
+    nh = len(sel)
+    return [dataclasses.replace(alns[j], nh=nh, secondary=i > 0)
+            for i, j in enumerate(sel)]
 
 
 def _suffix_cmp(ref_codes, pa: int, pb: int) -> int:

@@ -69,8 +69,16 @@ def build_parser():
                    help="inputs are FASTQ (default: sniffed)")
     p.add_argument("-f", dest="fasta", action="store_true",
                    help="inputs are FASTA")
-    p.add_argument("-k", dest="khits", type=int, default=5,
-                   help="max # distinct alignments to report (default 5)")
+    p.add_argument("-k", dest="khits", type=int, default=None,
+                   help="max # distinct alignments to report "
+                        "(default 5 linear / 10 graph, hisat2.cpp:3701)")
+    p.add_argument("-a", "--all", dest="all_hits", action="store_true",
+                   help="report all alignments (device cap: 64 per read)")
+    p.add_argument("--secondary", action="store_true",
+                   help="report worse-scoring alignments as secondary")
+    p.add_argument("--max-seeds", dest="max_seeds", type=int, default=0,
+                   help="max seed placements considered "
+                        "(default max(5, 2k), hisat2.cpp:3073)")
     p.add_argument("-u", dest="upto", type=int, default=None,
                    help="align at most this many reads")
     p.add_argument("-s", dest="skip", type=int, default=0,
