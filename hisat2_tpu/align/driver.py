@@ -82,7 +82,21 @@ def run_align(args) -> int:
         # --no-temp-splicesite is accepted for compatibility: with a single
         # worker the reference's mindist is 0 either way (hisat2.cpp:3559),
         # so temp-site usage is identical
-    out = open(args.sam, "w") if args.sam else sys.stdout
+    world = getattr(args, "n_hosts", 1) or 1
+    rank = getattr(args, "host_rank", 0) or 0
+    shard = None
+    if world > 1:
+        from ..parallel import multihost
+        if getattr(args, "coordinator", None):
+            multihost.init_distributed(args.coordinator, world, rank)
+        if not args.sam:
+            print("error: multi-host runs require -S <out.sam>",
+                  file=sys.stderr)
+            return 1
+        shard = multihost.ShardSamWriter(args.sam, rank)
+        out = shard
+    else:
+        out = open(args.sam, "w") if args.sam else sys.stdout
     # --remove-chrname/--add-chrname rewrite @SQ + RNAME (hisat2.cpp:3750)
     disp_names = list(index.meta.ref_names)
     if getattr(args, "remove_chrname", False):
@@ -93,7 +107,8 @@ def run_align(args) -> int:
                       for n in disp_names]
     writer = SamWriter(out, disp_names, index.meta.ref_lens,
                        cmdline=" ".join(sys.argv[1:]),
-                       no_head=args.no_hd, no_unal=args.no_unal,
+                       no_head=args.no_hd or shard is not None,
+                       no_unal=args.no_unal,
                        rg_id=args.rg_id, rg=args.rg,
                        annotator=(aligner.annotate_snps
                                   if variants is not None else None),
@@ -266,13 +281,20 @@ def run_align(args) -> int:
         for b in unpaired_batches():
             rdids = rdid0 + np.arange(len(b.names), dtype=np.int64)
             rdid0 += len(b.names)
-            handle = aligner.dispatch(b.codes, b.quals, b.lens, rdids)
+            owned = (n_batches % world) == rank
             n_batches += 1
+            if not owned:
+                continue        # block-cyclic read sharding (SURVEY 2.6)
+            handle = aligner.dispatch(b.codes, b.quals, b.lens, rdids)
             if pending is not None:
                 emit(pending)
+                if shard is not None:
+                    shard.end_batch()
             pending = (handle, b)
         if pending is not None:
             emit(pending)
+            if shard is not None:
+                shard.end_batch()
     elif paired_mode:
         policy = PairPolicy(minins=args.minins, maxins=args.maxins,
                             orient=args.orient, no_mixed=args.no_mixed,
@@ -282,6 +304,10 @@ def run_align(args) -> int:
         for b1, b2 in paired_batches():
             rdids = rdid0 + np.arange(len(b1.names), dtype=np.int64)
             rdid0 += len(b1.names)
+            owned = (n_batches % world) == rank
+            if not owned:
+                n_batches += 1
+                continue
             _align_pair_batch(aligner, writer, policy, scoring,
                               args.khits, b1, b2, ref_fn, rdids,
                               sink_un_conc=sink_un_conc,
@@ -289,6 +315,8 @@ def run_align(args) -> int:
             n_bases += int(b1.lens.sum()) + int(b2.lens.sum())
             if met is not None:
                 met.maybe_report(writer, n_bases)
+            if shard is not None:
+                shard.end_batch()
             n_batches += 1
     else:
         print("error: provide -U, -1/-2, or --12", file=sys.stderr)
@@ -301,6 +329,24 @@ def run_align(args) -> int:
 
     if aligner.splice_db is not None and args.novel_splicesite_outfile:
         aligner.splice_db.write_novel(args.novel_splicesite_outfile)
+    if shard is not None:
+        from ..parallel import multihost
+        fields = ("n_reads", "n_unal", "n_uniq", "n_multi", "n_pairs",
+                  "n_conc_uniq", "n_conc_multi", "n_disc", "n_mate_unal",
+                  "n_mate_uniq", "n_mate_multi")
+        shard.finish({k: getattr(writer, k) for k in fields})
+        if rank != 0:
+            return 0
+        import io as _io
+        hdr_sink = _io.StringIO()
+        SamWriter(hdr_sink, disp_names, index.meta.ref_lens,
+                  cmdline=" ".join(sys.argv[1:]), no_head=args.no_hd,
+                  rg_id=args.rg_id, rg=args.rg)
+        total = multihost.merge_shards(args.sam, world,
+                                       header=hdr_sink.getvalue())
+        for k, v in total.items():
+            setattr(writer, k, v)
+        multihost.cleanup_shards(args.sam, world)
     summ = writer.summary()
     if not args.quiet:
         sys.stderr.write(summ)

@@ -79,6 +79,15 @@ def build_parser():
     p.add_argument("--max-seeds", dest="max_seeds", type=int, default=0,
                    help="max seed placements considered "
                         "(default max(5, 2k), hisat2.cpp:3073)")
+    p.add_argument("--n-hosts", dest="n_hosts", type=int, default=1,
+                   help="total hosts in a multi-host run (each host "
+                        "processes batches i with i %% n_hosts == rank "
+                        "and writes a SAM shard; rank 0 merges)")
+    p.add_argument("--host-rank", dest="host_rank", type=int, default=0,
+                   help="this host's rank in [0, n_hosts)")
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address:port "
+                        "(required on multi-host TPU pods)")
     p.add_argument("-u", dest="upto", type=int, default=None,
                    help="align at most this many reads")
     p.add_argument("-s", dest="skip", type=int, default=0,

@@ -97,8 +97,10 @@ def _fragments_from_seqs(seqs):
             joined_len += e - s
     joined = (np.concatenate(joined_parts) if joined_parts
               else np.zeros(0, dtype=np.uint8))
-    return (joined, np.asarray(frag_joined, np.int32),
-            np.asarray(frag_ref, np.int32), np.asarray(frag_off, np.int32),
+    # frag_joined is int64: the GLOBAL joined space of a multi-gigabase
+    # genome exceeds int32 (shard-local tables re-narrow in the builder)
+    return (joined, np.asarray(frag_joined, np.int64),
+            np.asarray(frag_ref, np.int32), np.asarray(frag_off, np.int64),
             tuple(ref_names), tuple(int(x) for x in ref_lens))
 
 
