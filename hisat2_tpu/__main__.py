@@ -27,6 +27,8 @@ def main():
         from .tools.gtf import main_exons as m
     elif cmd == "extract-snps-haplotypes":
         from .tools.variants import main as m
+    elif cmd == "extract-snps-haplotypes-ucsc":
+        from .tools.variants_ucsc import main as m
     elif cmd == "simulate-reads":
         from .tools.simulate import main as m
     elif cmd == "genotype":
