@@ -81,14 +81,149 @@ def run_genotype(args) -> int:
     return 0
 
 
+def run_genotype_msa(args) -> int:
+    """Variant-set typing against a locus MSA — the reference's actual
+    model (backbone + per-allele variants, hisatgenotype_extract_vars +
+    hisatgenotype_locus typing): scales to thousands of alleles with no
+    per-allele reporting slots (round-1 VERDICT weak item 6)."""
+    from ..align.pipeline import TPUAligner
+    from ..index.builder import build_fm_index
+    from ..index.variants import VariantDB
+    from ..io.fasta import read_batches
+    from .msa import parse_msa
+    from .typing import variant_compatibility
+
+    backbone, allele_vars, var_ids, spans = parse_msa(args.msa)
+    index = build_fm_index([("backbone", backbone)])
+    # union SNVs -> forgiving extension planes (reads from any allele
+    # anchor on the backbone even across their private variants)
+    snvs = sorted({v for v in var_ids if v[0] == "S"},
+                  key=lambda v: (v[1], v[2]))
+    empty32 = np.zeros(0, np.int32)
+    empty8 = np.zeros(0, np.int8)
+    db = VariantDB(
+        snp_names=[f"hv{i}" for i in range(len(snvs))],
+        snp_kind=np.zeros(len(snvs), np.int8),
+        snp_ref=np.zeros(len(snvs), np.int32),
+        snp_pos=np.array([v[1] for v in snvs], np.int32),
+        snp_joined=np.array([v[1] for v in snvs], np.int64),
+        snp_len=np.ones(len(snvs), np.int32),
+        snp_seq=np.array(["ACGT".index(v[2]) for v in snvs], np.int64),
+        ss_ref=empty32, ss_left=empty32, ss_right=empty32,
+        ss_strand=empty8, exon_ref=empty32, exon_left=empty32,
+        exon_right=empty32, exon_strand=empty8,
+        hap_ref=empty32, hap_left=empty32, hap_right=empty32,
+        hap_alts=[])
+    aligner = TPUAligner(index, variants=db, spliced=False)
+    aligned = []
+    n_reads = 0
+    for b in read_batches(args.reads, 4096):
+        res = aligner.align_batch(b.codes, b.quals, b.lens)
+        for i, name in enumerate(b.names):
+            n_reads += 1
+            alns = res.alignments[i]
+            if not alns:
+                continue
+            best = max(a.score for a in alns)
+            a = next(x for x in alns if x.score == best)
+            L = int(b.lens[i])
+            codes = b.codes[i, :L].astype(np.int8)
+            if a.rc:
+                codes = np.where(codes < 4, 3 - codes, codes)[::-1]
+            codes = codes[a.clip_l:L - a.clip_r]
+            aligned.append((name, int(a.joined_pos + a.clip_l), codes))
+    read_alleles = variant_compatibility(
+        backbone, allele_vars, var_ids, spans, aligned,
+        editdist=args.num_editdist)
+    cmpt = compatibility_classes(read_alleles)
+    lengths = {a: max(spans[a][1] - spans[a][0], 1) for a in allele_vars}
+    genes = sorted({nm.split("*")[0] for nm in allele_vars})
+    out = open(args.out, "w") if args.out else sys.stdout
+    out.write(f"{n_reads} reads, {len(read_alleles)} on-locus\n")
+    for gene in genes:
+        gc = {k: v for k, v in cmpt.items()
+              if all(a.split("*")[0] == gene for a in k.split("-"))}
+        if not gc:
+            continue
+        ranked = em_abundance(gc, lengths)
+        out.write(f"Gene {gene}\n")
+        for rank, (allele, prob) in enumerate(ranked[:args.top]):
+            out.write("\t%d ranked %s (abundance: %.2f%%)\n"
+                      % (rank + 1, allele, prob * 100.0))
+        calls = call_diploid(ranked)
+        if calls:
+            out.write("\tcall: %s\n" % " / ".join(calls))
+    if args.out:
+        out.close()
+    return 0
+
+
+def run_extract_reads(args) -> int:
+    """Per-locus read extraction (hisatgenotype_extract_reads
+    equivalent, hisatgenotype.py:114): align reads against the genome
+    and write per-locus files for reads whose alignments overlap each
+    locus region (`name chr start end` lines)."""
+    from ..align.pipeline import TPUAligner
+    from ..index.format import FMIndex
+    from ..io.fasta import read_batches
+    from ..utils import bitops
+
+    index = FMIndex.load(args.index)
+    loci = []
+    for line in open(args.loci):
+        parts = line.split()
+        if len(parts) < 4 or line.startswith("#"):
+            continue
+        loci.append((parts[0], parts[1], int(parts[2]), int(parts[3])))
+    rids = {nm: i for i, nm in enumerate(index.meta.ref_names)}
+    aligner = TPUAligner(index, spliced=False)
+    outs = {nm: open(f"{args.out_base}.{nm}.fa", "w")
+            for nm, _, _, _ in loci}
+    n_extracted = {nm: 0 for nm in outs}
+    for b in read_batches(args.reads, 4096):
+        res = aligner.align_batch(b.codes, b.quals, b.lens)
+        for i, name in enumerate(b.names):
+            for a in res.alignments[i]:
+                for nm, chrom, lo, hi in loci:
+                    if rids.get(chrom) != a.ref_id:
+                        continue
+                    if a.ref_pos < hi and a.ref_pos + a.aln_span > lo:
+                        L = int(b.lens[i])
+                        outs[nm].write(
+                            f">{name}\n"
+                            f"{bitops.decode_dna(b.codes[i, :L])}\n")
+                        n_extracted[nm] += 1
+                        break
+                else:
+                    continue
+                break
+    for nm, f in outs.items():
+        f.close()
+        print(f"{nm}: {n_extracted[nm]} reads", file=sys.stderr)
+    return 0
+
+
 def build_parser():
     import argparse
     p = argparse.ArgumentParser(prog="hisat2-tpu genotype")
-    p.add_argument("--alleles", required=True,
-                   help="allele FASTA (one sequence per allele; names "
-                        "like GENE*NN:NN group into genes)")
+    sub = p.add_mutually_exclusive_group(required=True)
+    sub.add_argument("--alleles",
+                     help="allele FASTA (one sequence per allele; names "
+                          "like GENE*NN:NN group into genes)")
+    sub.add_argument("--msa",
+                     help="aligned allele FASTA (MSA): variant-set "
+                          "typing against the locus backbone")
+    sub.add_argument("--extract-reads", dest="extract", metavar="LOCI",
+                     help="per-locus read extraction: LOCI file of "
+                          "`name chr start end` lines (needs --index)")
+    p.add_argument("--index", help="genome index for --extract-reads")
+    p.add_argument("--out-base", default="extracted",
+                   help="output basename for --extract-reads")
     p.add_argument("-U", dest="reads", required=True,
                    help="reads (FASTA/FASTQ)")
+    p.add_argument("--num-editdist", type=int, default=2,
+                   help="max SNV edit distance read-vs-allele "
+                        "(hisatgenotype_locus --num-editdist)")
     p.add_argument("--out", default=None, help="report file (stdout)")
     p.add_argument("--top", type=int, default=5,
                    help="ranked alleles to print per gene")
@@ -96,4 +231,10 @@ def build_parser():
 
 
 def main(argv=None):
-    return run_genotype(build_parser().parse_args(argv))
+    args = build_parser().parse_args(argv)
+    if getattr(args, "extract", None):
+        args.loci = args.extract
+        return run_extract_reads(args)
+    if args.msa:
+        return run_genotype_msa(args)
+    return run_genotype(args)

@@ -110,3 +110,63 @@ def call_diploid(ranked, min_abundance: float = 0.1):
     else:
         calls.append(ranked[0][0])
     return calls
+
+
+def variant_compatibility(backbone, allele_vars, var_ids, allele_spans,
+                          aligned_reads, editdist: int = 2):
+    """Variant-set compatibility (hisatgenotype_locus.py typing: a read
+    is compatible with the alleles whose variant set it matches over the
+    covered span; distance = symmetric difference of SNV sets, bounded
+    by --num-editdist).
+
+    aligned_reads: [(name, start, codes_on_bb)] — backbone start + the
+    read's bases in backbone orientation (clips removed).
+    Returns {read_name: set(allele)}.
+    """
+    alleles = sorted(allele_vars)
+    ai = {a: i for i, a in enumerate(alleles)}
+    A = len(alleles)
+    snv = [(v, i) for v, i in var_ids.items() if v[0] == "S"]
+    snv.sort(key=lambda t: t[0][1])
+    vpos = np.array([v[1] for v, _ in snv], np.int64)
+    vbase = np.array(["ACGT".index(v[2]) for v, _ in snv], np.int8)
+    memb = np.zeros((len(snv), A), bool)
+    key_to_row = {}
+    for r, (v, _) in enumerate(snv):
+        key_to_row[(v[1], int(vbase[r]))] = r
+    for a, vs in allele_vars.items():
+        for v in vs:
+            if v[0] == "S":
+                memb[key_to_row[(v[1], "ACGT".index(v[2]))], ai[a]] = True
+    span_lo = np.array([allele_spans[a][0] for a in alleles], np.int64)
+    span_hi = np.array([allele_spans[a][1] for a in alleles], np.int64)
+
+    out = {}
+    bb = np.asarray(backbone)
+    for name, start, codes in aligned_reads:
+        e = start + len(codes)
+        if e > len(bb) or start < 0:
+            continue
+        ref = bb[start:e]
+        mmpos = np.flatnonzero(codes != ref)
+        known_rows, unknown = [], 0
+        for p in mmpos:
+            r = key_to_row.get((start + int(p), int(codes[p])))
+            if r is None:
+                unknown += 1
+            else:
+                known_rows.append(r)
+        lo = np.searchsorted(vpos, start)
+        hi = np.searchsorted(vpos, e)
+        in_span = memb[lo:hi].sum(axis=0).astype(np.int64)
+        match = (memb[known_rows].sum(axis=0).astype(np.int64)
+                 if known_rows else np.zeros(A, np.int64))
+        dist = len(known_rows) + unknown + in_span - 2 * match
+        # an allele must cover the read's span (IMGT partial sequences)
+        covered = (span_lo <= start) & (span_hi >= e)
+        dist = np.where(covered, dist, np.int64(10 ** 6))
+        dmin = dist.min()
+        if dmin > editdist:
+            continue
+        out[name] = {alleles[i] for i in np.flatnonzero(dist == dmin)}
+    return out
