@@ -237,7 +237,11 @@ class TPUAligner:
             # mismatch-skip restart also drops - hence 7 recorded chars),
             # with +8 candidate slots for their diagonals
             self.min_hit_len = 7
-            self.max_cands = max(k + 1, self.msize + 1, 6) + 8
+            # core slots get the full plane/sweep treatment; extra
+            # multimap slots (up to msize+1 total) get ungapped
+            # extension only (see _align_device)
+            self.core_cands = max(k + 1, 6) + 8
+            self.max_cands = max(self.core_cands, self.msize + 1)
             # short flanks resolve like the reference's LOCAL search: the
             # segment may occur many times genome-wide yet uniquely within
             # the 57kb window - resolve up to 16 rows and keep only those
@@ -249,7 +253,8 @@ class TPUAligner:
             # reference's local-search equivalent), so the candidate pool
             # stays small
             self.min_hit_len = min_hit_len2
-            self.max_cands = max(k + 1, self.msize + 1, 6)
+            self.core_cands = max(k + 1, 6)
+            self.max_cands = max(self.core_cands, self.msize + 1)
             self.short_rows = 5
         # up to 6 rows resolve per hit in spliced mode (the reference
         # resolves short-segment ranges only when nelt <= 5,
@@ -679,6 +684,17 @@ class TPUAligner:
         # sweep-only candidates (short or wide-while-stopped) never become
         # ungapped alignments themselves
         cvalid_long = cvalid & jnp.any(same & align_slot[:, None, :], axis=2)
+        # split the compacted pool: the first core_cands slots get the
+        # full plane/junction-sweep treatment; the remaining slots exist
+        # only so >k equal-score multimap placements all enter the RNG
+        # report pool (selectByScore semantics) — they need ungapped
+        # extension scores, nothing else
+        CC = min(self.core_cands, cstart.shape[1])
+        xstart, xvalid = cstart[:, CC:], cvalid_long[:, CC:]
+        xab, xpost = cab[:, CC:], cpost[:, CC:]
+        cstart, cvalid = cstart[:, :CC], cvalid[:, :CC]
+        cab, cpost = cab[:, :CC], cpost[:, :CC]
+        cvalid_long = cvalid_long[:, :CC]
         # ONE diagonal ref-char gather serves the penalty planes, the
         # junction sweep windows, and the ungapped extension: the sweep
         # window [start - margin, start + L + margin) is a superset of the
@@ -714,6 +730,23 @@ class TPUAligner:
         # per-lane search metadata for the paired give-up replay (the
         # interleaved nextBWT/align simulation in align/replay.py):
         # round log, round count, align() verdict ingredients
+        if xstart.shape[1]:
+            planes_x = extend_ops.pen_planes(
+                d.ref_words, meta.n, ar, aq, al,
+                jnp.where(xvalid, xstart, -1), params["mm_pen"],
+                self.scoring.n_pen,
+                snv_delta1=(params["snv1"] if self.graph is not None
+                            else None),
+                snv_delta2=(params["snv2"] if self.graph is not None
+                            else None))
+            ext_x = extend_ops.extend_grouped(
+                d.ref_words, meta.n, ar, aq, al,
+                jnp.where(xvalid, xstart, -1), params["mm_pen"],
+                params["clip_pen"], self.scoring.n_pen,
+                allow_softclip=not self.scoring.no_softclip,
+                planes=planes_x, uniform_len=uniform)
+        else:
+            ext_x = None
         wpos = jnp.where(hv & (w > 0), w, jnp.int32(2 ** 30))
         lane_minw = wpos.min(axis=1)                            # [2B]
         lane_alignable = jnp.any(align_slot, axis=1)
@@ -867,6 +900,18 @@ class TPUAligner:
                "valid": (cvalid_long & ext.ok).astype(jnp.int32)}
         if self.has_indels:
             uni["event"] = jnp.full((2 * B, Cb), -1, jnp.int32)
+        if ext_x is not None:
+            Xq = xstart.shape[1]
+            zx = jnp.zeros((2 * B, Xq), jnp.int32)
+            blocks.append(dict(
+                score=jnp.where(xvalid & ext_x.ok, ext_x.score,
+                                -splice_ops._BIG),
+                d1=xstart, d2=xstart, x=zx, kind=zx, spldir=zx,
+                known=zx, ab=xab, post=xpost.astype(jnp.int32),
+                selfgap=zx,
+                n_mm=ext_x.n_mm, n_n=ext_x.n_n,
+                clip_l=ext_x.clip_l, clip_r=ext_x.clip_r,
+                event=jnp.full((2 * B, Xq), -1, jnp.int32)))
         for b in blocks:
             W2 = b["score"].shape[1]
             zw = jnp.zeros((2 * B, W2), jnp.int32)
@@ -884,8 +929,10 @@ class TPUAligner:
                     [uni["post"], b["post"].astype(jnp.int32)], 1),
                 "selfgap": jnp.concatenate([uni["selfgap"],
                                             b["selfgap"]], 1),
-                "n_mm": jnp.concatenate([uni["n_mm"], zw], 1),
-                "n_n": jnp.concatenate([uni["n_n"], zw], 1),
+                "n_mm": jnp.concatenate(
+                    [uni["n_mm"], b.get("n_mm", zw)], 1),
+                "n_n": jnp.concatenate(
+                    [uni["n_n"], b.get("n_n", zw)], 1),
                 "clip_l": jnp.concatenate(
                     [uni["clip_l"], b.get("clip_l", zw)], 1),
                 "clip_r": jnp.concatenate(
