@@ -300,7 +300,12 @@ def run_align(args) -> int:
                             orient=args.orient, no_mixed=args.no_mixed,
                             no_discordant=args.no_discordant,
                             spliced=not args.no_spliced_alignment,
-                            max_intron=args.max_intronlen)
+                            max_intron=args.max_intronlen,
+                            dovetail_ok=getattr(args, "dovetail", False),
+                            contain_ok=not getattr(args, "no_contain",
+                                                   False),
+                            overlap_ok=not getattr(args, "no_overlap",
+                                                   False))
         for b1, b2 in paired_batches():
             rdids = rdid0 + np.arange(len(b1.names), dtype=np.int64)
             rdid0 += len(b1.names)
@@ -547,11 +552,11 @@ def _align_pair_batch(aligner, writer, policy, scoring, k, b1, b2, ref_fn,
                 np.array([minsc]))[0])
             nh = len(pairs)
             fixed = []
-            for j, (a1, a2, tl) in enumerate(pairs):
+            for j, (a1, a2, tl, tl2) in enumerate(pairs):
                 fixed.append((
                     dataclasses.replace(a1, nh=nh, mapq=mq, secondary=j > 0),
                     dataclasses.replace(a2, nh=nh, mapq=mq, secondary=j > 0),
-                    tl))
+                    tl, tl2))
             writer.write_pair(name, b1.codes[i, :l1], b1.quals[i, :l1],
                               b2.codes[i, :l2], b2.quals[i, :l2],
                               fixed, alns1, alns2, ref_fn)
@@ -566,7 +571,7 @@ def _align_pair_batch(aligner, writer, policy, scoring, k, b1, b2, ref_fn,
             tl = frag if p1 <= p2 else -frag
             writer.write_pair(name, b1.codes[i, :l1], b1.quals[i, :l1],
                               b2.codes[i, :l2], b2.quals[i, :l2],
-                              [(a1, a2, tl)], alns1, alns2, ref_fn,
+                              [(a1, a2, tl, -tl)], alns1, alns2, ref_fn,
                               discordant=True)
             continue
         if policy.no_mixed:

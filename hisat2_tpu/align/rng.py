@@ -205,14 +205,14 @@ def finalize_pairs(pairs, seed, k: int, ref_codes):
     here by (mate1 orientation/suffix, mate2 suffix)."""
     if not pairs:
         return pairs
-    sums = [a1.score + a2.score for a1, a2, _ in pairs]
+    sums = [a1.score + a2.score for a1, a2, *_ in pairs]
     best = max(sums)
     top = [p for p, sm in zip(pairs, sums) if sm == best]
     if len(top) > 1:
         import functools
 
         def cmp(i, j):
-            a1, a2, _ = top[i]
+            a1, a2, *_ = top[i]
             b1, b2, _ = top[j]
             if a1.rc != b1.rc:
                 return -1 if not a1.rc else 1

@@ -130,6 +130,12 @@ def build_parser():
     p.add_argument("--rf", dest="orient", action="store_const", const="rf")
     p.add_argument("--ff", dest="orient", action="store_const", const="ff")
     p.add_argument("--no-mixed", action="store_true")
+    p.add_argument("--dovetail", action="store_true",
+                   help="concordant when mates extend past each other")
+    p.add_argument("--no-contain", action="store_true",
+                   help="not concordant when one mate contains the other")
+    p.add_argument("--no-overlap", action="store_true",
+                   help="not concordant when mates overlap")
     p.add_argument("--no-discordant", action="store_true")
     p.add_argument("--no-spliced-alignment", action="store_true")
     p.add_argument("--summary-file", default=None)

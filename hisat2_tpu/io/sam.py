@@ -534,7 +534,8 @@ class SamWriter:
                    pairs, alns1, alns2, ref_codes_fn, discordant=False):
         """All SAM lines for one read pair.
 
-        pairs: list of (a1, a2, tlen1) concordant (or discordant) combos;
+        pairs: list of (a1, a2, tlen1, tlen2) concordant (or
+        discordant) combos;
         if empty, falls back to mixed/unpaired records from alns1/alns2."""
         self.n_pairs += 1
         if pairs:
@@ -549,7 +550,7 @@ class SamWriter:
                     self.n_conc_multi += 1
                 yt = "CP"
                 proper = FLAG_PROPER
-            for (a1, a2, tlen1) in pairs:
+            for (a1, a2, tlen1, tlen2) in pairs:
                 f1 = (FLAG_PAIRED | proper | FLAG_FIRST
                       | (FLAG_MATE_REVERSE if a2.rc else 0))
                 f2 = (FLAG_PAIRED | proper | FLAG_SECOND
@@ -564,7 +565,7 @@ class SamWriter:
                     mate_score=a2.score))
                 self.out.write(self._line(
                     name, codes2, quals2, a2, ref_codes_fn, flag_extra=f2,
-                    rnext=rn2, pnext=a1.ref_pos + 1, tlen=-tlen1, yt=yt,
+                    rnext=rn2, pnext=a1.ref_pos + 1, tlen=tlen2, yt=yt,
                     mate_score=a1.score))
             return
         # mixed mode: report mates independently (YT:Z:UP); when exactly one
