@@ -1,0 +1,20 @@
+#!/bin/sh
+# grch37_tran: download + build recipe (TPU-native counterpart of
+# /root/reference/scripts/make_grch37_tran.sh — same data sources, our builder).
+# Requires network access; run in an empty working directory.
+set -e
+fetch() {
+    f=$(basename "$1")
+    [ -f "$f" ] || wget -O "$f" "$1" || curl -o "$f" "$1"
+}
+
+fetch "ftp://ftp.ensembl.org/pub/release-75/fasta/homo_sapiens/dna/Homo_sapiens.GRCh37.75.dna.primary_assembly.fa.gz"
+fetch "ftp://ftp.ensembl.org/pub/release-75/gtf/homo_sapiens/Homo_sapiens.GRCh37.75.gtf.gz"
+
+rm -f genome.fa
+gzip -cd Homo_sapiens.GRCh37.75.dna.primary_assembly.fa.gz >> genome.fa
+gzip -cd Homo_sapiens.GRCh37.75.gtf.gz > genome.gtf
+python -m hisat2_tpu extract-splice-sites genome.gtf > genome.ss
+python -m hisat2_tpu extract-exons genome.gtf > genome.exon
+python -m hisat2_tpu build genome.fa genome_tran --ss genome.ss --exon genome.exon
+echo "genome_tran index built"

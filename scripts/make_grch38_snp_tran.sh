@@ -21,7 +21,7 @@ set -e
     && gunzip snp144Common.txt.gz; }
 python -m hisat2_tpu extract-splice-sites genome.gtf > genome.ss
 python -m hisat2_tpu extract-exons genome.gtf > genome.exon
-python -m hisat2_tpu extract-snps-haplotypes --format ucsc genome.fa \
+python -m hisat2_tpu extract-snps-haplotypes-ucsc genome.fa \
     snp144Common.txt genome
 python -m hisat2_tpu build genome.fa genome_snp_tran \
     --snp genome.snp --haplotype genome.haplotype \
