@@ -116,11 +116,13 @@ def run_align(args) -> int:
                        omit_sec_seq=getattr(args, "omit_sec_seq", False))
     ref_fn = lambda pos, span: aligner.ref_codes[pos:pos + span]  # noqa: E731
     met = None
-    if getattr(args, "met_file", None) or getattr(args, "met_stderr", False):
+    if getattr(args, "met_file", None) or getattr(args, "met_stderr", False) \
+            or getattr(args, "met_read", False):
         from .metrics import MetricsSink
         met = MetricsSink(getattr(args, "met_file", None),
                           getattr(args, "met_stderr", False),
-                          getattr(args, "met", 1.0))
+                          getattr(args, "met", 1.0),
+                          per_read=getattr(args, "met_read", False))
     n_bases = 0
 
     fmt = ("fastq" if args.fastq else "fasta" if args.fasta else

@@ -46,10 +46,12 @@ _COLUMNS = (
 
 class MetricsSink:
     def __init__(self, path: str = None, to_stderr: bool = False,
-                 interval: float = 1.0):
+                 interval: float = 1.0, per_read: bool = False):
         self.f = open(path, "w") if path else None
         self.to_stderr = to_stderr
         self.interval = max(float(interval), 0.0)
+        self.per_read = per_read   # --met-read: one tuple per read
+        self._reads_reported = 0
         self.last = 0.0
         self._write("\t".join(_COLUMNS) + "\t\n")
 
@@ -62,9 +64,22 @@ class MetricsSink:
 
     def maybe_report(self, writer, n_bases: int, force: bool = False):
         now = time.time()
+        if self.per_read:
+            # one snapshot line per finished read (metricsPerRead,
+            # hisat2.cpp:3222; counters are cumulative like the
+            # reference's)
+            total = (writer.n_pairs * 2 if writer.n_pairs
+                     else writer.n_reads)
+            while self._reads_reported < total:
+                self._reads_reported += 1
+                self._snapshot(writer, n_bases, now)
+            return
         if not force and now - self.last < self.interval:
             return
         self.last = now
+        self._snapshot(writer, n_bases, now)
+
+    def _snapshot(self, writer, n_bases: int, now: float):
         v = {c: 0 for c in _COLUMNS}
         v["Time"] = int(now)
         paired = writer.n_pairs > 0

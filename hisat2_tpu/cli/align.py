@@ -149,6 +149,10 @@ def build_parser():
                    help="metrics snapshot interval in seconds")
     p.add_argument("--met-file", dest="met_file", default=None)
     p.add_argument("--met-stderr", dest="met_stderr", action="store_true")
+    p.add_argument("--met-read", "--metrics-per-read", dest="met_read",
+                   action="store_true",
+                   help="emit a metrics tuple for every read "
+                        "(ARG_METRIC_PER_READ, hisat2.cpp:1288)")
     p.add_argument("--version", action="version",
                    version="hisat2-tpu 0.1.0 (hisat2 2.1.0 compatible)")
     # presets are accepted like the reference (they expand to Bowtie 2
