@@ -60,7 +60,7 @@ class PartialHits(NamedTuple):
     #   width-1 hits — max_size=1, hi_aligner.h:4341)
 
 
-def partial_search(blocked, fchr, zrow: int, rows: int,
+def _partial_search_ref(blocked, fchr, zrow: int, rows: int,
                    reads, lens, max_hits: int = 8,
                    min_hit_len: int = 16, min_k: int = 16) -> PartialHits:
     """reads: int32 [B, L] codes (0-4), left-aligned; lens: int32 [B]."""
@@ -179,3 +179,136 @@ def partial_search(blocked, fchr, zrow: int, rows: int,
     sh = jnp.arange(4, dtype=jnp.int32)[None, None, :] * 8
     rwords = (rl4 << sh).sum(axis=2)
     return PartialHits(rwords, rn, ht, hb, hl, hh, nh, ha, hu, hp, stopped)
+
+
+def partial_search(blocked, fchr, zrow: int, rows: int,
+                   reads, lens, max_hits: int = 8,
+                   min_hit_len: int = 16, min_k: int = 16) -> PartialHits:
+    """Event-stream formulation of the wavefront search (same result as
+    _partial_search_ref, bit-for-bit — see test_search_event_stream).
+
+    The scan carries only (top, bot, rb, arm, stopped) and emits a
+    3-plane per-step event stream (type, top, bot); hit slots, the round
+    log, na counters and post/uniq flags all derive from the stream in
+    ONE vectorized pass afterwards.  This removes the per-step [B, H]
+    one-hot hit writes and [B, R] round-log updates that dominated the
+    scan's memory traffic (the gather+rank math is the true floor)."""
+    B, L = reads.shape
+    H = max_hits
+    lens = lens.astype(jnp.int32)
+    a_stop_len = np.int32(min_k + 12)
+    a_cancel_len = np.int32(min_k + 8)
+
+    def step(state, s):
+        top, bot, rb, arm, stopped = state
+        pos = lens - 1 - s
+        active = pos >= 0
+        c = jnp.take_along_axis(
+            reads, jnp.maximum(pos, 0)[:, None], axis=1)[:, 0]
+        cc = jnp.minimum(c, 3)
+        valid_c = (c < 4) & active
+        t2, b2 = rk.lf_range(blocked, fchr, zrow, top, bot, cc)
+        ok = valid_c & (b2 > t2)
+        seg = rb - pos
+        width = b2 - t2
+        arm = arm & ~(ok & (seg - 1 >= a_cancel_len) & (width >= 4))
+        astop = ok & arm & active & (seg >= a_stop_len) & (width == 1)
+        fail = active & ~ok
+        # event planes: 1 = mismatch close [pos+1, rb) with the PRE-LF
+        # range; 2 = anchor stop [pos, rb) with the POST-LF range
+        ev = jnp.where(astop, jnp.int32(2),
+                       jnp.where(fail, jnp.int32(1), jnp.int32(0)))
+        ev_top = jnp.where(astop, t2, top)
+        ev_bot = jnp.where(astop, b2, bot)
+        top_n = jnp.where(ok, t2, np.int32(0))
+        bot_n = jnp.where(ok, b2, np.int32(rows))
+        rb_n = jnp.where(ok, rb, pos)
+        top_n = jnp.where(astop, np.int32(0), top_n)
+        bot_n = jnp.where(astop, np.int32(rows), bot_n)
+        rb_n = jnp.where(astop, pos, rb_n)
+        arm = jnp.where(fail | astop, True, arm)
+        top = jnp.where(active, top_n, top)
+        bot = jnp.where(active, bot_n, bot)
+        rb = jnp.where(active, rb_n, rb)
+        stopped_out = stopped          # state BEFORE this step's astop
+        stopped = stopped | astop
+        return (top, bot, rb, arm, stopped), (ev, ev_top, ev_bot,
+                                              stopped_out)
+
+    z = jnp.zeros((B,), jnp.int32)
+    init = (z, jnp.full((B,), rows, jnp.int32), lens.astype(jnp.int32),
+            jnp.ones((B,), bool), jnp.zeros((B,), bool))
+    (f_top, f_bot, f_rb, _, f_stopped), (ev, ev_top, ev_bot, ev_stop) = \
+        jax.lax.scan(step, init, jnp.arange(L, dtype=jnp.int32))
+    ev = ev.T                                   # [B, L]
+    ev_top, ev_bot, ev_stop = ev_top.T, ev_bot.T, ev_stop.T
+
+    srange = jnp.arange(L, dtype=jnp.int32)[None, :]
+    pos = lens[:, None] - 1 - srange            # [B, L] (monotone dec.)
+    is_ev = ev > 0
+    # rb at each event = pos of the previous event (init: len).  pos is
+    # strictly decreasing in s, so a shifted running max over event
+    # positions gives the previous event's pos.
+    evpos = jnp.where(is_ev, pos, np.int32(2 ** 30))
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), 2 ** 30, jnp.int32),
+         jax.lax.cummin(evpos, axis=1)[:, :-1]], axis=1)
+    rb_ev = jnp.where(prev < 2 ** 29, prev, lens[:, None])
+    seg = jnp.where(ev == 2, rb_ev - pos, rb_ev - pos - 1)
+    # terminal segment: [0, rb_final) with the final range, uniq=True
+    term_seg = f_rb                              # lo == 0 after a full scan
+    # hits = qualifying events (any astop; mismatch closes >= min_hit_len)
+    rec = (ev == 2) | ((ev == 1) & (seg >= min_hit_len))
+    # na (non-unique rounds before): mismatch closes with seg >= 1
+    na_inc = ((ev == 1) & (seg >= 1)).astype(jnp.int32)
+    na_before = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32),
+         jnp.cumsum(na_inc, axis=1)[:, :-1]], axis=1)
+    # gather the first H recorded events per lane, in order
+    order = jnp.argsort(~rec, axis=1, stable=True)[:, :H]   # [B, H]
+    take = lambda a: jnp.take_along_axis(a, order, axis=1)  # noqa: E731
+    v = jnp.take_along_axis(rec, order, axis=1)
+    nrec = rec.sum(axis=1)
+    ht = jnp.where(v, take(ev_top), 0)
+    hb = jnp.where(v, take(ev_bot), 0)
+    hl = jnp.where(v, take(pos) + (take(ev) == 1), 0)
+    hh = jnp.where(v, take(rb_ev), 0)
+    ha = jnp.where(v, take(na_before), 0)
+    hu = v & (take(ev) == 2)
+    hp = v & take(ev_stop)
+    # append the terminal hit at slot nrec (if it qualifies and fits)
+    term_ok = term_seg >= min_hit_len
+    tslot = jnp.minimum(nrec, H - 1)[:, None]
+    tsel = (jnp.arange(H, dtype=jnp.int32)[None, :] == tslot) \
+        & term_ok[:, None] & (nrec < H)[:, None]
+    ht = jnp.where(tsel, f_top[:, None], ht)
+    hb = jnp.where(tsel, f_bot[:, None], hb)
+    hl = jnp.where(tsel, 0, hl)
+    hh = jnp.where(tsel, f_rb[:, None], hh)
+    na_total = na_inc.sum(axis=1)
+    ha = jnp.where(tsel, na_total[:, None], ha)
+    hu = jnp.where(tsel, True, hu)
+    hp = jnp.where(tsel, f_stopped[:, None], hp)
+    nh = jnp.minimum(nrec + term_ok.astype(jnp.int32), H)
+    # round log: EVERY event before the lane stopped, in order, plus the
+    # terminal round; val = min(seg, 126)*2 + uniq
+    round_ev = is_ev & ~ev_stop
+    val = jnp.minimum(seg, 126) * 2 + (ev == 2)
+    R = L // 2 + 2
+    order_r = jnp.argsort(~round_ev, axis=1, stable=True)[:, :R]
+    vr = jnp.take_along_axis(round_ev, order_r, axis=1)
+    rl = jnp.where(vr, jnp.take_along_axis(val, order_r, axis=1), 0)
+    nround = round_ev.sum(axis=1)
+    term_round = (term_seg > 0) & ~f_stopped
+    trslot = jnp.minimum(nround, R - 1)[:, None]
+    trsel = (jnp.arange(R, dtype=jnp.int32)[None, :] == trslot) \
+        & term_round[:, None] & (nround < R)[:, None]
+    rl = jnp.where(trsel, jnp.minimum(term_seg, 126)[:, None] * 2 + 1, rl)
+    rn = jnp.minimum(nround + term_round.astype(jnp.int32), R)
+    RW = (R + 3) // 4
+    pad = jnp.zeros((B, RW * 4 - R), jnp.int32)
+    rl4 = jnp.concatenate([rl, pad], axis=1).reshape(B, RW, 4)
+    sh = jnp.arange(4, dtype=jnp.int32)[None, None, :] * 8
+    rwords = (rl4 << sh).sum(axis=2)
+    return PartialHits(rwords, rn, ht, hb, hl, hh, nh, ha, hu, hp,
+                       f_stopped)

@@ -89,3 +89,40 @@ def test_joined_to_ref(multi_index):
         fj, fr, fo, jnp.asarray([end - 5], dtype=jnp.int32),
         jnp.asarray([10], dtype=jnp.int32))
     assert not bool(np.asarray(ok2)[0])
+
+
+def test_search_event_stream_matches_reference_impl(small_index):
+    """The event-stream partial_search must reproduce the original
+    scan-state implementation bit-for-bit on randomized reads."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hisat2_tpu.ops import search as S
+
+    idx, seq = small_index
+    rng = np.random.default_rng(123)
+    B, L = 64, 100
+    reads = np.empty((B, L), np.int32)
+    lens = np.empty(B, np.int32)
+    for i in range(B):
+        ln = int(rng.integers(30, L + 1)) if i % 3 else L
+        st = int(rng.integers(0, len(seq) - ln))
+        r = seq[st:st + ln].astype(np.int32)
+        # mutations + Ns + random tails force restarts / segmentation
+        for _ in range(int(rng.integers(0, 6))):
+            p = int(rng.integers(0, ln))
+            r[p] = rng.integers(0, 5)
+        if i % 5 == 0:
+            r = rng.integers(0, 4, ln).astype(np.int32)
+        reads[i, :ln] = r
+        reads[i, ln:] = 0
+        lens[i] = ln
+    d = idx.to_device()
+    args = (d.blocked, d.fchr, idx.meta.zrow, idx.meta.rows,
+            jnp.asarray(reads), jnp.asarray(lens), 6, 16, 8)
+    a = S._partial_search_ref(*args)
+    b = S.partial_search(*args)
+    for f in a._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+            err_msg=f)
