@@ -35,7 +35,7 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main():
+def main(config: int = 1):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_hisat2_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -46,6 +46,8 @@ def main():
     from hisat2_tpu.io.fasta import read_batches
     from hisat2_tpu.io.sam import SamWriter
 
+    if config != 1:
+        return bench_config(config)
     os.makedirs(CACHE, exist_ok=True)
     idx_path = os.path.join(CACHE, "22lin.npz")
     if not os.path.exists(idx_path):
@@ -112,5 +114,97 @@ def main():
     }))
 
 
+def bench_config(config: int):
+    """Additional BASELINE.md measurement configs (recorded in
+    BENCH_EXTRA.md; the driver's JSON line stays config 1):
+      2: synthetic 40 Mbp linear genome, 100 bp single-end DNA
+      3: example chr22 slice + SNP graph index, simulated paired DNA
+      4: chr22 slice + splice sites (tran-style index), spliced RNA
+    """
+    import jax
+    import numpy as np
+
+    from hisat2_tpu.align.pipeline import TPUAligner
+    from hisat2_tpu.index.builder import build_fm_index
+    from hisat2_tpu.index.variants import attach_variants
+    from hisat2_tpu.io.fasta import iter_fasta
+
+    os.makedirs(CACHE, exist_ok=True)
+    rng = np.random.default_rng(7)
+    B = 8192
+    if config == 2:
+        g = rng.integers(0, 4, 40_000_000).astype(np.uint8)
+        index = build_fm_index([("c2", g)])
+        aligner = TPUAligner(index)
+        src = [g]
+        name = "synthetic40M_linear_dna"
+        paired = spliced = False
+    elif config == 3:
+        seqs = list(iter_fasta(EXAMPLE_FA))
+        index = build_fm_index(seqs)
+        attach_variants(
+            index,
+            snp_file="/root/reference/example/reference/22_20-21M.snp")
+        aligner = TPUAligner(index, variants=index._variants,
+                             lane_meta=True, k=10)
+        src = [s for _, s in seqs]
+        name = "chr22slice_snpgraph_paired_dna"
+        paired, spliced = True, False
+    elif config == 4:
+        seqs = list(iter_fasta(EXAMPLE_FA))
+        index = build_fm_index(seqs)
+        aligner = TPUAligner(index, spliced=True)
+        src = [s for _, s in seqs]
+        name = "chr22slice_spliced_rna"
+        paired, spliced = False, True
+    else:
+        raise SystemExit(f"unknown config {config}")
+    L = 100
+    g = src[0]
+    starts = rng.integers(0, len(g) - 2 * L - 600, B)
+    codes = np.stack([g[s:s + L] for s in starts]).astype(np.int64)
+    codes = np.where(codes > 3, 0, codes)
+    if spliced:
+        # a third of the reads cross a planted 200 bp junction mid-read
+        jr = np.arange(B) % 3 == 0
+        for i in np.flatnonzero(jr):
+            s0 = int(starts[i])
+            codes[i, 50:] = np.minimum(g[s0 + 250:s0 + 300], 3)
+    quals = np.full((B, L), 40, np.int64)
+    lens = np.full(B, L, np.int64)
+    if paired:
+        codes2 = np.stack([g[s + 150:s + 250] for s in starts])
+        codes2 = np.where(codes2 > 3, 0, codes2)[:, ::-1]
+        codes2 = np.where(codes2 < 4, 3 - codes2, codes2).astype(np.int64)
+    log(f"[bench:{config}] {name}: warming up ...")
+
+    def run_once():
+        if paired:
+            from hisat2_tpu.align.paired import PairPolicy
+            res1 = aligner.align_batch(codes, quals, lens)
+            res2 = aligner.align_batch(codes2, quals, lens)
+            return res1, res2
+        return aligner.align_batch(codes, quals, lens)
+
+    t0 = time.time()
+    run_once()
+    log(f"[bench:{config}] warmup {time.time() - t0:.1f}s")
+    K = 4
+    t0 = time.time()
+    for _ in range(K):
+        run_once()
+    dt = time.time() - t0
+    n = B * K * (2 if paired else 1)
+    value = n / dt
+    print(json.dumps({
+        "metric": f"aligned_reads_per_sec_per_chip_{name}",
+        "value": round(value, 1), "unit": "reads/sec/chip",
+        "vs_baseline": None,
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=1)
+    main(ap.parse_args().config)

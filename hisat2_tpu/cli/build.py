@@ -33,6 +33,10 @@ def main(argv=None):
                    help="max joined bp per sub-index shard "
                         "(default 1.9G, the int32 bound)")
     p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument("--passMemExc", dest="pass_mem_exc",
+                   action="store_true",
+                   help="on out-of-memory, retry with smaller shards "
+                        "(gfm.h:1890-1996 --passMemExc semantics)")
     args = p.parse_args(argv)
 
     from ..index.builder import build_fm_index
@@ -45,9 +49,26 @@ def main(argv=None):
     if not args.quiet:
         tot = sum(len(c) for _, c in seqs)
         print(f"[build] {len(seqs)} sequence(s), {tot} bp", file=sys.stderr)
-    idx = build_fm_index(seqs, off_rate=args.offrate,
-                         ftab_k=args.ftabchars,
-                         shard_bp=args.shard_bp)
+    shard_bp = args.shard_bp
+    while True:
+        try:
+            idx = build_fm_index(seqs, off_rate=args.offrate,
+                                 ftab_k=args.ftabchars,
+                                 shard_bp=shard_bp)
+            break
+        except MemoryError:
+            # --passMemExc: the reference auto-retries its blockwise SA
+            # with a smaller memory budget (gfm.h:1890-1996); here the
+            # budget knob is the shard size
+            if not args.pass_mem_exc:
+                raise
+            from ..index.builder import SHARD_LIMIT_BP
+            shard_bp = (shard_bp or SHARD_LIMIT_BP) // 2
+            if shard_bp < 1_000_000:
+                raise
+            print(f"[build] out of memory; retrying with "
+                  f"{shard_bp} bp shards (--passMemExc)",
+                  file=sys.stderr)
     if args.snp or args.ss or args.exon or args.haplotype:
         from ..index.variants import attach_variants
         idx = attach_variants(idx, snp_file=args.snp,
