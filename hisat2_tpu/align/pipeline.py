@@ -203,7 +203,8 @@ class TPUAligner:
                  no_rc: bool = False, variants=None, spliced: bool = False,
                  max_pairs: int = 4, splice_db=None, ss_slots: int = 2,
                  lane_meta: bool = False, shard_devices=None,
-                 max_seeds: int = 0, all_hits: bool = False):
+                 max_seeds: int = 0, all_hits: bool = False,
+                 _devs=None):
         self.meta = index.meta
         self.scoring = scoring or Scoring()
         self.k = k
@@ -283,7 +284,11 @@ class TPUAligner:
             self.shard_bases = [0]
             self.ref_codes = bitops.unpack_2bit(
                 np.asarray(index.ref_words), index.meta.n)
-        if shard_devices is not None:
+        if _devs is not None:
+            # shared device bundles (the spliced aligner's fast pass
+            # reuses the same HBM-resident index arrays)
+            self.devs = _devs
+        elif shard_devices is not None:
             # one chip per index shard (MPMD): each shard's device pass
             # runs where its arrays live; the batch is broadcast
             self.devs = [sh.to_device(shard_devices[i % len(shard_devices)])
@@ -382,6 +387,19 @@ class TPUAligner:
         self._out_specs = None
         self._device_step = jax.jit(self._align_device_packed,
                                     static_argnames=("uniform",))
+        # two-pass spliced pipeline: a DNA-mode twin handles the fast
+        # common case (ungapped / known-indel); the full junction
+        # machinery runs only on the subset of reads whose best pass-1
+        # score is imperfect (the reference's own structure: hybridSearch
+        # recursion only runs when extension leaves the read unfinished,
+        # spliced_aligner.h:113-214)
+        self._fast = None
+        if spliced:
+            self._fast = TPUAligner(
+                index, scoring=self.scoring, k=k, max_hits=max_hits,
+                cand_per_hit=cand_per_hit, no_fw=no_fw, no_rc=no_rc,
+                variants=variants, spliced=False, lane_meta=lane_meta,
+                max_seeds=max_seeds, all_hits=all_hits, _devs=self.devs)
 
     def _align_device_packed(self, d, params, reads, quals, lens, minsc,
                              rdids=None, ss=None, uniform=False):
@@ -1196,7 +1214,14 @@ class TPUAligner:
                  lens: np.ndarray, rdids: np.ndarray = None):
         """Enqueue one batch on the device (returns immediately; JAX
         dispatch is asynchronous).  Pair with collect() to overlap device
-        compute with host-side processing of the previous batch."""
+        compute with host-side processing of the previous batch.
+
+        Spliced aligners dispatch the fast DNA-mode pass here; collect()
+        then runs the full junction machinery on the subset of reads
+        whose pass-1 best is imperfect."""
+        if self._fast is not None:
+            h1 = self._fast.dispatch(codes, quals, lens, rdids)
+            return ("2pass", h1, codes, quals, lens, rdids)
         if rdids is None:
             rdids = np.arange(codes.shape[0], dtype=np.int64)
         minsc = np.array([self.scoring.min_score(int(l)) for l in lens],
@@ -1224,6 +1249,8 @@ class TPUAligner:
         """Finish a dispatched batch: fetch, run the host phase, and (in
         spliced mode) iterate the splice-table fixed point — re-running the
         device pass when the dispatched one used a stale site table."""
+        if isinstance(handle, tuple) and handle and handle[0] == "2pass":
+            return self._collect_two_pass(handle, paired)
         packed, codes, quals, lens, rdids, minsc, ver = handle
         res = self._host_phase(self._merge_shards(packed), codes, quals,
                                lens, minsc, paired=paired)
@@ -1235,10 +1262,126 @@ class TPUAligner:
             if not added and self.splice_db.n_sites == ver:
                 break
             ver = self.splice_db.n_sites
-            h = self.dispatch(codes, quals, lens, rdids)
+            h = self._dispatch_full(codes, quals, lens, rdids)
             res = self._host_phase(self._merge_shards(h[0]), codes, quals,
                                    lens, minsc, paired=paired)
         return res
+
+    def _dispatch_full(self, codes, quals, lens, rdids=None):
+        """The full (spliced) device pass on exactly these arrays."""
+        saved, self._fast = self._fast, None
+        try:
+            return self.dispatch(codes, quals, lens, rdids)
+        finally:
+            self._fast = saved
+
+    def _collect_two_pass(self, handle, paired: bool) -> BatchResult:
+        _, h1, codes, quals, lens, rdids = handle
+        res1 = self._fast.collect(h1, paired=paired)
+        B = res1.n_reads
+        if rdids is None:
+            rdids = np.arange(B, dtype=np.int64)
+        # pass-1 summary per read: any alignment / best score / spans
+        has = np.zeros(B, bool)
+        best = np.full(B, -2 ** 40, np.int64)
+        r_rd = r_lo = r_hi = None
+        if res1.raw is not None and len(res1.raw["cols"][0]):
+            c = res1.raw["cols"]
+            r_rd = np.asarray(c[0])
+            sc = np.asarray(c[8])
+            has[r_rd] = True
+            np.maximum.at(best, r_rd, sc)
+            r_lo = np.asarray(c[4]) + np.asarray(c[5])      # aln_start
+            r_hi = r_lo + np.asarray(c[7])                  # + aln_span
+        merged = res1
+        processed = np.zeros(B, bool)
+        for _ in range(3):
+            # reads needing the junction machinery: no alignment, a best
+            # below the end-to-end perfect score (0), or a perfect
+            # placement whose span covers a known/temp splice-site
+            # boundary (a zero-penalty known junction can TIE a perfect
+            # ungapped form and the reference prefers the spliced one)
+            needs = ~(has & (best >= 0))
+            if self.splice_db is not None and r_rd is not None:
+                bnd = self.splice_db.joined_boundaries()
+                if bnd.size:
+                    near = (np.searchsorted(bnd, r_hi + 1)
+                            - np.searchsorted(bnd, r_lo - 1)) > 0
+                    needs[r_rd[near]] = True
+            needs &= ~processed
+            sub = np.flatnonzero(needs)
+            if sub.size == 0:
+                break
+            processed[sub] = True
+            # bucketed subset size (bounds compiled-variant count)
+            L = codes.shape[1]
+            q = max(256, B // 4)
+            Bs = q if sub.size <= q else B
+            n = sub.size
+            sc_ = np.zeros((Bs, L), np.asarray(codes).dtype)
+            sq_ = np.zeros((Bs, L), np.asarray(quals).dtype)
+            sl_ = np.zeros(Bs, np.asarray(lens).dtype)
+            sr_ = np.zeros(Bs, np.int64)
+            sc_[:n] = np.asarray(codes)[sub]
+            sq_[:n] = np.asarray(quals)[sub]
+            sl_[:n] = np.asarray(lens)[sub]
+            sr_[:n] = np.asarray(rdids)[sub]
+            ver0 = self.splice_db.n_sites if self.splice_db else 0
+            h2 = self._dispatch_full(sc_, sq_, sl_, sr_)
+            res2 = self.collect(h2, paired=paired)
+            merged = self._merge_two_pass(merged, res2, sub, B)
+            if self.splice_db is None or \
+                    self.splice_db.n_sites == ver0:
+                break   # no new sites -> the needs-set cannot grow
+        return merged
+
+    def _merge_two_pass(self, res1, res2, sub, B):
+        """Replace subset reads' rows/metadata in res1 with res2's."""
+        subset = np.zeros(B, bool)
+        subset[sub] = True
+        cols1 = (res1.raw["cols"] if res1.raw is not None else None)
+        cols2 = (res2.raw["cols"] if res2.raw is not None else None)
+        parts = []
+        if cols1 is not None and len(cols1[0]):
+            rd1 = np.asarray(cols1[0])
+            keep = ~subset[rd1]
+            parts.append([np.asarray(c)[keep] for c in cols1])
+        if cols2 is not None and len(cols2[0]):
+            rd2 = np.asarray(cols2[0])
+            live = rd2 < len(sub)          # padded lanes have no rows
+            remap = sub[rd2[live]]
+            p2 = [np.asarray(c)[live] for c in cols2]
+            p2[0] = remap
+            parts.append(p2)
+        if parts:
+            ncol = len(parts[0])
+            cols = [np.concatenate([p[j] for p in parts])
+                    for j in range(ncol)]
+            order = np.argsort(cols[0], kind="stable")
+            cols = [c[order] for c in cols]
+            raw = {"cols": cols}
+        else:
+            raw = None
+        orient = res1.orient_ranks
+        if orient is not None and res2.orient_ranks is not None:
+            orient = np.array(orient)
+            orient[sub] = np.array(res2.orient_ranks)[:sub.size]
+        lanes = res1.lanes
+        if lanes is not None and res2.lanes is not None:
+            lanes = {k: (np.array(v) if hasattr(v, "shape") else v)
+                     for k, v in lanes.items()}
+            Bs = res2.n_reads
+            for k, v2 in res2.lanes.items():
+                v1 = lanes.get(k)
+                if v1 is None or not hasattr(v2, "shape"):
+                    continue
+                v2 = np.asarray(v2)
+                if v2.shape[0] == 2 * Bs and v1.shape[0] == 2 * B:
+                    v1[sub] = v2[:sub.size]
+                    v1[B + sub] = v2[Bs:Bs + sub.size]
+                    lanes[k] = v1
+        return BatchResult(n_reads=B, lanes=lanes, orient_ranks=orient,
+                           raw=raw)
 
     # position-valued output keys (rebased by shard_base at merge)
     _POS_KEYS = ("u_d1", "u_d2", "q2_d", "q2_bd1", "q2_bd2")

@@ -105,6 +105,26 @@ class SpliceSiteDB:
             self._by_ref = None
         return False
 
+    def joined_boundaries(self) -> np.ndarray:
+        """Sorted joined positions of every site's exon boundaries (the
+        last left-exonic and first right-exonic base) — used by the
+        two-pass pipeline to find perfect reads that could still carry an
+        equal-score known-junction representation."""
+        if getattr(self, "_bnd_key", None) == len(self.sites):
+            return self._bnd
+        out = []
+        for (rid, left, right) in self.sites:
+            jl = self._to_joined(rid, left)
+            jr = self._to_joined(rid, right)
+            if jl >= 0:
+                out.append(jl)
+            if jr >= 0:
+                out.append(jr)
+        self._bnd = np.unique(np.array(out, np.int64)) if out \
+            else np.zeros(0, np.int64)
+        self._bnd_key = len(self.sites)
+        return self._bnd
+
     def _to_ref(self, joined: int):
         f = int(np.searchsorted(self.frag_joined, joined, "right")) - 1
         f = min(max(f, 0), len(self.frag_ref) - 1)
