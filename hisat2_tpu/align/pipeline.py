@@ -204,7 +204,7 @@ class TPUAligner:
                  max_pairs: int = 4, splice_db=None, ss_slots: int = 2,
                  lane_meta: bool = False, shard_devices=None,
                  max_seeds: int = 0, all_hits: bool = False,
-                 _devs=None):
+                 _devs=None, _ref_codes=None):
         self.meta = index.meta
         self.scoring = scoring or Scoring()
         self.k = k
@@ -274,7 +274,8 @@ class TPUAligner:
         if isinstance(index, ShardedFMIndex):
             self.shards = index.shards
             self.shard_bases = list(index.shard_bases)
-            self.ref_codes = index.global_ref_codes()
+            self.ref_codes = (_ref_codes if _ref_codes is not None
+                              else index.global_ref_codes())
             if lane_meta and len(self.shards) > 1:
                 # the paired give-up replay models ONE interleaved search;
                 # per-shard round logs don't merge faithfully
@@ -399,7 +400,8 @@ class TPUAligner:
                 index, scoring=self.scoring, k=k, max_hits=max_hits,
                 cand_per_hit=cand_per_hit, no_fw=no_fw, no_rc=no_rc,
                 variants=variants, spliced=False, lane_meta=lane_meta,
-                max_seeds=max_seeds, all_hits=all_hits, _devs=self.devs)
+                max_seeds=max_seeds, all_hits=all_hits, _devs=self.devs,
+                _ref_codes=self.ref_codes)
 
     def _align_device_packed(self, d, params, reads, quals, lens, minsc,
                              rdids=None, ss=None, uniform=False):

@@ -86,9 +86,17 @@ def build_graph_arrays(index, db: VariantDB, ref_codes=None,
         plane2[ps[second]] = ds[second]
 
     def pack2(plane):
-        p = plane.reshape(nwords, 16).astype(np.uint32)
+        # chunked: the [nwords, 16] uint32 view is 64 B/base (a 12.5 GB
+        # temporary at 3 Gbp)
         sh = (2 * np.arange(16, dtype=np.uint32))[None, :]
-        return (p << sh).sum(axis=1, dtype=np.uint32)
+        out = np.empty(nwords, np.uint32)
+        CH = 1 << 22
+        pl = plane.reshape(nwords, 16)
+        for w0 in range(0, nwords, CH):
+            blk = pl[w0:w0 + CH].astype(np.uint32)
+            out[w0:w0 + len(blk)] = (blk << sh).sum(axis=1,
+                                                    dtype=np.uint32)
+        return out
 
     ind = np.flatnonzero((db.snp_kind != SNP_SGL) & (db.snp_joined >= 0))
     ilen = np.where(db.snp_kind[ind] == SNP_DEL,

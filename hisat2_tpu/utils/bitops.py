@@ -63,7 +63,14 @@ def pack_2bit(codes: np.ndarray) -> np.ndarray:
 
 
 def unpack_2bit(words: np.ndarray, n: int) -> np.ndarray:
-    """Inverse of pack_2bit -> uint8 codes of length n."""
+    """Inverse of pack_2bit -> uint8 codes of length n.  Chunked: the
+    naive [nwords, 16] uint32 intermediate is 64 bytes per base (a
+    12.5 GB temporary for a 3 Gbp genome)."""
     shifts = (2 * np.arange(BASES_PER_WORD, dtype=np.uint32))[None, :]
-    out = ((words[:, None] >> shifts) & 3).astype(np.uint8).reshape(-1)
+    out = np.empty(len(words) * BASES_PER_WORD, np.uint8)
+    CH = 1 << 22
+    for w0 in range(0, len(words), CH):
+        blk = words[w0:w0 + CH]
+        out[w0 * BASES_PER_WORD:(w0 + len(blk)) * BASES_PER_WORD] = \
+            ((blk[:, None] >> shifts) & 3).astype(np.uint8).reshape(-1)
     return out[:n]
