@@ -57,8 +57,6 @@ def build_graph_arrays(index, db: VariantDB, ref_codes=None,
     if ref_codes is None:
         ref_codes = bitops.unpack_2bit(np.asarray(index.ref_words), n)
     nwords = (n + 15) // 16 if with_planes else 1
-    plane1 = np.zeros(nwords * 16, np.uint8)
-    plane2 = np.zeros(nwords * 16, np.uint8)
 
     sgl = np.flatnonzero((db.snp_kind == SNP_SGL) & (db.snp_joined >= 0))
     pos = db.snp_joined[sgl].astype(np.int64)
@@ -80,23 +78,27 @@ def build_graph_arrays(index, db: VariantDB, ref_codes=None,
     grp_start = np.maximum.accumulate(
         np.where(new_grp, np.arange(len(ps)), 0))
     rank = np.arange(len(ps)) - grp_start
-    if with_planes:
-        plane1[ps[rank == 0]] = ds[rank == 0]
-        second = (rank == 1) & (ds != ds[np.maximum(grp_start, 0)])
-        plane2[ps[second]] = ds[second]
-
-    def pack2(plane):
-        # chunked: the [nwords, 16] uint32 view is 64 B/base (a 12.5 GB
-        # temporary at 3 Gbp)
-        sh = (2 * np.arange(16, dtype=np.uint32))[None, :]
-        out = np.empty(nwords, np.uint32)
-        CH = 1 << 22
-        pl = plane.reshape(nwords, 16)
-        for w0 in range(0, nwords, CH):
-            blk = pl[w0:w0 + CH].astype(np.uint32)
-            out[w0:w0 + len(blk)] = (blk << sh).sum(axis=1,
-                                                    dtype=np.uint32)
+    def pack_sparse(positions, deltas):
+        # the planes are ~all zeros (1 SNV per ~250 bp at human density):
+        # scatter the 2-bit deltas straight into their packed words,
+        # O(#SNVs) instead of O(genome)
+        out = np.zeros(nwords, np.uint32)
+        if len(positions):
+            w = (positions >> 4).astype(np.int64)
+            sh = (2 * (positions & 15)).astype(np.uint32)
+            np.bitwise_or.at(out, w,
+                             deltas.astype(np.uint32) << sh)
         return out
+
+    second = np.zeros(0, bool)
+    if len(ps):
+        second = (rank == 1) & (ds != ds[np.maximum(grp_start, 0)])
+    if with_planes:
+        plane1_w = pack_sparse(ps[rank == 0], ds[rank == 0])
+        plane2_w = pack_sparse(ps[second], ds[second])
+    else:
+        plane1_w = np.zeros(1, np.uint32)
+        plane2_w = np.zeros(1, np.uint32)
 
     ind = np.flatnonzero((db.snp_kind != SNP_SGL) & (db.snp_joined >= 0))
     ilen = np.where(db.snp_kind[ind] == SNP_DEL,
@@ -106,7 +108,7 @@ def build_graph_arrays(index, db: VariantDB, ref_codes=None,
 
     so = np.argsort(pos, kind="stable")
     return GraphArrays(
-        snv_delta1=pack2(plane1), snv_delta2=pack2(plane2),
+        snv_delta1=plane1_w, snv_delta2=plane2_w,
         indel_pos=db.snp_joined[ind].astype(np.int64),
         indel_len=ilen[order],
         indel_seq=db.snp_seq[ind].astype(np.int64),
