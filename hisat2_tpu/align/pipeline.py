@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..index.format import FMIndex
+from ..ops import compact as compact_ops
 from ..ops import extend as extend_ops
 from ..ops import rank as rk
 from ..ops import resolve as resolve_ops
@@ -575,7 +576,7 @@ class TPUAligner:
             # fewer than min_hit_len clean chars.  Cut = lo of the
             # second-to-last recorded hit (the char below it was skipped).
             i2 = jnp.maximum(hits.nh - 2, 0)[:, None]
-            cut = jnp.take_along_axis(hits.lo, i2, axis=1)[:, 0]
+            cut = compact_ops.take_cols(hits.lo, i2)[:, 0]
             cut = jnp.where(hits.nh >= 2, cut, 0).astype(jnp.int32)
             # extension-aware cut (the reference's hybridSearch searches
             # the span its anchor EXTENSION leaves uncovered in the local
@@ -665,17 +666,30 @@ class TPUAligner:
         # compaction key: align-capable candidates claim slots first
         # (sweep-only short/wide anchors must not crowd out real diagonals)
         is_short = ~align_slot
+        SENT = np.int32(2 ** 31 - 2)
         key = jnp.where(cv, starts + jnp.where(is_short, SHORTBIT, 0),
-                        np.int32(2**31 - 2))
-        skey = jnp.sort(key, axis=1)
-        uniq = (skey != np.int32(2**31 - 2)) & jnp.concatenate(
-            [jnp.ones((2 * B, 1), bool), skey[:, 1:] != skey[:, :-1]], axis=1)
+                        SENT)
+        # keep the first occurrence of each distinct key, compacted in
+        # ascending key order — same result as a sort+argsort+gather chain,
+        # but as masked reductions (TPU's take_along_axis/sort path costs
+        # ~4 ms per call at this shape; see ops/compact.py)
+        Jk = key.shape[1]
+        kj = key[:, :, None]                                  # [2B, J, 1]
+        kk = key[:, None, :]                                  # [2B, 1, J]
+        tril = np.tril(np.ones((Jk, Jk), bool), -1)[None]     # k < j
+        kept = (key != SENT) & ~jnp.any((kk == kj) & tril, axis=2)
+        krank = jnp.where(
+            kept,
+            ((kk < kj) & kept[:, None, :]).sum(axis=2, dtype=jnp.int32),
+            np.int32(Jk))
         C = self.max_cands
-        comp = jnp.argsort(~uniq, axis=1, stable=True)[:, :C]
-        ckey = jnp.take_along_axis(skey, comp, axis=1)            # [2B, C]
+        csel = (krank[:, None, :]
+                == jnp.arange(C, dtype=jnp.int32)[None, :, None]) \
+            & kept[:, None, :]
+        ckey = compact_ops.select_ranked(csel, key, fill=int(SENT))
+        cvalid = jnp.any(csel, axis=2)
         cstart = ckey & (SHORTBIT - 1)
         cshort = ckey >= SHORTBIT
-        cvalid = jnp.take_along_axis(uniq, comp, axis=1)
         # a diagonal present as both long and short keeps only the long slot
         dup_short = cshort & jnp.any(
             (cstart[:, :, None] == cstart[:, None, :])
@@ -691,8 +705,8 @@ class TPUAligner:
             # the re-search runs inside the source candidate's recursion:
             # inherit the lane's last-hit provenance
             ilast = jnp.maximum(hits.nh - 1, 0)[:, None]
-            ab2 = jnp.take_along_axis(hits.abefore, ilast, axis=1)
-            po2 = jnp.take_along_axis(hits.post, ilast, axis=1)
+            ab2 = compact_ops.take_cols(hits.abefore, ilast)
+            po2 = compact_ops.take_cols(hits.post, ilast)
             ab_flat = jnp.concatenate(
                 [ab_flat, jnp.broadcast_to(ab2, (2 * B, HP2))], axis=1)
             post_flat = jnp.concatenate(
@@ -799,10 +813,10 @@ class TPUAligner:
             sel = splice_ops.select_pairs(res, cstart, top=self.max_pairs)
             T0 = self.max_pairs
             sel["ab"] = jnp.maximum(
-                jnp.take_along_axis(cab, sel["i"], axis=1),
-                jnp.take_along_axis(cab, sel["j"], axis=1))
-            sel["post"] = jnp.take_along_axis(cpost, sel["i"], axis=1) \
-                & jnp.take_along_axis(cpost, sel["j"], axis=1)
+                compact_ops.take_cols(cab, sel["i"]),
+                compact_ops.take_cols(cab, sel["j"]))
+            sel["post"] = compact_ops.take_cols(cpost, sel["i"]) \
+                & compact_ops.take_cols(cpost, sel["j"])
             blocks = [dict(sel, known=jnp.zeros((2 * B, T0), jnp.int32),
                            event=jnp.full((2 * B, T0), -1, jnp.int32),
                            selfgap=jnp.zeros((2 * B, T0), jnp.int32))]
@@ -833,8 +847,8 @@ class TPUAligner:
                 clip_pen=params["clip_pen"])
             J = inj["score"].shape[1]
             src_i = inj.pop("src")
-            inj["ab"] = jnp.take_along_axis(cab, src_i, axis=1)
-            inj["post"] = jnp.take_along_axis(cpost, src_i, axis=1)
+            inj["ab"] = compact_ops.take_cols(cab, src_i)
+            inj["post"] = compact_ops.take_cols(cpost, src_i)
             blocks.append(dict(inj, known=jnp.ones((2 * B, J), jnp.int32),
                                event=jnp.full((2 * B, J), -1, jnp.int32),
                                selfgap=jnp.zeros((2 * B, J), jnp.int32)))
@@ -853,8 +867,8 @@ class TPUAligner:
                 slots=self.ss_slots)
             Ji = injd["score"].shape[1]
             src_i = injd.pop("src")
-            injd["ab"] = jnp.take_along_axis(cab, src_i, axis=1)
-            injd["post"] = jnp.take_along_axis(cpost, src_i, axis=1)
+            injd["ab"] = compact_ops.take_cols(cab, src_i)
+            injd["post"] = compact_ops.take_cols(cpost, src_i)
             blocks.append(dict(injd,
                                known=jnp.ones((2 * B, Ji), jnp.int32),
                                selfgap=jnp.zeros((2 * B, Ji), jnp.int32)))
@@ -868,8 +882,8 @@ class TPUAligner:
             snv1_w=snv1_w, snv2_w=snv2_w, max_gap=g_budget)
         src_i = selfw.pop("src")
         Cs = cstart.shape[1]
-        sab = jnp.take_along_axis(cab, src_i, axis=1)
-        spost = jnp.take_along_axis(cpost, src_i, axis=1)
+        sab = compact_ops.take_cols(cab, src_i)
+        spost = compact_ops.take_cols(cpost, src_i)
         strict = {k2: selfw[k2] for k2 in
                   ("score", "d1", "d2", "x", "kind", "spldir", "splscore")}
         blocks.append(dict(strict, ab=sab, post=spost,
@@ -888,9 +902,9 @@ class TPUAligner:
             # budget-replay gate uses max(ab_i, ab_j), like the pair block)
             oidx = jnp.argmax(eqm, axis=2).astype(jnp.int32)
             wab = jnp.maximum(sab, jnp.where(
-                pair_eq, jnp.take_along_axis(cab, oidx, axis=1), 0))
+                pair_eq, compact_ops.take_cols(cab, oidx), 0))
             wpost = spost & jnp.where(
-                pair_eq, jnp.take_along_axis(cpost, oidx, axis=1), True)
+                pair_eq, compact_ops.take_cols(cpost, oidx), True)
             wsc = jnp.where(pair_eq, selfw["w_score"], -splice_ops._BIG)
             wide = {"score": wsc, "d1": selfw["w_d1"],
                     "d2": selfw["w_d2"], "x": selfw["w_x"],
@@ -972,8 +986,14 @@ class TPUAligner:
         if Mdev < Ktot:
             skey = jnp.where(uni["valid"] > 0, -uni["score"],
                              np.int32(2 ** 31 - 1))
-            ordc = jnp.argsort(skey, axis=1, stable=True)[:, :Mdev]
-            uni = {k2: jnp.take_along_axis(v2, ordc, axis=1)
+            # stable top-Mdev by (valid desc, score desc) without the
+            # argsort + per-field gather chain (each gather costs ~4 ms at
+            # [2B, Ktot] on the TPU gather path; the masked reduction is
+            # ~100x cheaper and fuses across fields)
+            mrank = compact_ops.stable_rank_asc(skey)
+            msel = (mrank[:, None, :]
+                    == jnp.arange(Mdev, dtype=jnp.int32)[None, :, None])
+            uni = {k2: compact_ops.select_ranked(msel, v2)
                    for k2, v2 in uni.items()}
         # D2H shrink: 4 single-bit fields + the (kind, spldir) pair pack
         # into one byte per slot; spldir is only ever nonzero for splice
@@ -1010,8 +1030,8 @@ class TPUAligner:
             b_score = gpair(res.raw)
             b_x = gpair(res.x)
             b_kind = gpair(res.kind)
-            b_d1 = jnp.take_along_axis(cstart, b_i[:, None], axis=1)[:, 0]
-            b_d2 = jnp.take_along_axis(cstart, b_j[:, None], axis=1)[:, 0]
+            b_d1 = compact_ops.take_cols(cstart, b_i[:, None])[:, 0]
+            b_d2 = compact_ops.take_cols(cstart, b_j[:, None])[:, 0]
             b_ok = (b_score > -(2 ** 29)) \
                 & (b_kind != splice_ops.KIND_NONE)
             q2 = splice_ops.second_sweep(

@@ -31,6 +31,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
+from . import compact as compact_ops
 from . import rank as rk
 
 _OOB_PEN = 100000  # out-of-text column: forces the optimizer to clip it
@@ -155,7 +156,7 @@ def extend_grouped(ref_words, n_text: int, reads, quals, lens,
         # left clip of a columns gains P[a] - C[a]
         lgs = jnp.where(in_read, P - Cc, -1)
         clip_l = jnp.argmax(lgs, axis=-1).astype(jnp.int32)
-        gl = jnp.take_along_axis(lgs, clip_l[:, :, None], -1)[:, :, 0]
+        gl = compact_ops.take_last(lgs, clip_l)
         # right clip of b columns gains (P[len] - P[len-b]) - C[b]
         # (trim3 clip COST uses quality of the first b columns — replicating
         # hi_aligner.h:3700-3702 exactly)
@@ -168,10 +169,10 @@ def extend_grouped(ref_words, n_text: int, reads, quals, lens,
         else:
             p_at = jnp.take_along_axis(
                 P, jnp.maximum(lnc[:, :, None] - brange, 0), -1)
-        p_len = jnp.take_along_axis(P, lnc[:, :, None], -1)
+        p_len = compact_ops.take_last(P, lnc)[:, :, None]
         rgs = jnp.where(in_read, p_len - p_at - Cc, -1)
         clip_r = jnp.argmax(rgs, axis=-1).astype(jnp.int32)
-        gr = jnp.take_along_axis(rgs, clip_r[:, :, None], -1)[:, :, 0]
+        gr = compact_ops.take_last(rgs, clip_r)
         gl = jnp.maximum(gl, 0)
         gr = jnp.maximum(gr, 0)
         clip_l = jnp.where(gl > 0, clip_l, 0)
@@ -191,7 +192,7 @@ def extend_grouped(ref_words, n_text: int, reads, quals, lens,
         b_fm = jnp.where(has_pen, lnc - j_last, 0)           # clip [j_l..)
 
         def gval(arr, idx):
-            return jnp.take_along_axis(arr, idx[:, :, None], -1)[:, :, 0]
+            return compact_ops.take_last(arr, idx)
         alt = jnp.full((B, C), np.int32(NO_ALT))
         for a_i, b_i in ((a_fm, clip_r), (clip_l, b_fm), (a_fm, b_fm)):
             sc_i = -(total_pen - gval(lgs, a_i) - gval(rgs, b_i))

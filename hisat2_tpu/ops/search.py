@@ -199,12 +199,20 @@ def partial_search(blocked, fchr, zrow: int, rows: int,
     a_stop_len = np.int32(min_k + 12)
     a_cancel_len = np.int32(min_k + 8)
 
-    def step(state, s):
+    # right-to-left read chars, precomputed once: step s consumes
+    # read[len-1-s].  One full-width gather here replaces L small
+    # descriptor-bound gathers inside the scan.
+    colL = jnp.arange(L, dtype=jnp.int32)[None, :]
+    ridx = lens[:, None] - 1 - colL
+    rrev = jnp.where(ridx >= 0,
+                     jnp.take_along_axis(reads, jnp.maximum(ridx, 0),
+                                         axis=1), jnp.int32(4))
+
+    def step(state, xs):
+        s, c = xs
         top, bot, rb, arm, stopped = state
         pos = lens - 1 - s
         active = pos >= 0
-        c = jnp.take_along_axis(
-            reads, jnp.maximum(pos, 0)[:, None], axis=1)[:, 0]
         cc = jnp.minimum(c, 3)
         valid_c = (c < 4) & active
         t2, b2 = rk.lf_range(blocked, fchr, zrow, top, bot, cc)
@@ -239,7 +247,8 @@ def partial_search(blocked, fchr, zrow: int, rows: int,
     init = (z, jnp.full((B,), rows, jnp.int32), lens.astype(jnp.int32),
             jnp.ones((B,), bool), jnp.zeros((B,), bool))
     (f_top, f_bot, f_rb, _, f_stopped), (ev, ev_top, ev_bot, ev_stop) = \
-        jax.lax.scan(step, init, jnp.arange(L, dtype=jnp.int32))
+        jax.lax.scan(step, init,
+                     (jnp.arange(L, dtype=jnp.int32), rrev.T))
     ev = ev.T                                   # [B, L]
     ev_top, ev_bot, ev_stop = ev_top.T, ev_bot.T, ev_stop.T
 
@@ -264,18 +273,23 @@ def partial_search(blocked, fchr, zrow: int, rows: int,
     na_before = jnp.concatenate(
         [jnp.zeros((B, 1), jnp.int32),
          jnp.cumsum(na_inc, axis=1)[:, :-1]], axis=1)
-    # gather the first H recorded events per lane, in order
-    order = jnp.argsort(~rec, axis=1, stable=True)[:, :H]   # [B, H]
-    take = lambda a: jnp.take_along_axis(a, order, axis=1)  # noqa: E731
-    v = jnp.take_along_axis(rec, order, axis=1)
+    # compact the first H recorded events per lane, in order — rank-based
+    # masked reductions instead of argsort+gather (the TPU sort/gather
+    # path costs ~10x more at [2B, L]; see ops/compact.py)
     nrec = rec.sum(axis=1)
-    ht = jnp.where(v, take(ev_top), 0)
-    hb = jnp.where(v, take(ev_bot), 0)
-    hl = jnp.where(v, take(pos) + (take(ev) == 1), 0)
-    hh = jnp.where(v, take(rb_ev), 0)
-    ha = jnp.where(v, take(na_before), 0)
-    hu = v & (take(ev) == 2)
-    hp = v & take(ev_stop)
+    rrank = jnp.cumsum(rec.astype(jnp.int32), axis=1) - 1
+    hsel = rec[:, None, :] & (
+        rrank[:, None, :]
+        == jnp.arange(H, dtype=jnp.int32)[None, :, None])   # [B, H, L]
+    gsel = lambda a: jnp.where(  # noqa: E731
+        hsel, a[:, None, :], 0).sum(axis=2, dtype=jnp.int32)
+    ht = gsel(ev_top)
+    hb = gsel(ev_bot)
+    hl = gsel(pos + (ev == 1).astype(jnp.int32))
+    hh = gsel(rb_ev)
+    ha = gsel(na_before)
+    hu = jnp.any(hsel & (ev == 2)[:, None, :], axis=2)
+    hp = jnp.any(hsel & ev_stop[:, None, :], axis=2)
     # append the terminal hit at slot nrec (if it qualifies and fits)
     term_ok = term_seg >= min_hit_len
     tslot = jnp.minimum(nrec, H - 1)[:, None]
@@ -295,9 +309,11 @@ def partial_search(blocked, fchr, zrow: int, rows: int,
     round_ev = is_ev & ~ev_stop
     val = jnp.minimum(seg, 126) * 2 + (ev == 2)
     R = L // 2 + 2
-    order_r = jnp.argsort(~round_ev, axis=1, stable=True)[:, :R]
-    vr = jnp.take_along_axis(round_ev, order_r, axis=1)
-    rl = jnp.where(vr, jnp.take_along_axis(val, order_r, axis=1), 0)
+    rrank_r = jnp.cumsum(round_ev.astype(jnp.int32), axis=1) - 1
+    rsel = round_ev[:, None, :] & (
+        rrank_r[:, None, :]
+        == jnp.arange(R, dtype=jnp.int32)[None, :, None])   # [B, R, L]
+    rl = jnp.where(rsel, val[:, None, :], 0).sum(axis=2, dtype=jnp.int32)
     nround = round_ev.sum(axis=1)
     term_round = (term_seg > 0) & ~f_stopped
     trslot = jnp.minimum(nround, R - 1)[:, None]

@@ -38,6 +38,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import compact as compact_ops
+
 # --- splice-site PWM priors -------------------------------------------------
 # Published position-weight matrices used by the reference's probscore
 # (splice_site.cpp:31-50; donor: Yeo & Burge 2004, acceptor: Solovyev,
@@ -507,7 +509,7 @@ def inject_known(ref_words, n_text: int, reads, quals, lens, rdids,
              candidate diagonals; Pm/tot_m their mismatch-count versions
     Returns dict of [N, 2*C*slots] candidate arrays.
     """
-    from . import extend as extend_ops
+    from . import extend as extend_ops  # noqa: F401 (local, cycle-free)
     N, C = starts.shape
     L = reads.shape[1]
     S = kd.shape[0]
@@ -841,9 +843,9 @@ def self_indel_sweep(ch, reads, quals, lens, starts, valid, minsc,
         tail = jnp.broadcast_to(tot[:, :, None], (N, C, g))
         return jnp.concatenate([P[:, :, g:], tail], axis=2)
 
-    ln3 = jnp.broadcast_to(ln[:, :, None], (N, C, 1))
+    ln2b = jnp.broadcast_to(ln, (N, C))
     P0 = prefix(0)
-    T0 = jnp.take_along_axis(P0, ln3, axis=2)[:, :, 0]
+    T0 = compact_ops.take_last(P0, ln2b)
     xs = jnp.arange(L + 1, dtype=jnp.int32)[None, None, :]
 
     # two result sets from one pass over the planes:
@@ -871,8 +873,8 @@ def self_indel_sweep(ch, reads, quals, lens, starts, valid, minsc,
     for g in range(1, G + 1):
         Pm = prefix(-g)
         Pp = prefix(+g)
-        Tm = jnp.take_along_axis(Pm, ln3, axis=2)[:, :, 0]
-        Tp = jnp.take_along_axis(Pp, ln3, axis=2)[:, :, 0]
+        Tm = compact_ops.take_last(Pm, ln2b)
+        Tp = compact_ops.take_last(Pp, ln2b)
         cdel = int(prm.rd_gap_open + prm.rd_gap_ext * g)
         cins = int(prm.rf_gap_open + prm.rf_gap_ext * g)
         okw_d = (xs >= 1) & (xs <= ln[:, :, None] - 1)
@@ -907,7 +909,7 @@ def self_indel_sweep(ch, reads, quals, lens, starts, valid, minsc,
 
     def pack(running, prefix_key=""):
         am = jnp.argmin(running, axis=2).astype(jnp.int32)
-        val = jnp.take_along_axis(running, am[:, :, None], axis=2)[:, :, 0]
+        val = running.min(axis=2)
         cid = jnp.minimum(val & 63, len(cmeta))
         best = val >> 6
         score = -best
