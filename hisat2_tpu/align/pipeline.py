@@ -35,6 +35,7 @@ from ..ops import resolve as resolve_ops
 from ..ops import search as search_ops
 from ..ops import splice as splice_ops
 from ..utils import bitops
+from ..utils.trace import section_timer
 from . import mapq as mapq_mod
 from .scoring import Scoring
 
@@ -388,7 +389,7 @@ class TPUAligner:
         # buffer (floats bit-cast) fetched in a single transfer
         self._out_specs = None
         self._device_step = jax.jit(self._align_device_packed,
-                                    static_argnames=("uniform",))
+                                    static_argnames=("uniform", "h2d"))
         # two-pass spliced pipeline: a DNA-mode twin handles the fast
         # common case (ungapped / known-indel); the full junction
         # machinery runs only on the subset of reads whose best pass-1
@@ -405,9 +406,29 @@ class TPUAligner:
                 _ref_codes=self.ref_codes)
 
     def _align_device_packed(self, d, params, reads, quals, lens, minsc,
-                             rdids=None, ss=None, uniform=False):
-        # reads/quals upload as uint8 (4x less H2D over the tunnel);
-        # widen on device
+                             rdids=None, ss=None, uniform=False, h2d=None):
+        # H2D over the tunnel is ~25 MB/s: the hot path (dispatch/_run_batch)
+        # uploads 2-bit code words + an N bitmask (h2d=(L, const_q)), ~6x
+        # smaller than uint8 codes+quals; tests may still pass uint8 [B, L]
+        # (h2d=None).  Unpacking is pure VPU shift/mask work.
+        if h2d is not None:
+            L, const_q = h2d
+            W2 = (L + 15) // 16
+            W1 = (L + 31) // 32
+            B = reads.shape[0]
+            col = jnp.arange(L, dtype=jnp.int32)[None, :]
+            w16 = jnp.repeat(reads[:, :W2], 16, axis=1)[:, :L]
+            sh2 = (2 * (col & 15)).astype(jnp.uint32)
+            codes = ((w16 >> sh2) & np.uint32(3)).astype(jnp.int32)
+            b32 = jnp.repeat(reads[:, W2:W2 + W1], 32, axis=1)[:, :L]
+            nbit = ((b32 >> (col & 31).astype(jnp.uint32))
+                    & np.uint32(1)) != 0
+            lens = reads[:, W2 + W1].astype(jnp.int32)
+            minsc = jax.lax.bitcast_convert_type(reads[:, W2 + W1 + 1],
+                                                 jnp.int32)
+            reads = jnp.where(nbit, jnp.int32(4), codes)
+            if const_q:
+                quals = jnp.broadcast_to(quals.astype(jnp.int32), (B, L))
         out = self._align_device(d, params, reads.astype(jnp.int32),
                                  quals.astype(jnp.int32), lens, minsc,
                                  rdids, ss, uniform=uniform)
@@ -465,6 +486,36 @@ class TPUAligner:
             cols.append(packed8)
         self._out_specs = specs          # static; set at trace time
         return jnp.concatenate(cols, axis=1)
+
+    @staticmethod
+    def _pack_h2d(codes: np.ndarray, quals: np.ndarray,
+                  lens: np.ndarray, minsc: np.ndarray):
+        """Host-side H2D shrink: 2-bit code words + N bitmask + lens +
+        minsc in ONE uint32 buffer (+ constant-qual elision).  One upload
+        per batch — the tunnel charges per-transfer latency, so five small
+        arrays cost ~3x one fused buffer.  Returns (buf, quals, h2d)."""
+        B, L = codes.shape
+        W2 = (L + 15) // 16
+        W1 = (L + 31) // 32
+        buf = np.empty((B, W2 + W1 + 2), np.uint32)
+        c = np.zeros((B, W2 * 16), np.uint32)
+        c[:, :L] = codes & 3
+        sh = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
+        np.bitwise_or.reduce(c.reshape(B, W2, 16) << sh, axis=2,
+                             out=buf[:, :W2])
+        nb = np.zeros((B, W1 * 32), np.uint32)
+        nb[:, :L] = codes > 3
+        sh1 = np.arange(32, dtype=np.uint32)[None, None, :]
+        np.bitwise_or.reduce(nb.reshape(B, W1, 32) << sh1, axis=2,
+                             out=buf[:, W2:W2 + W1])
+        buf[:, W2 + W1] = lens.astype(np.uint32)
+        buf[:, W2 + W1 + 1] = np.asarray(minsc, np.int64).astype(
+            np.int32).view(np.uint32)
+        const_q = bool((quals == quals.flat[0]).all()) if quals.size else True
+        q = (np.ascontiguousarray(quals[:1, :1])
+             if const_q else np.asarray(quals, np.uint8))
+        return (jnp.asarray(buf),
+                jnp.asarray(np.asarray(q, np.uint8)), (L, const_q))
 
     def _fetch_out(self, packed) -> dict:
         buf = np.asarray(packed)         # ONE device->host transfer
@@ -525,13 +576,20 @@ class TPUAligner:
         ops/rank.py)."""
         meta = d.meta
         B, L = reads.shape
-        col = jnp.arange(L, dtype=jnp.int32)[None, :]
-        idxr = lens[:, None] - 1 - col
-        ok = idxr >= 0
-        g = jnp.take_along_axis(reads, jnp.maximum(idxr, 0), axis=1)
-        rc = jnp.where(ok & (g < 4), 3 - g, jnp.int32(4))
-        qr = jnp.where(ok, jnp.take_along_axis(
-            quals, jnp.maximum(idxr, 0), axis=1), 0)
+        if uniform:
+            # all lens == L: reverse-complement is flip + complement,
+            # no take_along_axis gather (XLA reverse = contiguous copy)
+            g = reads[:, ::-1]
+            rc = jnp.where(g < 4, 3 - g, jnp.int32(4))
+            qr = quals[:, ::-1]
+        else:
+            col = jnp.arange(L, dtype=jnp.int32)[None, :]
+            idxr = lens[:, None] - 1 - col
+            ok = idxr >= 0
+            g = jnp.take_along_axis(reads, jnp.maximum(idxr, 0), axis=1)
+            rc = jnp.where(ok & (g < 4), 3 - g, jnp.int32(4))
+            qr = jnp.where(ok, jnp.take_along_axis(
+                quals, jnp.maximum(idxr, 0), axis=1), 0)
         ar = jnp.concatenate([reads, rc]).astype(jnp.int32)
         aq = jnp.concatenate([quals, qr]).astype(jnp.int32)
         al = jnp.concatenate([lens, lens]).astype(jnp.int32)
@@ -542,7 +600,7 @@ class TPUAligner:
         H = max(self.max_hits, L // (self.min_k + 12) + 2)
         hits = search_ops.partial_search(
             d.blocked, d.fchr, meta.zrow, meta.rows, ar, al,
-            H, self.min_hit_len, self.min_k)
+            H, self.min_hit_len, self.min_k, uniform=uniform)
 
         P = self.cand_per_hit
         w = hits.bot - hits.top                                   # [2B, H]
@@ -760,7 +818,8 @@ class TPUAligner:
             jnp.where(cvalid, cstart, -1), params["mm_pen"],
             params["clip_pen"], self.scoring.n_pen,
             allow_softclip=not self.scoring.no_softclip,
-            planes=planes, uniform_len=uniform)
+            planes=planes, uniform_len=uniform,
+            minsc=am, mm_min=self.scoring.mm_min)
         # per-lane search metadata for the paired give-up replay (the
         # interleaved nextBWT/align simulation in align/replay.py):
         # round log, round count, align() verdict ingredients
@@ -778,7 +837,8 @@ class TPUAligner:
                 jnp.where(xvalid, xstart, -1), params["mm_pen"],
                 params["clip_pen"], self.scoring.n_pen,
                 allow_softclip=not self.scoring.no_softclip,
-                planes=planes_x, uniform_len=uniform)
+                planes=planes_x, uniform_len=uniform,
+                minsc=am, mm_min=self.scoring.mm_min)
         else:
             ext_x = None
         wpos = jnp.where(hv & (w > 0), w, jnp.int32(2 ** 30))
@@ -931,6 +991,7 @@ class TPUAligner:
                "ab": cab, "post": cpost.astype(jnp.int32),
                "selfgap": z_b, "n_mm": ext.n_mm, "n_n": ext.n_n,
                "clip_l": ext.clip_l, "clip_r": ext.clip_r,
+               "alt": ext.alt_score,
                "valid": (cvalid_long & ext.ok).astype(jnp.int32)}
         if self.has_indels:
             uni["event"] = jnp.full((2 * B, Cb), -1, jnp.int32)
@@ -945,6 +1006,7 @@ class TPUAligner:
                 selfgap=zx,
                 n_mm=ext_x.n_mm, n_n=ext_x.n_n,
                 clip_l=ext_x.clip_l, clip_r=ext_x.clip_r,
+                alt=ext_x.alt_score,
                 event=jnp.full((2 * B, Xq), -1, jnp.int32)))
         for b in blocks:
             W2 = b["score"].shape[1]
@@ -971,6 +1033,9 @@ class TPUAligner:
                     [uni["clip_l"], b.get("clip_l", zw)], 1),
                 "clip_r": jnp.concatenate(
                     [uni["clip_r"], b.get("clip_r", zw)], 1),
+                "alt": jnp.concatenate(
+                    [uni["alt"],
+                     b.get("alt", zw + np.int32(extend_ops.NO_ALT))], 1),
                 "valid": jnp.concatenate(
                     [uni["valid"],
                      (b["score"] > -BIGs).astype(jnp.int32)], 1),
@@ -1250,14 +1315,14 @@ class TPUAligner:
                          np.int64)
         uniform = bool(np.all(np.asarray(lens) == codes.shape[1]))
         ver = self.splice_db.n_sites if self.splice_db is not None else 0
+        rd, qd, h2d = self._pack_h2d(np.asarray(codes), np.asarray(quals),
+                                     np.asarray(lens), minsc)
         packed = [self._device_step(
-            dev, {**self.params, **self.shard_params[i]},
-            jnp.asarray(np.asarray(codes, np.uint8)),
-            jnp.asarray(np.asarray(quals, np.uint8)),
-            jnp.asarray(lens, jnp.int32), jnp.asarray(minsc, jnp.int32),
+            dev, {**self.params, **self.shard_params[i]}, rd, qd,
+            None, None,
             jnp.asarray(rdids, jnp.int32) if self.spliced else None,
             (self.splice_db.device_tables(b, dev.meta.n)
-             if self.spliced else None), uniform=uniform)
+             if self.spliced else None), uniform=uniform, h2d=h2d)
             for i, (dev, b) in enumerate(zip(self.devs,
                                              self.shard_bases))]
         for pk in packed:
@@ -1469,14 +1534,14 @@ class TPUAligner:
         minsc = np.array([self.scoring.min_score(int(l)) for l in lens],
                          np.int64)
         uniform = bool(np.all(np.asarray(lens) == codes.shape[1]))
+        rd, qd, h2d = self._pack_h2d(np.asarray(codes), np.asarray(quals),
+                                     np.asarray(lens), minsc)
         packed = [self._device_step(
-            dev, {**self.params, **self.shard_params[i]},
-            jnp.asarray(np.asarray(codes, np.uint8)),
-            jnp.asarray(np.asarray(quals, np.uint8)),
-            jnp.asarray(lens, jnp.int32), jnp.asarray(minsc, jnp.int32),
+            dev, {**self.params, **self.shard_params[i]}, rd, qd,
+            None, None,
             jnp.asarray(rdids, jnp.int32) if self.spliced else None,
             (self.splice_db.device_tables(b, dev.meta.n)
-             if self.spliced else None), uniform=uniform)
+             if self.spliced else None), uniform=uniform, h2d=h2d)
             for i, (dev, b) in enumerate(zip(self.devs,
                                              self.shard_bases))]
         return self._host_phase(self._merge_shards(packed), codes, quals,
@@ -1596,6 +1661,7 @@ class TPUAligner:
     def _host_phase(self, o_np: dict, codes: np.ndarray, quals: np.ndarray,
                     lens: np.ndarray, minsc: np.ndarray,
                     paired: bool = False) -> BatchResult:
+        tick = section_timer("host_phase")
         B = codes.shape[0]
         # unpack the per-slot flags byte and the DNA-mode d2 delta (see
         # _align_device's D2H shrink)
@@ -1621,10 +1687,12 @@ class TPUAligner:
         hdt = np.int64 if self.meta.n >= 2 ** 31 - 2 ** 24 else np.int32
 
         def flat(u, q=None):
-            blocks_ = [u.astype(hdt)]
-            if Q:
-                blocks_.append((np.zeros((2 * B, Q)) if q is None
-                                else q).astype(hdt))
+            if not Q:
+                # reshape of a C-contiguous [2B, U] int32 array is a VIEW
+                return u.astype(hdt, copy=False).reshape(-1)
+            blocks_ = [u.astype(hdt, copy=False),
+                       (np.zeros((2 * B, Q)) if q is None
+                        else q).astype(hdt, copy=False)]
             return np.concatenate(blocks_, axis=1).reshape(-1)
 
         if Q:
@@ -1666,6 +1734,8 @@ class TPUAligner:
         junc2_x = flat(np.zeros((2 * B, U)), q_j2x)
         junc2_d3 = flat(o_np["u_d2"], q_j2d3)
         junc2_dir = flat(np.zeros((2 * B, U)), q_j2dir)
+        alt_dev = flat(o_np["u_alt"],
+                       np.full((2 * B, Q), -(2 ** 30)) if Q else None)
         # map indel-event table rows to VariantDB snp indices
         # u_event was mapped to GLOBAL VariantDB rows in _merge_shards
         junc_snp = junc_event.astype(np.int64)
@@ -1681,6 +1751,7 @@ class TPUAligner:
                         "h_stop")}
                       if "h_rounds" in o_np else None)
         lane = np.repeat(np.arange(2 * B, dtype=np.int64), K)
+        tick("unpack")
         # host-side policy filters (all vectorized)
         # vectorize per-length scoring bounds over the distinct lengths
         ulens, uinv = np.unique(lens, return_inverse=True)
@@ -1706,6 +1777,7 @@ class TPUAligner:
         ab = flat(o_np["u_ab"])
         post = flat(o_np["u_post"]).astype(bool)
         selfgap = flat(o_np["u_selfgap"]).astype(bool)
+        tick("policy")
         M = max(10, self.msize + 2)
         if M < K:
             v2 = valid.reshape(2 * B, K)
@@ -1716,70 +1788,91 @@ class TPUAligner:
             (valid, starts, score, n_mm, n_n, clip_l, clip_r, junc_kind,
              junc_x, d2, spl_dir, junc_known, junc_event, junc_snp,
              junc2_kind, junc2_x, junc2_d3, junc2_dir, ab, post,
-             selfgap) = (a[take] for a in (
+             selfgap, alt_dev) = (a[take] for a in (
                  valid, starts, score, n_mm, n_n, clip_l, clip_r, junc_kind,
                  junc_x, d2, spl_dir, junc_known, junc_event, junc_snp,
                  junc2_kind, junc2_x, junc2_d3, junc2_dir, ab, post,
-                 selfgap))
+                 selfgap, alt_dev))
             K = M
             lane = np.repeat(np.arange(2 * B, dtype=np.int64), K)
             read_of_lane = lane % B
             is_rc = lane >= B
             is_pair = junc_kind > 0
+        tick("compact")
         # fragment containment (joinedToTextOff straddle check, gfm.h:5076);
         # junction candidates check each segment separately, and a splice may
-        # cross an N-gap fragment boundary within the same reference
-        L_of = lens[read_of_lane].astype(np.int64)
-        ins_len = np.where(junc_kind == splice_ops.KIND_INS,
-                           starts - d2, 0)
-        aln_start = starts + clip_l
-        left_end = np.where(is_pair, starts + junc_x,
-                            aln_start + L_of - clip_l - clip_r)  # exclusive
-        rs = np.where(junc_kind == splice_ops.KIND_INS,
-                      starts + junc_x, d2 + junc_x)
-        is_q2 = junc2_kind > 0
-        span_r = np.where(is_q2, junc2_x, L_of) - junc_x - ins_len
+        # cross an N-gap fragment boundary within the same reference.
+        # COMPRESSED to the valid slots (typically a few % of the [2B, K]
+        # grid; the full-size planes consumed downstream scatter back and
+        # are don't-care at invalid slots).
+        N = len(starts)
+        KIND_SPL = splice_ops.KIND_SPL
+        KIND_DEL = splice_ops.KIND_DEL
+        KIND_INS = splice_ops.KIND_INS
+        vi = np.flatnonzero(valid)
+        st_v, d2_v = starts[vi], d2[vi]
+        jk_v, jx_v = junc_kind[vi], junc_x[vi]
+        cl_v, cr_v = clip_l[vi], clip_r[vi]
+        ip_v = jk_v > 0
+        L_v = lens[read_of_lane[vi]].astype(hdt)
+        insl_v = np.where(jk_v == KIND_INS, st_v - d2_v, 0)
+        as_v = st_v + cl_v
+        le_v = np.where(ip_v, st_v + jx_v,
+                        as_v + L_v - cl_v - cr_v)           # exclusive
+        rs_v = np.where(jk_v == KIND_INS, st_v + jx_v, d2_v + jx_v)
+        j2k_v, j2x_v = junc2_kind[vi], junc2_x[vi]
+        isq2_v = j2k_v > 0
+        span_r_v = np.where(isq2_v, j2x_v, L_v) - jx_v - insl_v
         nfr = len(self.frag_ref)
-        fl = np.clip(np.searchsorted(self.frag_joined, aln_start,
+        fl = np.clip(np.searchsorted(self.frag_joined, as_v,
                                      "right") - 1, 0, nfr - 1)
-        contained_l = (aln_start >= self.frag_joined[fl]) & \
-            (left_end <= self.frag_joined[fl + 1])
-        fr = np.clip(np.searchsorted(self.frag_joined, rs, "right") - 1,
+        contained_l = (as_v >= self.frag_joined[fl]) & \
+            (le_v <= self.frag_joined[fl + 1])
+        fr = np.clip(np.searchsorted(self.frag_joined, rs_v, "right") - 1,
                      0, nfr - 1)
-        contained_r = (rs >= self.frag_joined[fr]) & \
-            (rs + span_r <= self.frag_joined[fr + 1])
+        contained_r = (rs_v >= self.frag_joined[fr]) & \
+            (rs_v + span_r_v <= self.frag_joined[fr + 1])
         same_chr = self.frag_ref[fl] == self.frag_ref[fr]
         pair_ok = contained_l & contained_r & same_chr & \
-            ((junc_kind == splice_ops.KIND_SPL) | (fl == fr))
-        valid &= np.where(is_pair, pair_ok, contained_l)
+            ((jk_v == KIND_SPL) | (fl == fr))
+        ok_v = np.where(ip_v, pair_ok, contained_l)
         # reference-space skip length (an intron may span an N gap)
-        rp_l_end = self.frag_off[fl] + (left_end - 1 - self.frag_joined[fl])
-        rp_r = self.frag_off[fr] + (rs - self.frag_joined[fr])
-        junc_len = np.where(
-            junc_kind == splice_ops.KIND_SPL, rp_r - rp_l_end - 1,
-            np.where(junc_kind == splice_ops.KIND_DEL, d2 - starts,
-                     np.where(junc_kind == splice_ops.KIND_INS,
-                              -(starts - d2), 0)))
-        valid &= ~((junc_kind == splice_ops.KIND_SPL) & (junc_len < 1))
+        rp_l_end = self.frag_off[fl] + (le_v - 1 - self.frag_joined[fl])
+        rp_r = self.frag_off[fr] + (rs_v - self.frag_joined[fr])
+        jl_v = np.where(
+            jk_v == KIND_SPL, rp_r - rp_l_end - 1,
+            np.where(jk_v == KIND_DEL, d2_v - st_v,
+                     np.where(jk_v == KIND_INS, -(st_v - d2_v), 0)))
+        ok_v &= ~((jk_v == KIND_SPL) & (jl_v < 1))
         # second junction (always a splice): third segment containment +
         # reference-space intron length
-        junc2_len = np.zeros(len(starts), np.int64)
+        j2l_v = np.zeros(len(vi), np.int64)
         if Q:
-            rs3 = junc2_d3 + junc2_x
-            span3 = L_of - junc2_x
+            rs3 = junc2_d3[vi] + j2x_v
+            span3 = L_v - j2x_v
             f3 = np.clip(np.searchsorted(self.frag_joined, rs3,
                                          "right") - 1, 0, nfr - 1)
             contained_3 = (rs3 >= self.frag_joined[f3]) & \
                 (rs3 + span3 <= self.frag_joined[f3 + 1])
-            seg2_end = rs + span_r          # exclusive, on the d2 diagonal
+            seg2_end = rs_v + span_r_v      # exclusive, on the d2 diagonal
             rp_2end = self.frag_off[fr] + (seg2_end - 1
                                            - self.frag_joined[fr])
             rp_3 = self.frag_off[f3] + (rs3 - self.frag_joined[f3])
-            junc2_len = np.where(is_q2, rp_3 - rp_2end - 1, 0)
-            valid &= ~is_q2 | (contained_3
+            j2l_v = np.where(isq2_v, rp_3 - rp_2end - 1, 0)
+            ok_v &= ~isq2_v | (contained_3
                                & (self.frag_ref[f3] == self.frag_ref[fr])
-                               & (junc2_len >= 1))
+                               & (j2l_v >= 1))
+        valid = np.zeros(N, bool)
+        valid[vi[ok_v]] = True
+        ins_len = np.zeros(N, hdt)
+        ins_len[vi] = insl_v
+        junc_len = np.zeros(N, hdt)
+        junc_len[vi] = jl_v
+        junc2_len = np.zeros(N, hdt)
+        junc2_len[vi] = j2l_v
+        L_of = lens[read_of_lane].astype(hdt, copy=False)
 
+        tick("contain")
         # search-budget replay (nextBWT give-up, hi_aligner.h:3988-4035):
         # once an alignment scoring `best` exists, the reference performs at
         # most maxmm(best) + #splices(best) + 1 further non-unique search
@@ -1788,32 +1881,36 @@ class TPUAligner:
         # source segment.
         vsel = np.flatnonzero(valid)
         if vsel.size:
+            r_v = read_of_lane[vsel]
+            sc_v = score[vsel]
             bestr = np.full(B, -2 ** 40, np.int64)
-            np.maximum.at(bestr, read_of_lane[vsel], score[vsel])
-            is_best = score == bestr[read_of_lane]
-            best_spl = np.zeros(B, np.int64)
-            spl_best = vsel[(junc_kind[vsel] == splice_ops.KIND_SPL)
-                            & is_best[vsel]]
-            best_spl[read_of_lane[spl_best]] = 1
+            np.maximum.at(bestr, r_v, sc_v)
+            isb_v = sc_v == bestr[r_v]
+            best_spl = np.zeros(B, bool)
+            best_spl[r_v[(junc_kind[vsel] == splice_ops.KIND_SPL)
+                         & isb_v]] = True
             maxmm = -(-np.maximum(-bestr, 0) // max(self.scoring.mm_max, 1))
             allowed = maxmm + best_spl + 1
-            valid &= (ab <= allowed[read_of_lane]) | is_best
+            keep_v = (ab[vsel] <= allowed[r_v]) | isb_v
             # single-anchor gap joins survive only at the read's best
             # score: the reference's best-first local search never pursues
             # a strictly-worse gap once a better alignment exists (verified
             # vs oracle: an equal-score remote 32M1D68M IS reported, a
             # worse-by-2 remote 86M1I13M is not and never feeds ZS)
-            valid &= ~(selfgap & (score < bestr[read_of_lane]))
+            keep_v &= ~(selfgap[vsel] & (sc_v < bestr[r_v]))
             # post-anchor-stop candidates exist only when the pre-stop
             # anchor's extension leaves part of the read uncovered
             # (hybridSearch re-search); a full-coverage candidate in the
             # same lane means the reference never searched further
             full0 = np.zeros(2 * B, bool)
-            f_idx = np.flatnonzero(valid & ~post
-                                   & (clip_l + clip_r == 0))
-            full0[lane[f_idx]] = True
-            valid &= ~(post & full0[lane])
+            l_v = lane[vsel]
+            full0[l_v[keep_v & ~post[vsel]
+                      & (clip_l[vsel] + clip_r[vsel] == 0)]] = True
+            keep_v &= ~(post[vsel] & full0[l_v])
+            valid = np.zeros(N, bool)
+            valid[vsel[keep_v]] = True
 
+        tick("budget")
         # candidate-region merge (getAnchorHits `overlapped`, hi_aligner.h:
         # 4408-4419): a coordinate within maxIntronLen of a STRICTLY better
         # candidate merges into it (equal-score multimaps all survive -
@@ -1821,33 +1918,41 @@ class TPUAligner:
         W = self.scoring.max_intron_len
         Km0 = K
         validm0 = valid.reshape(2 * B, Km0)
-        s_m0 = starts.reshape(2 * B, Km0)
-        sc_m0 = np.where(validm0, score.reshape(2 * B, Km0), np.int64(-2 ** 40))
-        jk_m0 = junc_kind.reshape(2 * B, Km0)
-        ordm0 = np.lexsort((-jk_m0, s_m0, -sc_m0), axis=1)
-        s_s0 = np.take_along_axis(s_m0, ordm0, axis=1)
-        v_s0 = np.take_along_axis(validm0, ordm0, axis=1)
-        sc_s0 = np.take_along_axis(sc_m0, ordm0, axis=1)
-        kept0 = np.zeros((2 * B, Km0), bool)
-        kept_pos0 = np.full((2 * B, Km0), -2 ** 60, np.int64)
-        kept_sc0 = np.full((2 * B, Km0), -2 ** 40, np.int64)
-        for r in range(Km0):
-            # rows are sorted valid-(score desc)-first: the first column
-            # with no valid entry anywhere ends the scan
-            if not v_s0[:, r].any():
-                break
-            cand = s_s0[:, r]
-            csc = sc_s0[:, r]
-            near = ((np.abs(kept_pos0 - cand[:, None]) <= W)
-                    & (kept_sc0 > csc[:, None])).any(axis=1)
-            keep_r = v_s0[:, r] & ~near
-            kept0[:, r] = keep_r
-            kept_pos0[:, r] = np.where(keep_r, cand, np.int64(-2 ** 60))
-            kept_sc0[:, r] = np.where(keep_r, csc, np.int64(-2 ** 40))
-        vm0 = np.zeros((2 * B, Km0), bool)
-        np.put_along_axis(vm0, ordm0, kept0, axis=1)
-        valid &= vm0.reshape(-1)
+        # only lanes with >= 2 surviving candidates can merge anything —
+        # run the column scan on that (few-%) row subset only
+        multi0 = np.flatnonzero(validm0.sum(axis=1) >= 2)
+        if multi0.size:
+            v_m = validm0[multi0]
+            s_m0 = starts.reshape(2 * B, Km0)[multi0]
+            sc_m0 = np.where(v_m, score.reshape(2 * B, Km0)[multi0],
+                             np.int64(-2 ** 40))
+            jk_m0 = junc_kind.reshape(2 * B, Km0)[multi0]
+            ordm0 = np.lexsort((-jk_m0, s_m0, -sc_m0), axis=1)
+            s_s0 = np.take_along_axis(s_m0, ordm0, axis=1)
+            v_s0 = np.take_along_axis(v_m, ordm0, axis=1)
+            sc_s0 = np.take_along_axis(sc_m0, ordm0, axis=1)
+            R0 = multi0.size
+            kept0 = np.zeros((R0, Km0), bool)
+            kept_pos0 = np.full((R0, Km0), -2 ** 60, np.int64)
+            kept_sc0 = np.full((R0, Km0), -2 ** 40, np.int64)
+            for r in range(Km0):
+                # rows are sorted valid-(score desc)-first: the first column
+                # with no valid entry anywhere ends the scan
+                if not v_s0[:, r].any():
+                    break
+                cand = s_s0[:, r]
+                csc = sc_s0[:, r]
+                near = ((np.abs(kept_pos0 - cand[:, None]) <= W)
+                        & (kept_sc0 > csc[:, None])).any(axis=1)
+                keep_r = v_s0[:, r] & ~near
+                kept0[:, r] = keep_r
+                kept_pos0[:, r] = np.where(keep_r, cand, np.int64(-2 ** 60))
+                kept_sc0[:, r] = np.where(keep_r, csc, np.int64(-2 ** 40))
+            vm0 = np.zeros((R0, Km0), bool)
+            np.put_along_axis(vm0, ordm0, kept0, axis=1)
+            validm0[multi0] &= vm0          # writes through into `valid`
 
+        tick("regionmerge")
         # evaluation-order suppression (sink best gating): every combined
         # representation is reported only if its score beats the mate's
         # best-so-far (`minsc = max(minsc, sink.bestUnp1())`,
@@ -1861,6 +1966,7 @@ class TPUAligner:
             valid, best_before, orient_ranks = self._eval_order_suppress(
                 valid, score, junc_kind, lanes_meta, lens, minsc, B, K)
 
+        tick("evalorder")
         # redundancy rule (HI_Aligner::redundant): a candidate whose
         # leftmost aligned position falls WITHIN the reference extent of an
         # already-reported alignment of the same mate (either orientation)
@@ -1869,59 +1975,75 @@ class TPUAligner:
         # (the spliced extension of an anchor wins over an equal-scoring
         # ungapped placement it contains), then position.
         Km = K
-        ext_start = (starts + clip_l).reshape(2 * B, Km)
-        span_m = (L_of - clip_l - clip_r
-                  - np.where(is_pair, ins_len, 0)
-                  + np.where(junc_kind > 0, junc_len, 0)
-                  + junc2_len).reshape(2 * B, Km)
-        # fold fw/rc lanes of the same mate together (redundant() scans all
-        # reported alignments of the mate regardless of orientation)
-        validm = valid.reshape(2 * B, Km)
-        vread = np.concatenate([validm[:B], validm[B:]], axis=1)  # [B, 2Km]
-        s_r = np.concatenate([ext_start[:B], ext_start[B:]], axis=1)
-        e_r = s_r + np.concatenate([span_m[:B], span_m[B:]], axis=1) - 1
-        sc_r = np.where(vread, np.concatenate(
-            [score.reshape(2 * B, Km)[:B],
-             score.reshape(2 * B, Km)[B:]], axis=1), np.int64(-2 ** 40))
-        jk_r = np.concatenate([junc_kind.reshape(2 * B, Km)[:B],
-                               junc_kind.reshape(2 * B, Km)[B:]], axis=1)
-        ordm = np.lexsort((-jk_r, s_r, -sc_r), axis=1)
-        s_s = np.take_along_axis(s_r, ordm, axis=1)
-        e_s = np.take_along_axis(e_r, ordm, axis=1)
-        v_s = np.take_along_axis(vread, ordm, axis=1)
         K2 = 2 * Km
-        clip_r2 = (clip_l + clip_r).reshape(2 * B, Km)
-        full_r = np.concatenate([clip_r2[:B], clip_r2[B:]], axis=1) == 0
-        full_s = np.take_along_axis(full_r, ordm, axis=1)
-        sc_s = np.take_along_axis(sc_r, ordm, axis=1)
-        kept = np.zeros((B, K2), bool)
-        kept_s = np.full((B, K2), -2 ** 60, np.int64)
-        kept_e = np.full((B, K2), -2 ** 60, np.int64)
-        # redundancy-suppressed candidates still count as secondary-best
-        # evidence (the reference's sink saw them; they feed ZS but neither
-        # NH nor MAPQ - observed: spliced primary with ZS:i:0 from its
-        # contained equal-scoring ungapped representation)
+        validm = valid.reshape(2 * B, Km)
+        # fold fw/rc lanes of the same mate together (redundant() scans all
+        # reported alignments of the mate regardless of orientation); only
+        # reads with >= 2 surviving candidates can suppress anything — the
+        # column scan runs on that (few-%) row subset only
+        vread = np.concatenate([validm[:B], validm[B:]], axis=1)  # [B, 2Km]
         shadow_sec = np.full(B, -2 ** 40, np.int64)
-        for r in range(K2):
-            if not v_s[:, r].any():
-                break
-            cand = s_s[:, r]
-            inside = ((cand[:, None] >= kept_s)
-                      & (cand[:, None] <= kept_e)).any(axis=1)
-            keep_r = v_s[:, r] & ~inside
-            kept[:, r] = keep_r
-            kept_s[:, r] = np.where(keep_r, cand, np.int64(-2 ** 60))
-            kept_e[:, r] = np.where(keep_r, e_s[:, r], np.int64(-2 ** 60))
-            # an exact same-start suppression is a duplicate representation
-            # of the kept alignment, not secondary evidence
-            same_start = (cand[:, None] == kept_s).any(axis=1)
-            supp = v_s[:, r] & inside & full_s[:, r] & ~same_start
-            shadow_sec = np.where(supp, np.maximum(shadow_sec, sc_s[:, r]),
-                                  shadow_sec)
-        vr = np.zeros((B, K2), bool)
-        np.put_along_axis(vr, ordm, kept, axis=1)
-        valid &= np.concatenate([vr[:, :Km], vr[:, Km:]]).reshape(-1)
+        rsel = np.flatnonzero(vread.sum(axis=1) >= 2)
+        if rsel.size:
+            rsel2 = np.concatenate([rsel, rsel + B])   # both lanes
+            ext_start = ((starts + clip_l)
+                         .reshape(2 * B, Km)[rsel2])   # [2R, Km]
+            span_m = ((L_of - clip_l - clip_r
+                       - np.where(is_pair, ins_len, 0)
+                       + np.where(junc_kind > 0, junc_len, 0)
+                       + junc2_len).reshape(2 * B, Km)[rsel2])
+            R = rsel.size
+            vsub = vread[rsel]
+            s_r = np.concatenate([ext_start[:R], ext_start[R:]], axis=1)
+            e_r = s_r + np.concatenate([span_m[:R], span_m[R:]],
+                                       axis=1) - 1
+            scm = score.reshape(2 * B, Km)[rsel2]
+            sc_r = np.where(vsub, np.concatenate([scm[:R], scm[R:]],
+                                                 axis=1),
+                            np.int64(-2 ** 40))
+            jkm = junc_kind.reshape(2 * B, Km)[rsel2]
+            jk_r = np.concatenate([jkm[:R], jkm[R:]], axis=1)
+            ordm = np.lexsort((-jk_r, s_r, -sc_r), axis=1)
+            s_s = np.take_along_axis(s_r, ordm, axis=1)
+            e_s = np.take_along_axis(e_r, ordm, axis=1)
+            v_s = np.take_along_axis(vsub, ordm, axis=1)
+            crm = (clip_l + clip_r).reshape(2 * B, Km)[rsel2]
+            full_r = np.concatenate([crm[:R], crm[R:]], axis=1) == 0
+            full_s = np.take_along_axis(full_r, ordm, axis=1)
+            sc_s = np.take_along_axis(sc_r, ordm, axis=1)
+            kept = np.zeros((R, K2), bool)
+            kept_s = np.full((R, K2), -2 ** 60, np.int64)
+            kept_e = np.full((R, K2), -2 ** 60, np.int64)
+            # redundancy-suppressed candidates still count as secondary-best
+            # evidence (the reference's sink saw them; they feed ZS but
+            # neither NH nor MAPQ - observed: spliced primary with ZS:i:0
+            # from its contained equal-scoring ungapped representation)
+            shadow_sub = np.full(R, -2 ** 40, np.int64)
+            for r in range(K2):
+                if not v_s[:, r].any():
+                    break
+                cand = s_s[:, r]
+                inside = ((cand[:, None] >= kept_s)
+                          & (cand[:, None] <= kept_e)).any(axis=1)
+                keep_r = v_s[:, r] & ~inside
+                kept[:, r] = keep_r
+                kept_s[:, r] = np.where(keep_r, cand, np.int64(-2 ** 60))
+                kept_e[:, r] = np.where(keep_r, e_s[:, r],
+                                        np.int64(-2 ** 60))
+                # an exact same-start suppression is a duplicate
+                # representation of the kept alignment, not secondary
+                # evidence
+                same_start = (cand[:, None] == kept_s).any(axis=1)
+                supp = v_s[:, r] & inside & full_s[:, r] & ~same_start
+                shadow_sub = np.where(
+                    supp, np.maximum(shadow_sub, sc_s[:, r]), shadow_sub)
+            vr = np.zeros((R, K2), bool)
+            np.put_along_axis(vr, ordm, kept, axis=1)
+            validm[rsel] &= vr[:, :Km]      # writes through into `valid`
+            validm[rsel + B] &= vr[:, Km:]
+            shadow_sec[rsel] = shadow_sub
 
+        tick("redundancy")
         lane_best = np.full(2 * B, -2 ** 40, np.int64)
         sel = np.flatnonzero(valid)
         if sel.size:
@@ -1971,77 +2093,21 @@ class TPUAligner:
         # for <= 10, a 3' clip for <= 9, independent of orientation and
         # window content).  The trimmed copy enters the report buffer and
         # becomes ZS, but the selected best's MAPQ ignores it.
+        tick("dedup")
         gb = idx[bnd]
         alt_of_best = np.full(len(bnd), -2 ** 40, np.int64)
-        mmt = self.scoring.mm_pen_table().astype(np.int64)
-        cpt = self.scoring.clip_pen_table().astype(np.int64)
-        # vectorized over eligible segments (full ungapped best alignments
-        # with at least one penalized column)
+        # trimmed-representation scores come precomputed from the device
+        # (extend_grouped alt_score: T-gated trim-through-first/last
+        # penalized column, the probe-verified zsalt formula) — the host
+        # only applies the minsc and sink-best gates, on eligible segments
+        # (full ungapped best alignments with >= 1 penalized column)
         el = np.flatnonzero((junc_kind[gb] == 0) & (clip_l[gb] == 0)
                             & (clip_r[gb] == 0)
                             & ((n_mm[gb] + n_n[gb]) > 0))
         if el.size:
             ge = gb[el]
             rde = seg_read[el]
-            Lmax = codes.shape[1]
-            cols = np.arange(Lmax)
-            L0 = lens[rde].astype(np.int64)
-            live = cols[None, :] < L0[:, None]
-            pat = codes[rde].astype(np.int64)
-            qv = np.minimum(quals[rde].astype(np.int64), 63)
-            rcm = o[bnd[el]].astype(bool)
-            # reverse-complement the rc lanes (per-row flip within length)
-            ridx = np.where(rcm[:, None],
-                            np.maximum(L0[:, None] - 1 - cols[None, :], 0),
-                            cols[None, :])
-            pat = np.take_along_axis(pat, ridx, axis=1)
-            qv = np.take_along_axis(qv, ridx, axis=1)
-            pat = np.where(rcm[:, None] & (pat < 4), 3 - pat, pat)
-            s0 = starts[ge].astype(np.int64)
-            gpos = np.minimum(s0[:, None] + cols[None, :],
-                              len(self.ref_codes) - 1)
-            ref = self.ref_codes[gpos].astype(np.int64)
-            mm = live & (pat != ref)
-            if self.graph is not None:
-                gg = self.graph
-                t = np.searchsorted(gg.snv_joined, gpos.ravel())
-                t = np.minimum(t, max(len(gg.snv_joined) - 1, 0))
-                if len(gg.snv_joined):
-                    hit_snv = (gg.snv_joined[t].reshape(gpos.shape) == gpos)
-                    forg = hit_snv & (gg.snv_alt[t].reshape(gpos.shape)
-                                      == pat)
-                    # multi-allelic second entry
-                    t2 = np.minimum(t + 1, len(gg.snv_joined) - 1)
-                    forg |= (gg.snv_joined[t2].reshape(gpos.shape) == gpos) \
-                        & (gg.snv_alt[t2].reshape(gpos.shape) == pat)
-                    mm &= ~forg
-            pen = np.where(mm & (pat >= 4), np.int64(self.scoring.n_pen),
-                           np.where(mm, mmt[qv], 0))
-            has = pen > 0
-            anyp = has.any(axis=1)
-            first = np.argmax(has, axis=1)
-            last = Lmax - 1 - np.argmax(has[:, ::-1], axis=1)
-            T = (-minsc[rde]).astype(np.int64) \
-                // max(self.scoring.mm_min, 1)
-            total = pen.sum(axis=1)
-            cpen = np.where(live, cpt[qv], 0)
-            ccl = np.concatenate([np.zeros((len(el), 1), np.int64),
-                                  np.cumsum(cpen, axis=1)], axis=1)
-            pcl = np.concatenate([np.zeros((len(el), 1), np.int64),
-                                  np.cumsum(pen, axis=1)], axis=1)
-            dl = first + 1
-            a5 = -(np.take_along_axis(ccl, dl[:, None], axis=1)[:, 0]
-                   + total - np.take_along_axis(pcl, dl[:, None],
-                                                axis=1)[:, 0])
-            a5 = np.where(anyp & (dl <= T), a5, np.int64(-2 ** 40))
-            dr = L0 - last
-            cut = np.maximum(L0 - dr, 0)
-            tot_c = np.take_along_axis(ccl, L0[:, None], axis=1)[:, 0]
-            a3 = -((tot_c - np.take_along_axis(ccl, cut[:, None],
-                                               axis=1)[:, 0])
-                   + np.take_along_axis(pcl, cut[:, None], axis=1)[:, 0])
-            a3 = np.where(anyp & (dr <= T - 1), a3, np.int64(-2 ** 40))
-            alt = np.maximum(a5, a3)
+            alt = alt_dev[ge].astype(np.int64)
             alt = np.where(alt >= minsc[rde], alt, np.int64(-2 ** 40))
             # a trimmed representation is reported during its candidate's
             # own processing, but still sits behind the sink best gate of
@@ -2049,6 +2115,7 @@ class TPUAligner:
             alt = np.where(alt >= best_before[lane[ge]], alt,
                            np.int64(-2 ** 40))
             alt_of_best[el] = alt
+        tick("zsalt")
         alt_valid = alt_of_best >= minsc[seg_read]
         sec_cand = np.where(seg_len > 1,
                             sc[np.minimum(bnd + 1, len(r) - 1)],
@@ -2093,5 +2160,7 @@ class TPUAligner:
                 spl_dir[gi], junc_known[gi], junc_snp[gi],
                 junc2_kind[gi], junc2_x[gi], junc2_len[gi],
                 junc2_d3[gi], junc2_dir[gi]]
+        tick("finish")
+        tick(None)
         return BatchResult(n_reads=B, orient_ranks=orient_ranks,
                            lanes=lanes_meta, raw={"cols": cols})

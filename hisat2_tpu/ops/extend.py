@@ -125,7 +125,8 @@ def extend_grouped(ref_words, n_text: int, reads, quals, lens,
                    allow_softclip: bool = True,
                    snv_delta1=None, snv_delta2=None,
                    planes: PenPlanes = None,
-                   uniform_len: bool = False) -> ExtendResult:
+                   uniform_len: bool = False,
+                   minsc=None, mm_min: int = 1) -> ExtendResult:
     """reads/quals: int32 [B, L]; lens: int32 [B]; cand_start: int32 [B, C]
     (joined genome start per candidate; negative = invalid).
     mm_pen / clip_pen: int32 [64] per-quality penalty tables.
@@ -179,27 +180,34 @@ def extend_grouped(ref_words, n_text: int, reads, quals, lens,
         clip_r = jnp.where(gr > 0, clip_r, 0)
         score = -(total_pen - gl - gr)
         ok = (clip_l + clip_r) < lnc
-        # --- alternate representation score (ZS semantics): the reference's
-        # trimmed GenomeHits correspond to clipping THROUGH the first/last
-        # penalized column still inside the aligned region (never undoing
-        # the optimal clip).  Their scores surface as secbest (ZS tag).
-        in_aln = (vp & (pen > 0) & (col >= clip_l[:, :, None])
-                  & (col < (lnc - clip_r)[:, :, None]))
-        j_first = jnp.where(in_aln, col, L + 1).min(axis=-1)  # [B, C]
-        has_pen = j_first <= L
-        j_last = jnp.where(in_aln, col, -1).max(axis=-1)
-        a_fm = jnp.minimum(j_first + 1, lnc)                 # clip [0..j_f]
-        b_fm = jnp.where(has_pen, lnc - j_last, 0)           # clip [j_l..)
-
-        def gval(arr, idx):
-            return compact_ops.take_last(arr, idx)
+        # --- alternate representation score (trimmed-representation ZS,
+        # spliced_aligner.h:1065-1105): the reference REPORTS a soft-clipped
+        # copy of a full ungapped best that sheds the outermost penalized
+        # column, when the clip is within trimMax = -minsc / mm_min (trim5)
+        # resp. trimMax - 1 (trim3).  Probe-verified host formula
+        # (align/pipeline.py zsalt block) moved onto the device: the P / Cc
+        # prefix planes are already materialized here, so each variant is a
+        # small gather.  alt is NO_ALT when no penalized column exists or
+        # both trims exceed their bounds; the host applies the remaining
+        # (minsc, sink-best) gates.
         alt = jnp.full((B, C), np.int32(NO_ALT))
-        for a_i, b_i in ((a_fm, clip_r), (clip_l, b_fm), (a_fm, b_fm)):
-            sc_i = -(total_pen - gval(lgs, a_i) - gval(rgs, b_i))
-            distinct = (a_i != clip_l) | (b_i != clip_r)
-            feasible = (a_i + b_i) < lnc
-            alt = jnp.where(distinct & feasible & has_pen,
-                            jnp.maximum(alt, sc_i), alt)
+        if minsc is not None:
+            in_full = vp & (pen > 0)
+            f0 = jnp.where(in_full, col, L + 1).min(axis=-1)   # [B, C]
+            l0 = jnp.where(in_full, col, -1).max(axis=-1)
+            anyp = f0 <= L
+            T = ((-minsc) // np.int32(max(mm_min, 1)))[:, None]  # [B, 1]
+            dl = jnp.minimum(f0 + 1, lnc)
+
+            def gval(arr, idx):
+                return compact_ops.take_last(arr, idx)
+            a5 = -(gval(Cc, dl) + total_pen - gval(P, dl))
+            a5 = jnp.where(anyp & (dl <= T), a5, np.int32(NO_ALT))
+            cut = jnp.maximum(l0, 0)
+            dr = lnc - l0
+            a3 = -((gval(Cc, lnc) - gval(Cc, cut)) + gval(P, cut))
+            a3 = jnp.where(anyp & (dr <= T - 1), a3, np.int32(NO_ALT))
+            alt = jnp.maximum(a5, a3)
     else:
         clip_l = jnp.zeros((B, C), jnp.int32)
         clip_r = jnp.zeros((B, C), jnp.int32)

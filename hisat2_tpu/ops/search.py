@@ -183,7 +183,8 @@ def _partial_search_ref(blocked, fchr, zrow: int, rows: int,
 
 def partial_search(blocked, fchr, zrow: int, rows: int,
                    reads, lens, max_hits: int = 8,
-                   min_hit_len: int = 16, min_k: int = 16) -> PartialHits:
+                   min_hit_len: int = 16, min_k: int = 16,
+                   uniform: bool = False) -> PartialHits:
     """Event-stream formulation of the wavefront search (same result as
     _partial_search_ref, bit-for-bit — see test_search_event_stream).
 
@@ -202,11 +203,16 @@ def partial_search(blocked, fchr, zrow: int, rows: int,
     # right-to-left read chars, precomputed once: step s consumes
     # read[len-1-s].  One full-width gather here replaces L small
     # descriptor-bound gathers inside the scan.
-    colL = jnp.arange(L, dtype=jnp.int32)[None, :]
-    ridx = lens[:, None] - 1 - colL
-    rrev = jnp.where(ridx >= 0,
-                     jnp.take_along_axis(reads, jnp.maximum(ridx, 0),
-                                         axis=1), jnp.int32(4))
+    if uniform:
+        # all lens == L: the reverse-gather is a plain lane reverse,
+        # which XLA lowers to a contiguous copy (no descriptor gather)
+        rrev = reads[:, ::-1]
+    else:
+        colL = jnp.arange(L, dtype=jnp.int32)[None, :]
+        ridx = lens[:, None] - 1 - colL
+        rrev = jnp.where(ridx >= 0,
+                         jnp.take_along_axis(reads, jnp.maximum(ridx, 0),
+                                             axis=1), jnp.int32(4))
 
     def step(state, xs):
         s, c = xs
