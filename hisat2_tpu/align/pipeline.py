@@ -614,14 +614,13 @@ class TPUAligner:
         hv &= jnp.where(islong_h, w <= maxsize, w <= self.short_rows)
         P = max(P, self.short_rows, self.msize)
         j = jnp.arange(P, dtype=jnp.int32)
-        rowm = hits.top[:, :, None] + j[None, None, :]            # [2B,H,P]
         cval = hv[:, :, None] & (j[None, None, :] < w[:, :, None])
-        rows_flat = jnp.where(cval, rowm, 0).reshape(-1)
-        offs = resolve_ops.resolve_rows(
+        offs = resolve_ops.resolve_consecutive(
             d.blocked, d.fchr, d.mark_words, d.mark_chk,
-            d.sa_marked, meta.zrow, meta.off_rate, rows_flat)
+            d.sa_marked, meta.zrow, meta.off_rate,
+            jnp.where(hv, hits.top, 0), P)                        # [2B,H,P]
         lo = hits.lo[:, :, None]                                  # [2B,H,1]
-        starts = (offs.reshape(2 * B, H, P) - lo).reshape(2 * B, H * P)
+        starts = (offs - lo).reshape(2 * B, H * P)
         cv = cval.reshape(2 * B, H * P)
         HP2 = 0
         if self.spliced:
@@ -676,13 +675,12 @@ class TPUAligner:
             P2 = 32 if self.meta.off_rate == 0 else self.short_rows
             hv2 &= w2 <= P2
             j2 = jnp.arange(P2, dtype=jnp.int32)
-            rowm2 = hits2.top[:, :, None] + j2[None, None, :]
             cval2 = hv2[:, :, None] & (j2[None, None, :] < w2[:, :, None])
-            offs2 = resolve_ops.resolve_rows(
+            offs2 = resolve_ops.resolve_consecutive(
                 d.blocked, d.fchr, d.mark_words, d.mark_chk,
                 d.sa_marked, meta.zrow, meta.off_rate,
-                jnp.where(cval2, rowm2, 0).reshape(-1))
-            starts2 = (offs2.reshape(2 * B, H2, P2)
+                jnp.where(hv2, hits2.top, 0), P2)
+            starts2 = (offs2
                        - hits2.lo[:, :, None]).reshape(2 * B, H2 * P2)
             cv2 = cval2.reshape(2 * B, H2 * P2)
             HP2 = H2 * P2

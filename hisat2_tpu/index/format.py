@@ -111,6 +111,19 @@ class FMIndex:
         import jax.numpy as jnp
         arrs = self.arrays()
         arrs["blocked"] = fuse_blocked(self.occ, self.bwt_words)
+        # pad ref_words to a multiple of 8: ref_chars_block then gathers
+        # 8-word ROWS (2 descriptors per diagonal) instead of 8 scalar
+        # words — the TPU gather path is descriptor-bound (ops/rank.py)
+        rw = np.asarray(arrs["ref_words"])
+        if len(rw) % 8:
+            arrs["ref_words"] = np.concatenate(
+                [rw, np.zeros(8 - len(rw) % 8, rw.dtype)])
+        # same for the full SA (off_rate == 0): resolve_consecutive
+        # gathers 8-entry rows of consecutive SA values
+        sm = np.asarray(arrs["sa_marked"])
+        if self.meta.off_rate == 0 and len(sm) % 8:
+            arrs["sa_marked"] = np.concatenate(
+                [sm, np.zeros(8 - len(sm) % 8, sm.dtype)])
         if device is not None:
             kw = {k: jax.device_put(np.asarray(v), device)
                   for k, v in arrs.items()}

@@ -120,21 +120,37 @@ def ref_chars_block(ref_words, n_text: int, start, L: int):
 
     One scalar word-gather per CHAR (ref_char over a [N,C,L] position
     grid) is descriptor-bound on TPU; this gathers each diagonal's
-    ceil(L/16)+1 packed words as an index-arithmetic row and extracts the
-    chars with an 8-way one-hot select + shift — pure VPU work."""
+    packed words and extracts the chars with a one-hot select + shift —
+    pure VPU work.  When ref_words is padded to a multiple of 8 (done by
+    FMIndex.to_device), the gather fetches 8-word ROWS: the span of
+    W + 7 <= 15 consecutive words always fits in 2 rows, so each
+    diagonal costs 2 gather descriptors instead of W (the select widens
+    to 16 one-hots, but that is cheap VPU work)."""
     W = L // 16 + 2
     w0 = start >> 4                                       # [..., C]
     rel = (start & 15)[..., None]                         # char offset in w0
-    woff = jnp.arange(W, dtype=jnp.int32)
     nw = ref_words.shape[0]
-    widx = jnp.clip(w0[..., None] + woff, 0, nw - 1)
-    words = ref_words[widx]                               # [..., C, W]
     t = jnp.arange(L, dtype=jnp.int32)
     bitpos = rel + t                                      # broadcast [..., L]
-    wsel = bitpos >> 4                                    # [..., C, L] in [0,W)
     sh = (2 * (bitpos & 15)).astype(jnp.uint32)
+    if nw % 8 == 0:
+        nr = nw // 8
+        NR = (W + 7) // 8 + 1       # rows covering W words at any offset
+        rows = ref_words.reshape(nr, 8)
+        r0 = w0 >> 3
+        roff = jnp.arange(NR, dtype=jnp.int32)
+        ridx = jnp.clip(r0[..., None] + roff, 0, nr - 1)
+        words = rows[ridx].reshape(w0.shape + (NR * 8,))  # [..., C, NR*8]
+        wsel = (w0 & 7)[..., None] + (bitpos >> 4)        # in [0, NR*8)
+        NW = NR * 8
+    else:
+        woff = jnp.arange(W, dtype=jnp.int32)
+        widx = jnp.clip(w0[..., None] + woff, 0, nw - 1)
+        words = ref_words[widx]                           # [..., C, W]
+        wsel = bitpos >> 4                                # in [0, W)
+        NW = W
     sel = jnp.zeros(wsel.shape[:-1] + (L,), jnp.uint32)
-    for wi in range(W):
+    for wi in range(NW):
         sel = jnp.where(wsel == wi, words[..., wi:wi + 1], sel)
     ch = ((sel >> sh) & np.uint32(3)).astype(jnp.int32)
     pos = start[..., None] + t

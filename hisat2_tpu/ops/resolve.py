@@ -87,6 +87,37 @@ def resolve_rows(blocked, fchr, mark_words, mark_chk, sa_marked,
     return off
 
 
+def resolve_consecutive(blocked, fchr, mark_words, mark_chk, sa_marked,
+                        zrow: int, off_rate: int, top, P: int):
+    """SA values for the CONSECUTIVE rows top..top+P-1 per lane/hit.
+
+    top: int32 [...]; returns [..., P] joined offsets.  On full-SA
+    indexes (off_rate == 0, sa_marked padded to a multiple of 8 by
+    to_device) the P consecutive entries come from ceil(P/8)+1 gathered
+    8-entry ROWS — ~P/3 fewer gather descriptors than the flat
+    per-element gather, which is the descriptor-bound hot op of the
+    resolve stage.  Sampled-SA indexes fall back to the lock-step walk."""
+    j = jnp.arange(P, dtype=jnp.int32)
+    ns = sa_marked.shape[0]
+    if off_rate == 0 and ns % 8 == 0:
+        nr = ns // 8
+        NR = (P + 7) // 8 + 1
+        rows = sa_marked.reshape(nr, 8)
+        r0 = jnp.minimum(top, ns - 1) >> 3
+        roff = jnp.arange(NR, dtype=jnp.int32)
+        ridx = jnp.clip(r0[..., None] + roff, 0, nr - 1)
+        words = rows[ridx].reshape(top.shape + (NR * 8,))
+        wsel = (jnp.minimum(top, ns - 1) & 7)[..., None] + j
+        out = jnp.zeros(top.shape + (P,), sa_marked.dtype)
+        for wi in range(NR * 8):
+            out = jnp.where(wsel == wi, words[..., wi:wi + 1], out)
+        return out
+    rowm = top[..., None] + j
+    flat = resolve_rows(blocked, fchr, mark_words, mark_chk, sa_marked,
+                        zrow, off_rate, rowm.reshape(-1))
+    return flat.reshape(rowm.shape)
+
+
 def joined_to_ref(frag_joined, frag_ref, frag_off, pos, span):
     """Map joined [pos, pos+span) -> (ref_id, ref_offset, in_bounds).
 
