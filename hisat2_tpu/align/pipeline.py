@@ -715,37 +715,53 @@ class TPUAligner:
             lkey = jnp.where(cv & align_slot, starts,
                              np.int32(2 ** 31 - 2))
             lsort = jnp.sort(lkey, axis=1)[:, :8]
-            near = jnp.any(
-                jnp.abs(starts[:, :, None] - lsort[:, None, :])
-                <= self.scoring.max_intron_len, axis=2)
+            adist = jnp.abs(starts[:, :, None]
+                            - lsort[:, None, :]).min(axis=2)
+            near = adist <= self.scoring.max_intron_len
             cv &= align_slot | near
         # compaction key: align-capable candidates claim slots first
         # (sweep-only short/wide anchors must not crowd out real diagonals)
         is_short = ~align_slot
         SENT = np.int32(2 ** 31 - 2)
-        key = jnp.where(cv, starts + jnp.where(is_short, SHORTBIT, 0),
-                        SENT)
-        # keep the first occurrence of each distinct key, compacted in
-        # ascending key order — same result as a sort+argsort+gather chain,
-        # but as masked reductions (TPU's take_along_axis/sort path costs
-        # ~4 ms per call at this shape; see ops/compact.py)
-        Jk = key.shape[1]
-        kj = key[:, :, None]                                  # [2B, J, 1]
-        kk = key[:, None, :]                                  # [2B, 1, J]
+        ident = jnp.where(cv, starts + jnp.where(is_short, SHORTBIT, 0),
+                          SENT)
+        if self.spliced:
+            # sweep-only slots rank by distance to the nearest
+            # align-capable diagonal, NOT by absolute position: the
+            # reference's local search produces only window-local
+            # diagonals (hgfm.h:1553+ local index around the anchor), so
+            # when short-segment rows outnumber the candidate slots the
+            # window-local ones — the only ones the junction sweep can
+            # join — must claim the slots first
+            skey = jnp.where(cv, jnp.where(
+                is_short, SHORTBIT + jnp.minimum(adist, SHORTBIT - 1),
+                starts), SENT)
+        else:
+            skey = ident
+        # keep the first occurrence of each distinct diagonal, compacted
+        # in ascending (skey, slot) order — same result as a
+        # sort+argsort+gather chain, but as masked reductions (TPU's
+        # take_along_axis/sort path costs ~4 ms per call at this shape;
+        # see ops/compact.py)
+        Jk = ident.shape[1]
+        kj = ident[:, :, None]                                # [2B, J, 1]
+        kk = ident[:, None, :]                                # [2B, 1, J]
         tril = np.tril(np.ones((Jk, Jk), bool), -1)[None]     # k < j
-        kept = (key != SENT) & ~jnp.any((kk == kj) & tril, axis=2)
+        kept = (ident != SENT) & ~jnp.any((kk == kj) & tril, axis=2)
+        sj = skey[:, :, None]
+        sk = skey[:, None, :]
         krank = jnp.where(
             kept,
-            ((kk < kj) & kept[:, None, :]).sum(axis=2, dtype=jnp.int32),
+            (((sk < sj) | ((sk == sj) & tril)) & kept[:, None, :]
+             ).sum(axis=2, dtype=jnp.int32),
             np.int32(Jk))
         C = self.max_cands
         csel = (krank[:, None, :]
                 == jnp.arange(C, dtype=jnp.int32)[None, :, None]) \
             & kept[:, None, :]
-        ckey = compact_ops.select_ranked(csel, key, fill=int(SENT))
         cvalid = jnp.any(csel, axis=2)
-        cstart = ckey & (SHORTBIT - 1)
-        cshort = ckey >= SHORTBIT
+        cstart = compact_ops.select_ranked(csel, starts)
+        cshort = compact_ops.select_ranked(csel, is_short)
         # a diagonal present as both long and short keeps only the long slot
         dup_short = cshort & jnp.any(
             (cstart[:, :, None] == cstart[:, None, :])
