@@ -1893,6 +1893,7 @@ class TPUAligner:
         # rounds per orientation; candidates born in later rounds are never
         # generated.  `ab` = non-unique rounds before a candidate's earliest
         # source segment.
+        selfgap_shadow = np.full(B, -2 ** 40, np.int64)
         vsel = np.flatnonzero(valid)
         if vsel.size:
             r_v = read_of_lane[vsel]
@@ -1911,7 +1912,45 @@ class TPUAligner:
             # a strictly-worse gap once a better alignment exists (verified
             # vs oracle: an equal-score remote 32M1D68M IS reported, a
             # worse-by-2 remote 86M1I13M is not and never feeds ZS)
-            keep_v &= ~(selfgap[vsel] & (sc_v < bestr[r_v]))
+            sg_sup = selfgap[vsel] & (sc_v < bestr[r_v])
+            keep_v &= ~sg_sup
+            # ...but a worse gap join that is a representation of the BEST
+            # placement's own region (diagonals differ by at most the gap
+            # length) IS evaluated by the reference — extending that anchor
+            # produces both forms — and its score feeds secbest/ZS without
+            # ever being reported (oracle: 92M8S AS:-16 ZS:-17 where -17
+            # is the suppressed 92M4D8M of the same locus; a gap at any
+            # OTHER region never feeds ZS — the best-first search never
+            # pursues it)
+            # ...gated by the reference's local-search flank floors (the
+            # gap must be reachable: head flank >= minAnchorLen, or for a
+            # TAIL flank >= 8 read chars (del) / >= 9 genome chars (ins)
+            # — oracle probe: a 6-char del tail or a 4bp-ins-in-6 tail is
+            # never evaluated, so it must not feed ZS either)
+            sup_i = np.flatnonzero(sg_sup & (sc_v >= minsc[r_v]))
+            for j in sup_i:
+                rj = r_v[j]
+                cj = vsel[j]
+                Lr = int(lens[rj])
+                x = int(junc_x[cj])
+                gl = int(junc_len[cj])
+                if x <= Lr - x:           # head-side flank
+                    if x < 7:
+                        continue
+                elif junc_kind[cj] == splice_ops.KIND_INS:
+                    if Lr - x - max(-gl, 0) < 9:
+                        continue
+                elif Lr - x < 8:          # tail-side del
+                    continue
+                # the gap is only pursued off a CLIPPED best (an ungapped
+                # extension with an unexplained tail); a clean best ends
+                # the region's evaluation before any gap
+                near_best = isb_v & (r_v == rj) \
+                    & ((clip_l[vsel] + clip_r[vsel]) > 0) & (
+                    np.abs(starts[vsel] - starts[vsel[j]]) <= 64)
+                if near_best.any():
+                    selfgap_shadow[rj] = max(selfgap_shadow[rj],
+                                             int(sc_v[j]))
             # post-anchor-stop candidates exist only when the pre-stop
             # anchor's extension leaves part of the read uncovered
             # (hybridSearch re-search); a full-coverage candidate in the
@@ -1946,9 +1985,15 @@ class TPUAligner:
             v_s0 = np.take_along_axis(v_m, ordm0, axis=1)
             sc_s0 = np.take_along_axis(sc_m0, ordm0, axis=1)
             R0 = multi0.size
+            jk_s0 = np.take_along_axis(jk_m0, ordm0, axis=1)
+            cl_s0 = np.take_along_axis(
+                (clip_l + clip_r).astype(np.int64).reshape(
+                    2 * B, Km0)[multi0], ordm0, axis=1)
             kept0 = np.zeros((R0, Km0), bool)
             kept_pos0 = np.full((R0, Km0), -2 ** 60, np.int64)
             kept_sc0 = np.full((R0, Km0), -2 ** 40, np.int64)
+            kept_gap0 = np.zeros((R0, Km0), bool)
+            minsc_m0 = minsc[multi0 % B]
             for r in range(Km0):
                 # rows are sorted valid-(score desc)-first: the first column
                 # with no valid entry anywhere ends the scan
@@ -1956,12 +2001,36 @@ class TPUAligner:
                     break
                 cand = s_s0[:, r]
                 csc = sc_s0[:, r]
-                near = ((np.abs(kept_pos0 - cand[:, None]) <= W)
-                        & (kept_sc0 > csc[:, None])).any(axis=1)
+                dk = np.abs(kept_pos0 - cand[:, None])
+                better = kept_sc0 > csc[:, None]
+                near = ((dk <= W) & better).any(axis=1)
                 keep_r = v_s0[:, r] & ~near
                 kept0[:, r] = keep_r
+                # a merged-away representation of the SAME region (the
+                # reference's ungapped anchor extension vs its gap join;
+                # diagonals differ by at most the gap length) was still
+                # EVALUATED by the reference: its score feeds secbest/ZS
+                # (oracle: 90M2I8M AS:-11 ZS:-18, -18 = the merged clip
+                # form); remote merged candidates never feed ZS
+                # ...ungapped forms only: a merged gapped/spliced variant
+                # (e.g. the novel-penalized twin of a known-injected
+                # junction) is the SAME evaluation in the reference, not a
+                # second one.  The clip form fires only with a clip of
+                # trimMax-1..trimMax (= 9..10 at defaults) — oracle probe:
+                # gap-best with clip form 8 or >= 11 shows no ZS, 9-10 do
+                # (the trim5/trim3 re-report branch is what surfaces it)
+                tmax0 = np.maximum(-minsc_m0, 0) \
+                    // max(self.scoring.mm_min, 1)
+                sup_r = v_s0[:, r] & near & (csc >= minsc_m0) \
+                    & (jk_s0[:, r] == 0) \
+                    & (cl_s0[:, r] >= tmax0 - 1) & (cl_s0[:, r] <= tmax0) \
+                    & ((dk <= 64) & better & kept_gap0).any(axis=1)
+                if sup_r.any():
+                    np.maximum.at(selfgap_shadow, multi0[sup_r] % B,
+                                  csc[sup_r])
                 kept_pos0[:, r] = np.where(keep_r, cand, np.int64(-2 ** 60))
                 kept_sc0[:, r] = np.where(keep_r, csc, np.int64(-2 ** 40))
+                kept_gap0[:, r] = keep_r & (jk_s0[:, r] != 0)
             vm0 = np.zeros((R0, Km0), bool)
             np.put_along_axis(vm0, ordm0, kept0, axis=1)
             validm0[multi0] &= vm0          # writes through into `valid`
@@ -1979,6 +2048,16 @@ class TPUAligner:
         if not paired and lanes_meta is not None and self.graph is None:
             valid, best_before, orient_ranks = self._eval_order_suppress(
                 valid, score, junc_kind, lanes_meta, lens, minsc, B, K)
+        elif not paired and lanes_meta is not None:
+            # graph runs skip the full interleave replay, but the
+            # orientation completion order (whose align() reports first,
+            # hence the multimap pool order) still follows the non-unique
+            # round counts: fewer rounds completes first, fw on ties
+            # (fitted 70/78 on strand-mixed fuzz multimap primaries)
+            rn = np.asarray(lanes_meta["h_rn"]).astype(np.int64)
+            fw_first = rn[:B] <= rn[B:]
+            orient_ranks = np.where(fw_first[:, None],
+                                    np.array([[0, 1]]), np.array([[1, 0]]))
 
         tick("evalorder")
         # redundancy rule (HI_Aligner::redundant): a candidate whose
@@ -1996,7 +2075,7 @@ class TPUAligner:
         # reads with >= 2 surviving candidates can suppress anything — the
         # column scan runs on that (few-%) row subset only
         vread = np.concatenate([validm[:B], validm[B:]], axis=1)  # [B, 2Km]
-        shadow_sec = np.full(B, -2 ** 40, np.int64)
+        shadow_sec = selfgap_shadow.copy()
         rsel = np.flatnonzero(vread.sum(axis=1) >= 2)
         if rsel.size:
             rsel2 = np.concatenate([rsel, rsel + B])   # both lanes

@@ -174,7 +174,8 @@ def _suffix_cmp(ref_codes, pa: int, pb: int) -> int:
 def _report_ranks(top, ref_codes, orient_rank=None):
     """Report indices for an equal-score group: orientation completion
     order first (align() runs when a lane's search finishes — the
-    interleave replay provides the order; fw-first when unknown), then
+    interleave replay provides the order for linear runs, the
+    round-count rule for graph runs; fw-first when truly unknown), then
     SA-row order = suffix order at the alignment's joined start."""
     import functools
 
