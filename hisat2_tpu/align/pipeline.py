@@ -40,6 +40,11 @@ from . import mapq as mapq_mod
 from .scoring import Scoring
 
 
+class SpillOverflow(Exception):
+    """A spill-layout batch had more valid non-head slots than its S=2B
+    spill rows (multimap-saturated input); callers re-run full_out."""
+
+
 @dataclasses.dataclass
 class Alignment:
     """One reported alignment (AlnRes equivalent, aligner_result.h).
@@ -387,9 +392,11 @@ class TPUAligner:
         # the TPU may sit behind a network tunnel: 20+ small D2H copies
         # dominate wall time, so the device step returns ONE packed int32
         # buffer (floats bit-cast) fetched in a single transfer
-        self._out_specs = None
-        self._device_step = jax.jit(self._align_device_packed,
-                                    static_argnames=("uniform", "h2d"))
+        self._out_specs = {}
+        self._spill_meta = {}
+        self._device_step = jax.jit(
+            self._align_device_packed,
+            static_argnames=("uniform", "h2d", "full_out"))
         # two-pass spliced pipeline: a DNA-mode twin handles the fast
         # common case (ungapped / known-indel); the full junction
         # machinery runs only on the subset of reads whose best pass-1
@@ -406,7 +413,8 @@ class TPUAligner:
                 _ref_codes=self.ref_codes)
 
     def _align_device_packed(self, d, params, reads, quals, lens, minsc,
-                             rdids=None, ss=None, uniform=False, h2d=None):
+                             rdids=None, ss=None, uniform=False, h2d=None,
+                             full_out=False):
         # H2D over the tunnel is ~25 MB/s: the hot path (dispatch/_run_batch)
         # uploads 2-bit code words + an N bitmask (h2d=(L, const_q)), ~6x
         # smaller than uint8 codes+quals; tests may still pass uint8 [B, L]
@@ -431,12 +439,13 @@ class TPUAligner:
                 quals = jnp.broadcast_to(quals.astype(jnp.int32), (B, L))
         out = self._align_device(d, params, reads.astype(jnp.int32),
                                  quals.astype(jnp.int32), lens, minsc,
-                                 rdids, ss, uniform=uniform)
+                                 rdids, ss, uniform=uniform,
+                                 full_out=full_out)
         # D2H is the tunnel bottleneck: genome positions and round logs
         # stay int32, scores travel int16 (2/word), and small counters /
         # flags / read offsets travel int8 (4/word)
         I32 = {"u_d1", "u_d2", "u_event", "h_rounds",
-               "q2_d", "q2_bd1", "q2_bd2"}
+               "q2_d", "q2_bd1", "q2_bd2", "sp_src", "sp_w", "sp_ev"}
         # read-length-bounded fields fit int8 only for short reads (L is
         # static at trace time)
         L = reads.shape[1]
@@ -484,8 +493,14 @@ class TPUAligner:
                        | ((qcat[:, 2::4] & 0xFF) << 16)
                        | (qcat[:, 3::4] << 24))
             cols.append(packed8)
-        self._out_specs = specs          # static; set at trace time
-        return jnp.concatenate(cols, axis=1)
+        buf = jnp.concatenate(cols, axis=1)
+        # static; set at trace time.  Keyed by packed width so the spill
+        # and full_out layouts of the same aligner can coexist
+        self._out_specs[buf.shape[1]] = specs
+        self._spill_meta[buf.shape[1]] = getattr(
+            self, "_traced_spill_mdev", None)
+        self._traced_spill_mdev = None
+        return buf
 
     @staticmethod
     def _pack_h2d(codes: np.ndarray, quals: np.ndarray,
@@ -519,12 +534,13 @@ class TPUAligner:
 
     def _fetch_out(self, packed) -> dict:
         buf = np.asarray(packed)         # ONE device->host transfer
+        specs = self._out_specs[buf.shape[1]]
         out = {}
         off = 0
         # transfer layout: int32 columns, then int16 halves, then int8 quads
-        n16 = sum(w for *_, w, m in self._out_specs if m == "i16")
-        n8 = sum(w for *_, w, m in self._out_specs if m == "i8")
-        w32 = sum(w for *_, w, m in self._out_specs if m == "i32")
+        n16 = sum(w for *_, w, m in specs if m == "i16")
+        n8 = sum(w for *_, w, m in specs if m == "i8")
+        w32 = sum(w for *_, w, m in specs if m == "i32")
         if n16:
             words = buf[:, w32:w32 + (n16 + 1) // 2]
             lo = (words << 16) >> 16            # sign-extended low half
@@ -542,7 +558,7 @@ class TPUAligner:
             quads[:, 2::4] = (qw << 8) >> 24
             quads[:, 3::4] = qw >> 24
         off16 = off8 = 0
-        for k, dt, shape, w, mode in self._out_specs:
+        for k, dt, shape, w, mode in specs:
             if mode == "i32":
                 v = np.ascontiguousarray(buf[:, off:off + w])
                 off += w
@@ -561,11 +577,52 @@ class TPUAligner:
                 # restore clamped invalid-score sentinels
                 v = np.where(v == -32768, np.int32(-(2 ** 30)), v)
             out[k] = v
+        if "sp_src" in out:
+            out = self._unspill(out, self._spill_meta[buf.shape[1]])
         return out
+
+    @staticmethod
+    def _unspill(o, Mdev):
+        """Reconstruct dense [2B, Mdev] u_* arrays from the spill D2H
+        layout (2 dense head slots + S compacted spill rows)."""
+        src = o.pop("sp_src")                       # [S]
+        spw = o.pop("sp_w")                         # [S, 4]
+        spev = o.pop("sp_ev", None)
+        if src.size and src[-1] == -2:
+            raise SpillOverflow
+        lanes2 = o["u_score"].shape[0]
+        Msp = Mdev - 2
+        sel = src >= 0
+        s2 = src[sel]
+        ln = s2 // Msp
+        sl = 2 + s2 % Msp
+
+        def full(head, fill, dec):
+            a = np.full((lanes2, Mdev), fill, np.int32)
+            a[:, :2] = head
+            a[ln, sl] = dec
+            return a
+
+        w0, w1, w2, w3 = (spw[sel, i] for i in range(4))
+        o["u_d1"] = full(o["u_d1"], 0, w0)
+        o["u_score"] = full(o["u_score"], -(2 ** 30),
+                            ((w1 & 0xFFFF) ^ 0x8000) - 0x8000)
+        o["u_flags"] = full(o["u_flags"], 0, (w1 >> 16) & 0x7F)
+        o["u_ab"] = full(o["u_ab"], 127, (w1 >> 24) & 0x7F)
+        o["u_clip_l"] = full(o["u_clip_l"], 0, w2 & 0xFF)
+        o["u_clip_r"] = full(o["u_clip_r"], 0, (w2 >> 8) & 0xFF)
+        o["u_n_mm"] = full(o["u_n_mm"], 0, (w2 >> 16) & 0xFF)
+        o["u_n_n"] = full(o["u_n_n"], 0, (w2 >> 24) & 0x7F)
+        o["u_x"] = full(o["u_x"], 0, w3 & 0xFF)
+        o["u_dd"] = full(o["u_dd"], 0,
+                         (((w3 >> 8) & 0xFF) ^ 0x80) - 0x80)
+        if spev is not None:
+            o["u_event"] = full(o["u_event"], -1, spev[sel])
+        return o
 
     # ------------------------------------------------------------------
     def _align_device(self, d, params, reads, quals, lens, minsc,
-                      rdids=None, ss=None, uniform=False):
+                      rdids=None, ss=None, uniform=False, full_out=True):
         """Device computation for one batch: [B, L] -> candidate dict.
 
         Lanes 0..B-1 are forward, B..2B-1 reverse-complement.
@@ -1062,7 +1119,9 @@ class TPUAligner:
         # slots with the SAME ordering key, so truncating to 10 on device
         # is lossless
         Mdev = min(Ktot, max(10, self.msize + 2))
-        if Mdev < Ktot:
+        use_spill = (not full_out) and (not sp.allow_spliced) \
+            and Mdev > 2
+        if Mdev < Ktot or use_spill:
             skey = jnp.where(uni["valid"] > 0, -uni["score"],
                              np.int32(2 ** 31 - 1))
             # stable top-Mdev by (valid desc, score desc) without the
@@ -1074,6 +1133,14 @@ class TPUAligner:
                     == jnp.arange(Mdev, dtype=jnp.int32)[None, :, None])
             uni = {k2: compact_ops.select_ranked(msel, v2)
                    for k2, v2 in uni.items()}
+        # D2H shrink: the trimmed-representation alt score is consumed
+        # only for a lane's BEST candidate (the host zsalt gate fires for
+        # a read's sole best only; equal-score multimaps get their ZS
+        # from the second placement instead) — ship one i16 per lane,
+        # not per slot
+        bslot = jnp.argmax(jnp.where(uni["valid"] > 0, uni["score"],
+                                     np.int32(-2 ** 30)), axis=1)
+        uni["alt"] = compact_ops.take_cols(uni["alt"], bslot[:, None])
         # D2H shrink: 4 single-bit fields + the (kind, spldir) pair pack
         # into one byte per slot; spldir is only ever nonzero for splice
         # joins, so the pair has 8 reachable values (3 bits)
@@ -1088,6 +1155,48 @@ class TPUAligner:
             # so the second diagonal ships as a byte delta
             uni["dd"] = uni["d2"] - uni["d1"]
             del uni["d2"]
+        if use_spill:
+            # SPILL D2H layout: slots are valid-first/score-desc and only
+            # a few % are valid on real corpora — ship slots 0-1 dense
+            # and compact the remaining valid slots into S = 2B spill
+            # rows of 4 packed words (+1 word on graph indexes for the
+            # ALT-event row).  An overflow (multimap-saturated batch,
+            # > S valid spill slots) is flagged in the last sp_src row
+            # and the host re-runs the batch with full_out=True.
+            Msp = Mdev - 2
+            S = 2 * B
+            spmask = (uni["flags"][:, 2:] & 1) > 0
+            flatm = spmask.reshape(-1)
+            fidx = jnp.arange(2 * B * Msp, dtype=jnp.int32)
+            BIGI = np.int32(2 ** 30)
+            src = jnp.sort(jnp.where(flatm, fidx, BIGI))
+            src = src[:S] if src.shape[0] >= S else jnp.concatenate(
+                [src, jnp.full(S - src.shape[0], BIGI, jnp.int32)])
+            n_sp = flatm.sum()
+            src = jnp.where(src >= BIGI, np.int32(-1), src)
+            src = src.at[S - 1].set(
+                jnp.where(n_sp > S, np.int32(-2), src[S - 1]))
+            g = jnp.maximum(src, 0)
+            tk = lambda a: a[:, 2:].reshape(-1)[g]  # noqa: E731
+            sc16 = jnp.clip(uni["score"], -32768, 32767)
+            w0 = tk(uni["d1"])
+            w1 = (tk(sc16) & 0xFFFF) \
+                | ((tk(uni["flags"]) & 0x7F) << 16) \
+                | (jnp.clip(tk(uni["ab"]), 0, 127) << 24)
+            w2 = (jnp.clip(tk(uni["clip_l"]), 0, 255) & 0xFF) \
+                | ((jnp.clip(tk(uni["clip_r"]), 0, 255) & 0xFF) << 8) \
+                | ((jnp.clip(tk(uni["n_mm"]), 0, 255) & 0xFF) << 16) \
+                | (jnp.clip(tk(uni["n_n"]), 0, 127) << 24)
+            w3 = (jnp.clip(tk(uni["x"]), 0, 255) & 0xFF) \
+                | ((tk(uni["dd"]) & 0xFF) << 8)
+            out["sp_src"] = src
+            out["sp_w"] = jnp.stack([w0, w1, w2, w3], axis=1)
+            if "event" in uni:
+                out["sp_ev"] = tk(uni["event"])
+            self._traced_spill_mdev = Mdev
+            for k2 in list(uni):
+                if k2 != "alt":
+                    uni[k2] = uni[k2][:, :2]
         for k2, v2 in uni.items():
             out["u_" + k2] = v2
         # the base-block per-slot fields are superseded by the unified set
@@ -1331,20 +1440,43 @@ class TPUAligner:
         ver = self.splice_db.n_sites if self.splice_db is not None else 0
         rd, qd, h2d = self._pack_h2d(np.asarray(codes), np.asarray(quals),
                                      np.asarray(lens), minsc)
-        packed = [self._device_step(
-            dev, {**self.params, **self.shard_params[i]}, rd, qd,
-            None, None,
-            jnp.asarray(rdids, jnp.int32) if self.spliced else None,
-            (self.splice_db.device_tables(b, dev.meta.n)
-             if self.spliced else None), uniform=uniform, h2d=h2d)
-            for i, (dev, b) in enumerate(zip(self.devs,
-                                             self.shard_bases))]
+        packed = self._dispatch_packed(rd, qd, rdids, uniform, h2d)
         for pk in packed:
             # enqueue the D2H copy NOW, before the next batch's compute is
             # dispatched — otherwise the (serialized) transfer queues
             # behind it and collect() stalls a full device step
             pk.copy_to_host_async()
         return (packed, codes, quals, lens, rdids, minsc, ver)
+
+    def _dispatch_packed(self, rd, qd, rdids, uniform, h2d,
+                         full_out=False):
+        return [self._device_step(
+            dev, {**self.params, **self.shard_params[i]}, rd, qd,
+            None, None,
+            jnp.asarray(rdids, jnp.int32) if self.spliced else None,
+            (self.splice_db.device_tables(b, dev.meta.n)
+             if self.spliced else None), uniform=uniform, h2d=h2d,
+            full_out=full_out)
+            for i, (dev, b) in enumerate(zip(self.devs,
+                                             self.shard_bases))]
+
+    def _merge_or_respill(self, packed, codes, quals, lens, rdids):
+        """_merge_shards, falling back to a full_out re-dispatch when a
+        spill-layout batch overflowed its S = 2B spill rows (multimap-
+        saturated batches; compiles the full layout lazily, once)."""
+        try:
+            return self._merge_shards(packed)
+        except SpillOverflow:
+            minsc = np.array(
+                [self.scoring.min_score(int(l)) for l in lens], np.int64)
+            uniform = bool(np.all(np.asarray(lens) == codes.shape[1]))
+            rd, qd, h2d = self._pack_h2d(
+                np.asarray(codes), np.asarray(quals),
+                np.asarray(lens), minsc)
+            if rdids is None:
+                rdids = np.arange(codes.shape[0], dtype=np.int64)
+            return self._merge_shards(self._dispatch_packed(
+                rd, qd, rdids, uniform, h2d, full_out=True))
 
     def collect(self, handle, paired: bool = False) -> BatchResult:
         """Finish a dispatched batch: fetch, run the host phase, and (in
@@ -1353,8 +1485,9 @@ class TPUAligner:
         if isinstance(handle, tuple) and handle and handle[0] == "2pass":
             return self._collect_two_pass(handle, paired)
         packed, codes, quals, lens, rdids, minsc, ver = handle
-        res = self._host_phase(self._merge_shards(packed), codes, quals,
-                               lens, minsc, paired=paired)
+        res = self._host_phase(
+            self._merge_or_respill(packed, codes, quals, lens, rdids),
+            codes, quals, lens, minsc, paired=paired)
         if not self.spliced or self.splice_db is None:
             return res
         for _ in range(4):
@@ -1550,16 +1683,10 @@ class TPUAligner:
         uniform = bool(np.all(np.asarray(lens) == codes.shape[1]))
         rd, qd, h2d = self._pack_h2d(np.asarray(codes), np.asarray(quals),
                                      np.asarray(lens), minsc)
-        packed = [self._device_step(
-            dev, {**self.params, **self.shard_params[i]}, rd, qd,
-            None, None,
-            jnp.asarray(rdids, jnp.int32) if self.spliced else None,
-            (self.splice_db.device_tables(b, dev.meta.n)
-             if self.spliced else None), uniform=uniform, h2d=h2d)
-            for i, (dev, b) in enumerate(zip(self.devs,
-                                             self.shard_bases))]
-        return self._host_phase(self._merge_shards(packed), codes, quals,
-                                lens, minsc)
+        packed = self._dispatch_packed(rd, qd, rdids, uniform, h2d)
+        return self._host_phase(
+            self._merge_or_respill(packed, codes, quals, lens, rdids),
+            codes, quals, lens, minsc)
 
     def _eval_order_suppress(self, valid, score, junc_kind, lanes_meta,
                              lens, minsc, B, K):
@@ -1748,7 +1875,17 @@ class TPUAligner:
         junc2_x = flat(np.zeros((2 * B, U)), q_j2x)
         junc2_d3 = flat(o_np["u_d2"], q_j2d3)
         junc2_dir = flat(np.zeros((2 * B, U)), q_j2dir)
-        alt_dev = flat(o_np["u_alt"],
+        # u_alt ships one value per LANE per shard (its best slot's
+        # trimmed-rep score); scatter it back to the lane's globally best
+        # slot (same argmax as the device ran per shard)
+        NOALT = -(2 ** 30)
+        us_b = np.where(o_np["u_valid"] > 0, o_np["u_score"], NOALT)
+        bs_b = us_b.argmax(axis=1)
+        lrange = np.arange(2 * B)
+        ualt_full = np.full((2 * B, U), NOALT, o_np["u_alt"].dtype)
+        ualt_full[lrange, bs_b] = o_np["u_alt"][
+            lrange, bs_b // (U // o_np["u_alt"].shape[1])]
+        alt_dev = flat(ualt_full,
                        np.full((2 * B, Q), -(2 ** 30)) if Q else None)
         # map indel-event table rows to VariantDB snp indices
         # u_event was mapped to GLOBAL VariantDB rows in _merge_shards
@@ -2030,7 +2167,11 @@ class TPUAligner:
                                   csc[sup_r])
                 kept_pos0[:, r] = np.where(keep_r, cand, np.int64(-2 ** 60))
                 kept_sc0[:, r] = np.where(keep_r, csc, np.int64(-2 ** 40))
-                kept_gap0[:, r] = keep_r & (jk_s0[:, r] != 0)
+                # DEL/INS bests only: a SPLICED best's clip form is never
+                # re-reported (oracle: 90M200N10M AS:0 carries no ZS)
+                kept_gap0[:, r] = keep_r & (
+                    (jk_s0[:, r] == splice_ops.KIND_DEL)
+                    | (jk_s0[:, r] == splice_ops.KIND_INS))
             vm0 = np.zeros((R0, Km0), bool)
             np.put_along_axis(vm0, ordm0, kept0, axis=1)
             validm0[multi0] &= vm0          # writes through into `valid`

@@ -51,7 +51,8 @@ def test_sharded_matches_single_device(small_index):
     r, q, l, ms, ri = pmesh.shard_batch(m, reads, quals, lens, minsc, rdids)
     sharded, n_cand = step(d, params, r, q, l, ms, ri, ss_r)
     jax.block_until_ready(n_cand)
-    modes = {spec[0]: spec[-1] for spec in al._out_specs}
+    modes = {spec[0]: spec[-1]
+             for spec in next(iter(al._out_specs.values()))}
     for k in single:
         sh = np.asarray(sharded[k])
         if modes.get(k) == "i16" and sh.dtype.kind in "iu":
