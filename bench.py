@@ -95,14 +95,19 @@ def main(config: int = 1):
                           aligner.ref_codes,
                           finalize=lambda i: read_alignments(res.raw, i))
 
-    pending = None
+    # DEPTH-deep dispatch pipeline: the tunnel's per-roundtrip latency is
+    # highly variable (0.03-0.4 s); keeping several batches in flight
+    # hides it behind device compute + host rendering
+    from collections import deque
+    DEPTH = 3
+    pend = deque()
     for _ in range(K):
-        h = aligner.dispatch(codes, quals, lens)
-        if pending is not None:
-            emit(pending)
-        pending = h
+        pend.append(aligner.dispatch(codes, quals, lens))
+        if len(pend) >= DEPTH:
+            emit(pend.popleft())
         total += B
-    emit(pending)
+    while pend:
+        emit(pend.popleft())
     dt = time.time() - t0
     value = total / dt
     log(f"[bench] {total} reads in {dt:.2f}s")

@@ -85,6 +85,14 @@ class Alignment:
     junc2_len: int = 0
     junc2_d3: int = 0
     junc2_dir: int = 0
+    # optional THIRD junction (4 exons in one read; the reference's
+    # hybridSearch_recur recurses arbitrarily, spliced_aligner.h:183-214 —
+    # depth 3 covers every read a 2-pass left+right composite can reach)
+    junc3_kind: int = 0
+    junc3_x: int = 0
+    junc3_len: int = 0
+    junc3_d4: int = 0
+    junc3_dir: int = 0
 
     def segments(self, read_len: int):
         """[(read_lo, read_hi, joined_diag)] aligned segments plus the
@@ -102,9 +110,16 @@ class Alignment:
             return segs, juncs
         ins2 = max(-self.junc2_len, 0) if self.junc2_kind == 3 else 0
         segs.append((self.junc_x + ins1, self.junc2_x, self.junc_d2))
-        segs.append((self.junc2_x + ins2, read_len - cr, self.junc2_d3))
         juncs.append((self.junc2_x, self.junc2_kind, self.junc2_len,
                       self.junc2_dir))
+        if self.junc3_kind == 0:
+            segs.append((self.junc2_x + ins2, read_len - cr,
+                         self.junc2_d3))
+            return segs, juncs
+        segs.append((self.junc2_x + ins2, self.junc3_x, self.junc2_d3))
+        segs.append((self.junc3_x, read_len - cr, self.junc3_d4))
+        juncs.append((self.junc3_x, self.junc3_kind, self.junc3_len,
+                      self.junc3_dir))
         return segs, juncs
 
     @property
@@ -120,7 +135,8 @@ RAW_COLS = ("read", "rc", "ref_id", "ref_pos", "joined_pos", "clip_l",
             "clip_r", "aln_span", "score", "n_mm", "n_n", "mapq", "nh",
             "secondary", "has_sec", "zs", "junc_kind", "junc_x",
             "junc_len", "junc_d2", "spl_dir", "junc_known", "junc_snp",
-            "junc2_kind", "junc2_x", "junc2_len", "junc2_d3", "junc2_dir")
+            "junc2_kind", "junc2_x", "junc2_len", "junc2_d3", "junc2_dir",
+            "junc3_kind", "junc3_x", "junc3_len", "junc3_d4", "junc3_dir")
 
 
 def _materialize_alignments(raw, n_reads):
@@ -133,7 +149,8 @@ def _materialize_alignments(raw, n_reads):
     for t in range(len(cols[0])):
         (rd, rc_t, rid, rpos, jp, cl, cr, span, sct, nmm, nnn, mqt,
          nrep, sec2, hs, zs2, jk, jx, jl, jd2, sd, jkn, jsnp,
-         j2k, j2x, j2l, j2d3, j2d) = (c[t] for c in cols)
+         j2k, j2x, j2l, j2d3, j2d,
+         j3k, j3x, j3l, j3d4, j3d) = (c[t] for c in cols)
         per_read[rd].append(Alignment(
             read_idx=rd, rc=bool(rc_t), ref_id=rid,
             ref_pos=rpos, joined_pos=jp,
@@ -147,7 +164,10 @@ def _materialize_alignments(raw, n_reads):
             junc_known=bool(jkn), junc_snp=jsnp,
             junc2_kind=j2k, junc2_x=j2x,
             junc2_len=j2l, junc2_d3=j2d3,
-            junc2_dir=j2d))
+            junc2_dir=j2d,
+            junc3_kind=j3k, junc3_x=j3x,
+            junc3_len=j3l, junc3_d4=j3d4,
+            junc3_dir=j3d))
     return per_read
 
 
@@ -445,15 +465,20 @@ class TPUAligner:
         # stay int32, scores travel int16 (2/word), and small counters /
         # flags / read offsets travel int8 (4/word)
         I32 = {"u_d1", "u_d2", "u_event", "h_rounds",
-               "q2_d", "q2_bd1", "q2_bd2", "sp_src", "sp_w", "sp_ev"}
+               "q2_d", "q2_bd1", "q2_bd2", "sp_src", "sp_w", "sp_ev",
+               "q3_ld", "q3_rd", "r2_d", "r2_bd1", "r2_bd2",
+               "r3_ld", "r3_rd"}
         # read-length-bounded fields fit int8 only for short reads (L is
         # static at trace time)
         L = reads.shape[1]
         I8 = {"u_flags", "u_dd", "u_ab", "h_alignable", "h_stop",
-              "q2_bkind", "q2_bdir", "q2_dir", "q2_bknown"}
+              "q2_bkind", "q2_bdir", "q2_dir", "q2_bknown",
+              "q3_ldir", "q3_rdir", "r2_bkind", "r2_bdir", "r2_dir",
+              "r2_bknown", "r3_ldir", "r3_rdir"}
         if L <= 127:
             I8 |= {"u_n_mm", "u_n_n", "u_clip_l", "u_clip_r", "u_x",
-                   "q2_x", "q2_bx"}
+                   "q2_x", "q2_bx", "q3_lx", "q3_rx",
+                   "r2_x", "r2_bx", "r3_lx", "r3_rx"}
         cols, specs = [], []
         half, quart = [], []
         for k in sorted(out):
@@ -1210,37 +1235,69 @@ class TPUAligner:
             # whose diagonals both have planes
             Cc = cstart.shape[1]
             rawf = res.raw.reshape(2 * B, Cc * Cc)
-            bsel = jnp.argmax(rawf, axis=1)
-            b_i = (bsel // Cc).astype(jnp.int32)
-            b_j = (bsel % Cc).astype(jnp.int32)
-            gpair = lambda a: jnp.take_along_axis(  # noqa: E731
-                a.reshape(2 * B, Cc * Cc), bsel[:, None], axis=1)[:, 0]
-            b_score = gpair(res.raw)
-            b_x = gpair(res.x)
-            b_kind = gpair(res.kind)
-            b_d1 = compact_ops.take_cols(cstart, b_i[:, None])[:, 0]
-            b_d2 = compact_ops.take_cols(cstart, b_j[:, None])[:, 0]
-            b_ok = (b_score > -(2 ** 29)) \
-                & (b_kind != splice_ops.KIND_NONE)
-            q2 = splice_ops.second_sweep(
-                ch, planes.pen_raw, planes.mm_raw, cstart, cvalid, al, am,
-                (params["tab_donor"], params["tab_acc1"],
-                 params["tab_acc2"]),
-                self.splice_params, b_i, b_j, b_x, b_score, b_ok,
-                ss=ss, rdids=rd2)
-            out.update({
-                "q2_score": jnp.stack([q2["right"]["score"],
-                                       q2["left"]["score"]], axis=1),
-                "q2_d": jnp.stack([q2["right"]["d"],
-                                   q2["left"]["d"]], axis=1),
-                "q2_x": jnp.stack([q2["right"]["x"],
-                                   q2["left"]["x"]], axis=1),
-                "q2_dir": jnp.stack([q2["right"]["dir"],
-                                     q2["left"]["dir"]], axis=1),
-                "q2_bd1": b_d1, "q2_bd2": b_d2, "q2_bx": b_x,
-                "q2_bkind": b_kind, "q2_bdir": gpair(res.spldir),
-                "q2_bknown": jnp.zeros(2 * B, jnp.int32),
-            })
+            # top-2 base pairs: with 4 short exons every pair carries
+            # heavy unexplained-tail penalties and the raw argmax can
+            # land on a non-adjacent pair whose sides cannot be
+            # recovered; the runner-up (usually an adjacent-exon pair)
+            # gets its own second sweep (the reference explores pairs
+            # recursively, hybridSearch_recur)
+            for pfx2, pfx3 in (("q2_", "q3_"), ("r2_", "r3_")):
+                bsel = jnp.argmax(rawf, axis=1)
+                if pfx2 == "q2_":
+                    rawf = jnp.where(
+                        jnp.arange(Cc * Cc, dtype=jnp.int32)[None, :]
+                        == bsel[:, None], np.int32(-(2 ** 30)), rawf)
+                b_i = (bsel // Cc).astype(jnp.int32)
+                b_j = (bsel % Cc).astype(jnp.int32)
+                gpair = lambda a: jnp.take_along_axis(  # noqa: E731
+                    a.reshape(2 * B, Cc * Cc), bsel[:, None], axis=1)[:, 0]
+                b_score = gpair(res.raw)
+                b_x = gpair(res.x)
+                b_kind = gpair(res.kind)
+                b_d1 = compact_ops.take_cols(cstart, b_i[:, None])[:, 0]
+                b_d2 = compact_ops.take_cols(cstart, b_j[:, None])[:, 0]
+                b_ok = (b_score > -(2 ** 29)) \
+                    & (b_kind != splice_ops.KIND_NONE)
+                q2 = splice_ops.second_sweep(
+                    ch, planes.pen_raw, planes.mm_raw, cstart, cvalid,
+                    al, am,
+                    (params["tab_donor"], params["tab_acc1"],
+                     params["tab_acc2"]),
+                    self.splice_params, b_i, b_j, b_x, b_score, b_ok,
+                    ss=ss, rdids=rd2)
+                # 3-junction composite: the PER-SIDE minsc-gated results
+                # miss reads whose left and right extra junctions only
+                # reach minsc TOGETHER (4 short exons); the side scores
+                # share the base pair's full-read penalties and act on
+                # disjoint read regions, so total = left_u + right_u -
+                # base (hybridSearch_recur depth-3)
+                BIGs2 = np.int32(2 ** 29)
+                lu, ru = q2["left"], q2["right"]
+                q3_sc = (lu["uscore"] + ru["uscore"] - b_score).astype(
+                    jnp.int32)
+                q3_ok = (lu["uscore"] > -BIGs2) & (ru["uscore"] > -BIGs2) \
+                    & b_ok & (q3_sc >= am)
+                q3_sc = jnp.where(q3_ok, q3_sc, -(2 ** 30))
+                out.update({
+                    pfx2 + "score": jnp.stack([q2["right"]["score"],
+                                               q2["left"]["score"]],
+                                              axis=1),
+                    pfx2 + "d": jnp.stack([q2["right"]["d"],
+                                           q2["left"]["d"]], axis=1),
+                    pfx2 + "x": jnp.stack([q2["right"]["x"],
+                                           q2["left"]["x"]], axis=1),
+                    pfx2 + "dir": jnp.stack([q2["right"]["dir"],
+                                             q2["left"]["dir"]], axis=1),
+                    pfx2 + "bd1": b_d1, pfx2 + "bd2": b_d2,
+                    pfx2 + "bx": b_x, pfx2 + "bkind": b_kind,
+                    pfx2 + "bdir": gpair(res.spldir),
+                    pfx2 + "bknown": jnp.zeros(2 * B, jnp.int32),
+                    pfx3 + "score": q3_sc,
+                    pfx3 + "ld": lu["ud"], pfx3 + "lx": lu["ux"],
+                    pfx3 + "ldir": lu["udir"],
+                    pfx3 + "rd": ru["ud"], pfx3 + "rx": ru["ux"],
+                    pfx3 + "rdir": ru["udir"],
+                })
         return out
 
     # ------------------------------------------------------------------
@@ -1819,7 +1876,14 @@ class TPUAligner:
         if "u_dd" in o_np:
             o_np["u_d2"] = o_np["u_d1"] + o_np.pop("u_dd")
         U = o_np["u_score"].shape[1]    # unified slots (device-compacted)
-        Q = 2 if "q2_score" in o_np else 0   # two-junction composites
+        # composite columns: (2 two-junction + 1 three-junction) per
+        # swept base pair (top-2 raw pairs)
+        Q = 0
+        qpfx = []
+        for p2, p3 in (("q2_", "q3_"), ("r2_", "r3_")):
+            if p2 + "score" in o_np:
+                qpfx.append((p2, p3))
+                Q += 3 if p3 + "score" in o_np else 2
         K = U + Q
 
         # int32 math throughout the host phase when positions fit (the
@@ -1836,23 +1900,67 @@ class TPUAligner:
                         else q).astype(hdt, copy=False)]
             return np.concatenate(blocks_, axis=1).reshape(-1)
 
+        q_j3x = q_j3d4 = q_j3kind = q_j3dir = None
         if Q:
-            # column 0 = right-extension composite (junctions at bx then
-            # q2 x); column 1 = left-extension (q2 x then bx)
-            q_start = np.stack([o_np["q2_bd1"], o_np["q2_d"][:, 1]], 1)
-            q_score = o_np["q2_score"].astype(np.int64)
-            q_j1x = np.stack([o_np["q2_bx"], o_np["q2_x"][:, 1]], 1)
-            q_j1d2 = np.stack([o_np["q2_bd2"], o_np["q2_bd1"]], 1)
-            q_j1kind = np.stack(
-                [o_np["q2_bkind"], np.ones(2 * B, np.int32)], 1)
-            q_j1dir = np.stack([o_np["q2_bdir"], o_np["q2_dir"][:, 1]], 1)
-            q_j1known = np.stack(
-                [o_np["q2_bknown"], np.zeros(2 * B, np.int32)], 1)
-            q_j2x = np.stack([o_np["q2_x"][:, 0], o_np["q2_bx"]], 1)
-            q_j2d3 = np.stack([o_np["q2_d"][:, 0], o_np["q2_bd2"]], 1)
-            q_j2kind = np.stack(
-                [np.ones(2 * B, np.int32), o_np["q2_bkind"]], 1)
-            q_j2dir = np.stack([o_np["q2_dir"][:, 0], o_np["q2_bdir"]], 1)
+            # per swept base pair: column 0 = right-extension composite
+            # (junctions at bx then sweep x); column 1 = left-extension
+            # (sweep x then bx); column 2 = the 3-junction combo
+            # (left x, bx, right x)
+            ones = np.ones(2 * B, np.int32)
+            zeros = np.zeros(2 * B, np.int32)
+            cs = {k: [] for k in ("start", "score", "j1x", "j1d2",
+                                  "j1kind", "j1dir", "j1known", "j2x",
+                                  "j2d3", "j2kind", "j2dir", "j3x",
+                                  "j3d4", "j3kind", "j3dir")}
+            for p2, p3 in qpfx:
+                g = lambda k: o_np[p2 + k]  # noqa: E731
+                cs["start"] += [g("bd1"), g("d")[:, 1]]
+                cs["score"] += [g("score")[:, 0], g("score")[:, 1]]
+                cs["j1x"] += [g("bx"), g("x")[:, 1]]
+                cs["j1d2"] += [g("bd2"), g("bd1")]
+                cs["j1kind"] += [g("bkind"), ones]
+                cs["j1dir"] += [g("bdir"), g("dir")[:, 1]]
+                cs["j1known"] += [g("bknown"), zeros]
+                cs["j2x"] += [g("x")[:, 0], g("bx")]
+                cs["j2d3"] += [g("d")[:, 0], g("bd2")]
+                cs["j2kind"] += [ones, g("bkind")]
+                cs["j2dir"] += [g("dir")[:, 0], g("bdir")]
+                cs["j3x"] += [zeros, zeros]
+                cs["j3d4"] += [zeros, zeros]
+                cs["j3kind"] += [zeros, zeros]
+                cs["j3dir"] += [zeros, zeros]
+                if p3 + "score" in o_np:
+                    g3 = lambda k: o_np[p3 + k]  # noqa: E731
+                    cs["start"].append(g3("ld"))
+                    cs["score"].append(g3("score"))
+                    cs["j1x"].append(g3("lx"))
+                    cs["j1d2"].append(g("bd1"))
+                    cs["j1kind"].append(ones)
+                    cs["j1dir"].append(g3("ldir"))
+                    cs["j1known"].append(zeros)
+                    cs["j2x"].append(g("bx"))
+                    cs["j2d3"].append(g("bd2"))
+                    cs["j2kind"].append(g("bkind"))
+                    cs["j2dir"].append(g("bdir"))
+                    cs["j3x"].append(g3("rx"))
+                    cs["j3d4"].append(g3("rd"))
+                    cs["j3kind"].append(ones)
+                    cs["j3dir"].append(g3("rdir"))
+            q_start = np.stack(cs["start"], 1)
+            q_score = np.stack(cs["score"], 1).astype(np.int64)
+            q_j1x = np.stack(cs["j1x"], 1)
+            q_j1d2 = np.stack(cs["j1d2"], 1)
+            q_j1kind = np.stack(cs["j1kind"], 1)
+            q_j1dir = np.stack(cs["j1dir"], 1)
+            q_j1known = np.stack(cs["j1known"], 1)
+            q_j2x = np.stack(cs["j2x"], 1)
+            q_j2d3 = np.stack(cs["j2d3"], 1)
+            q_j2kind = np.stack(cs["j2kind"], 1)
+            q_j2dir = np.stack(cs["j2dir"], 1)
+            q_j3x = np.stack(cs["j3x"], 1)
+            q_j3d4 = np.stack(cs["j3d4"], 1)
+            q_j3kind = np.stack(cs["j3kind"], 1)
+            q_j3dir = np.stack(cs["j3dir"], 1)
         else:
             q_start = q_score = q_j1x = q_j1d2 = q_j1kind = None
             q_j1dir = q_j1known = q_j2x = q_j2d3 = q_j2kind = q_j2dir = None
@@ -1875,6 +1983,10 @@ class TPUAligner:
         junc2_x = flat(np.zeros((2 * B, U)), q_j2x)
         junc2_d3 = flat(o_np["u_d2"], q_j2d3)
         junc2_dir = flat(np.zeros((2 * B, U)), q_j2dir)
+        junc3_kind = flat(np.zeros((2 * B, U)), q_j3kind)
+        junc3_x = flat(np.zeros((2 * B, U)), q_j3x)
+        junc3_d4 = flat(o_np["u_d2"], q_j3d4)
+        junc3_dir = flat(np.zeros((2 * B, U)), q_j3dir)
         # u_alt ships one value per LANE per shard (its best slot's
         # trimmed-rep score); scatter it back to the lane's globally best
         # slot (same argmax as the device ran per shard)
@@ -1938,11 +2050,13 @@ class TPUAligner:
                     + ordc).reshape(-1)
             (valid, starts, score, n_mm, n_n, clip_l, clip_r, junc_kind,
              junc_x, d2, spl_dir, junc_known, junc_event, junc_snp,
-             junc2_kind, junc2_x, junc2_d3, junc2_dir, ab, post,
+             junc2_kind, junc2_x, junc2_d3, junc2_dir,
+             junc3_kind, junc3_x, junc3_d4, junc3_dir, ab, post,
              selfgap, alt_dev) = (a[take] for a in (
                  valid, starts, score, n_mm, n_n, clip_l, clip_r, junc_kind,
                  junc_x, d2, spl_dir, junc_known, junc_event, junc_snp,
-                 junc2_kind, junc2_x, junc2_d3, junc2_dir, ab, post,
+                 junc2_kind, junc2_x, junc2_d3, junc2_dir,
+                 junc3_kind, junc3_x, junc3_d4, junc3_dir, ab, post,
                  selfgap, alt_dev))
             K = M
             lane = np.repeat(np.arange(2 * B, dtype=np.int64), K)
@@ -1973,6 +2087,8 @@ class TPUAligner:
         rs_v = np.where(jk_v == KIND_INS, st_v + jx_v, d2_v + jx_v)
         j2k_v, j2x_v = junc2_kind[vi], junc2_x[vi]
         isq2_v = j2k_v > 0
+        j3k_v, j3x_v = junc3_kind[vi], junc3_x[vi]
+        isq3_v = j3k_v > 0
         span_r_v = np.where(isq2_v, j2x_v, L_v) - jx_v - insl_v
         nfr = len(self.frag_ref)
         fl = np.clip(np.searchsorted(self.frag_joined, as_v,
@@ -1998,9 +2114,10 @@ class TPUAligner:
         # second junction (always a splice): third segment containment +
         # reference-space intron length
         j2l_v = np.zeros(len(vi), np.int64)
+        j3l_v = np.zeros(len(vi), np.int64)
         if Q:
             rs3 = junc2_d3[vi] + j2x_v
-            span3 = L_v - j2x_v
+            span3 = np.where(isq3_v, j3x_v, L_v) - j2x_v
             f3 = np.clip(np.searchsorted(self.frag_joined, rs3,
                                          "right") - 1, 0, nfr - 1)
             contained_3 = (rs3 >= self.frag_joined[f3]) & \
@@ -2013,6 +2130,22 @@ class TPUAligner:
             ok_v &= ~isq2_v | (contained_3
                                & (self.frag_ref[f3] == self.frag_ref[fr])
                                & (j2l_v >= 1))
+            # fourth segment (3-junction composites): containment +
+            # reference-space intron length of the third junction
+            rs4 = junc3_d4[vi] + j3x_v
+            span4 = L_v - j3x_v
+            f4 = np.clip(np.searchsorted(self.frag_joined, rs4,
+                                         "right") - 1, 0, nfr - 1)
+            contained_4 = (rs4 >= self.frag_joined[f4]) & \
+                (rs4 + span4 <= self.frag_joined[f4 + 1])
+            seg3_end = rs3 + span3
+            rp_3end = self.frag_off[f3] + (seg3_end - 1
+                                           - self.frag_joined[f3])
+            rp_4 = self.frag_off[f4] + (rs4 - self.frag_joined[f4])
+            j3l_v = np.where(isq3_v, rp_4 - rp_3end - 1, 0)
+            ok_v &= ~isq3_v | (contained_4
+                               & (self.frag_ref[f4] == self.frag_ref[f3])
+                               & (j3l_v >= 1))
         valid = np.zeros(N, bool)
         valid[vi[ok_v]] = True
         ins_len = np.zeros(N, hdt)
@@ -2021,6 +2154,8 @@ class TPUAligner:
         junc_len[vi] = jl_v
         junc2_len = np.zeros(N, hdt)
         junc2_len[vi] = j2l_v
+        junc3_len = np.zeros(N, hdt)
+        junc3_len[vi] = j3l_v
         L_of = lens[read_of_lane].astype(hdt, copy=False)
 
         tick("contain")
@@ -2225,7 +2360,7 @@ class TPUAligner:
             span_m = ((L_of - clip_l - clip_r
                        - np.where(is_pair, ins_len, 0)
                        + np.where(junc_kind > 0, junc_len, 0)
-                       + junc2_len).reshape(2 * B, Km)[rsel2])
+                       + junc2_len + junc3_len).reshape(2 * B, Km)[rsel2])
             R = rsel.size
             vsub = vread[rsel]
             s_r = np.concatenate([ext_start[:R], ext_start[R:]], axis=1)
@@ -2295,7 +2430,8 @@ class TPUAligner:
         s = starts[sel].astype(np.int64)
         key = ((((((r * 2 + o) << 33) + s) << 2) + junc_kind[sel]) << 7) \
             + junc_x[sel]
-        kd2 = junc_len[sel] * 256 + junc2_x[sel] % 256
+        kd2 = (junc_len[sel] * 256 + junc2_x[sel] % 256) * 128 \
+            + junc3_x[sel] % 128
         perm = np.lexsort((-score[sel], kd2, key))
         kk, kk2 = key[perm], kd2[perm]
         firstmask = np.ones(len(perm), bool)
@@ -2387,13 +2523,15 @@ class TPUAligner:
         cols = [r[ki], o[ki], ref_id, ref_pos, s[ki],
                 clip_l[gi], clip_r[gi],
                 (rd_len.astype(np.int64) - clip_l[gi] - clip_r[gi]
-                 + junc_len[gi] + junc2_len[gi]),
+                 + junc_len[gi] + junc2_len[gi] + junc3_len[gi]),
                 sc[ki], n_mm[gi], n_n[gi], mq[so], n_rep[so],
                 pos_in_seg[ki] > 0, has_sec[so], seg_zs[so],
                 junc_kind[gi], junc_x[gi], junc_len[gi], d2[gi],
                 spl_dir[gi], junc_known[gi], junc_snp[gi],
                 junc2_kind[gi], junc2_x[gi], junc2_len[gi],
-                junc2_d3[gi], junc2_dir[gi]]
+                junc2_d3[gi], junc2_dir[gi],
+                junc3_kind[gi], junc3_x[gi], junc3_len[gi],
+                junc3_d4[gi], junc3_dir[gi]]
         tick("finish")
         tick(None)
         return BatchResult(n_reads=B, orient_ranks=orient_ranks,

@@ -1103,32 +1103,41 @@ def second_sweep(ch, pen_spl, mm_raw, starts, valid, lens, minsc,
             (prm.lenpen_nc_const + prm.lenpen_nc_coef * logd
              ).astype(jnp.int32)), 0)
         lenpen = jnp.where(known4, 0, lenpen)
-        sc2 = jnp.where(ok4, sc2 - lenpen, -_BIG)
-        sc2 = jnp.where(sc2 >= minsc[:, None, None], sc2, -_BIG)
-        # best (dir > score > prob > first x) folded over [C, L+1]
-        hd = jnp.where(spldir4 != SPL_UNKNOWN, 1, 0)
-        k1 = jnp.where(sc2 > -_BIG // 2,
-                       (hd << 23) + jnp.maximum(sc2, -(2 ** 21)) + 2 ** 21,
-                       -1)
-        flat = k1.reshape(N, -1)
-        m1 = flat.max(axis=1)
-        tie = flat == m1[:, None]
-        sflat = jnp.where(tie, splsc.reshape(N, -1), -1.0)
-        s2b = sflat.max(axis=1)
-        tie2 = tie & (sflat == s2b[:, None])
-        pick = jnp.where(tie2, jnp.arange(flat.shape[1],
-                                          dtype=jnp.int32)[None, :],
-                         _BIG).min(axis=1)
-        c_pick = jnp.minimum(pick // (L + 1), C - 1)
-        x_pick = pick % (L + 1)
-        dirflat = spldir4.reshape(N, -1)
-        outs[side] = dict(
-            score=jnp.where(m1 >= 0, (m1 & ((1 << 23) - 1)) - 2 ** 21,
-                            -_BIG),
-            d=jnp.take_along_axis(starts, c_pick[:, None], axis=1)[:, 0],
-            x=x_pick,
-            dir=jnp.take_along_axis(dirflat, jnp.minimum(
-                pick, flat.shape[1] - 1)[:, None], axis=1)[:, 0])
+        sc2u = jnp.where(ok4, sc2 - lenpen, -_BIG)
+        sc2 = jnp.where(sc2u >= minsc[:, None, None], sc2u, -_BIG)
+
+        def fold(scv, pfx):
+            # best (dir > score > prob > first x) folded over [C, L+1]
+            hd = jnp.where(spldir4 != SPL_UNKNOWN, 1, 0)
+            k1 = jnp.where(scv > -_BIG // 2,
+                           (hd << 23) + jnp.maximum(scv, -(2 ** 21))
+                           + 2 ** 21, -1)
+            flat = k1.reshape(N, -1)
+            m1 = flat.max(axis=1)
+            tie = flat == m1[:, None]
+            sflat = jnp.where(tie, splsc.reshape(N, -1), -1.0)
+            s2b = sflat.max(axis=1)
+            tie2 = tie & (sflat == s2b[:, None])
+            pick = jnp.where(tie2, jnp.arange(flat.shape[1],
+                                              dtype=jnp.int32)[None, :],
+                             _BIG).min(axis=1)
+            c_pick = jnp.minimum(pick // (L + 1), C - 1)
+            x_pick = pick % (L + 1)
+            dirflat = spldir4.reshape(N, -1)
+            return {
+                pfx + "score": jnp.where(
+                    m1 >= 0, (m1 & ((1 << 23) - 1)) - 2 ** 21, -_BIG),
+                pfx + "d": jnp.take_along_axis(
+                    starts, c_pick[:, None], axis=1)[:, 0],
+                pfx + "x": x_pick,
+                pfx + "dir": jnp.take_along_axis(dirflat, jnp.minimum(
+                    pick, flat.shape[1] - 1)[:, None], axis=1)[:, 0]}
+
+        # the "u" set skips the per-side minsc gate: a side that cannot
+        # stand alone may still reach minsc COMBINED with the other side
+        # (3-junction composites; hybridSearch_recur recursion depth > 2,
+        # spliced_aligner.h:183-214)
+        outs[side] = dict(fold(sc2, ""), **fold(sc2u, "u"))
     return outs
 
 
