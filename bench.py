@@ -77,7 +77,7 @@ def main(config: int = 1):
     # timed: full pipeline including SAM rendering to an in-memory sink,
     # with the production one-deep dispatch pipeline (device crunches batch
     # i+1 while the host renders batch i)
-    K = 6
+    K = 16
     t0 = time.time()
     total = 0
     ref_fn = lambda p, s: aligner.ref_codes[p:p + s]  # noqa: E731
@@ -99,7 +99,7 @@ def main(config: int = 1):
     # highly variable (0.03-0.4 s); keeping several batches in flight
     # hides it behind device compute + host rendering
     from collections import deque
-    DEPTH = 3
+    DEPTH = 4
     pend = deque()
     for _ in range(K):
         pend.append(aligner.dispatch(codes, quals, lens))

@@ -376,11 +376,18 @@ class SamWriter:
         lut = np.frombuffer(b"ACGTN", np.uint8)
         fw_ascii = lut[np.minimum(codes2d, 4)]
         q_ascii = (np.asarray(quals2d, np.uint8) + 33)
-        ridx = np.clip(lens[:, None] - 1 - np.arange(L)[None, :], 0, L - 1)
-        rc_codes = np.take_along_axis(
-            np.where(codes2d < 4, 3 - codes2d, codes2d), ridx, axis=1)
+        if bool((lens == L).all()):
+            # uniform lengths: reverse-complement is a flip, not a gather
+            rc_codes = np.ascontiguousarray(
+                np.where(codes2d < 4, 3 - codes2d, codes2d)[:, ::-1])
+            rq_ascii = np.ascontiguousarray(q_ascii[:, ::-1])
+        else:
+            ridx = np.clip(lens[:, None] - 1 - np.arange(L)[None, :],
+                           0, L - 1)
+            rc_codes = np.take_along_axis(
+                np.where(codes2d < 4, 3 - codes2d, codes2d), ridx, axis=1)
+            rq_ascii = np.take_along_axis(q_ascii, ridx, axis=1)
         rc_ascii = lut[np.minimum(rc_codes, 4)]
-        rq_ascii = np.take_along_axis(q_ascii, ridx, axis=1)
         fw_b, rc_b = fw_ascii.tobytes(), rc_ascii.tobytes()
         q_b, rq_b = q_ascii.tobytes(), rq_ascii.tobytes()
 
@@ -408,7 +415,10 @@ class SamWriter:
             cplx[:] = True
         # simple rows: the read's single ungapped alignment
         simp = np.flatnonzero(~cplx[rd_col]) if len(rd_col) else rd_col
+        from ..native import get_samfmt
+        lib = get_samfmt()
         md_cache = {}
+        mmdat = None
         if simp.size:
             ri = rd_col[simp]
             isrc = np.asarray(cols[1])[simp].astype(bool)
@@ -427,22 +437,33 @@ class SamWriter:
             nmv = mm.sum(axis=1)
             wr, wc = np.nonzero(mm)
             bounds = np.searchsorted(wr, np.arange(simp.size + 1))
-            for t in range(simp.size):
-                if nmv[t] == 0:
-                    md_cache[simp[t]] = (str(int(mid[t])), 0)
-                else:
-                    cc = wc[bounds[t]:bounds[t + 1]]
-                    parts = []
-                    prev = -1
-                    rrow = refm[t]
-                    for m in cc:
-                        parts.append(str(m - prev - 1))
-                        parts.append("ACGTN"[min(rrow[m], 4)])
-                        prev = m
-                    parts.append(str(int(mid[t]) - prev - 1))
-                    md_cache[simp[t]] = ("".join(parts), int(nmv[t]))
+            if lib is not None:
+                # the native renderer builds MD inline from the raw
+                # mismatch positions + ref chars
+                mmdat = (ri, nmv, wr, wc, refm)
+            else:
+                for t in range(simp.size):
+                    if nmv[t] == 0:
+                        md_cache[simp[t]] = (str(int(mid[t])), 0)
+                    else:
+                        cc = wc[bounds[t]:bounds[t + 1]]
+                        parts = []
+                        prev = -1
+                        rrow = refm[t]
+                        for m in cc:
+                            parts.append(str(m - prev - 1))
+                            parts.append("ACGTN"[min(rrow[m], 4)])
+                            prev = m
+                        parts.append(str(int(mid[t]) - prev - 1))
+                        md_cache[simp[t]] = ("".join(parts), int(nmv[t]))
         # per-read first-row offsets (rows sorted by read)
         row0 = np.searchsorted(rd_col, np.arange(B)).tolist()
+        if lib is not None:
+            return self._render_batch_native(
+                lib, names, B, L, lens, counts, cplx, row0, mmdat,
+                cols, rd_col, fw_ascii, q_ascii, rc_ascii, rq_ascii,
+                codes2d, n_filtered, finalize, ref_codes,
+                lens_sl, seq_of, qual_of)
         (c_rc, c_rid, c_rpos, c_cl, c_cr, c_sc, c_mq, c_hs, c_zs) = (
             np.asarray(cols[j]).tolist()
             for j in (1, 2, 3, 5, 6, 8, 11, 14, 15)
@@ -508,6 +529,112 @@ class SamWriter:
                   f"{seq}\t{qual}\tAS:i:{c_sc[t]}{zs}\tXN:i:0\t"
                   f"XM:i:{nm}\tXO:i:0\tXG:i:0\tNM:i:{nm}\tMD:Z:{md}"
                   f"\tYT:Z:UU{xs}\tNH:i:1\n")
+
+    def _render_batch_native(self, lib, names, B, L, lens, counts, cplx,
+                             row0, mmdat, cols, rd_col,
+                             fw_ascii, q_ascii, rc_ascii, rq_ascii,
+                             codes2d, n_filtered, finalize,
+                             ref_codes, lens_sl, seq_of, qual_of):
+        """Native fast path of write_batch_raw: unaligned + simple-unique
+        records render in C (native/samfmt.c); complex reads keep the
+        object path and interleave in read order.  Byte-identical to the
+        Python loop."""
+        counts_a = np.asarray(counts, np.int64)
+        unal = counts_a == 0
+        kind = np.full(B, 1, np.int8)
+        kind[unal] = 0
+        if n_filtered is not None:
+            kind[unal & np.asarray(n_filtered, bool)] = 4
+        kind[np.asarray(cplx, bool) & ~unal] = 3
+        row0_a = np.asarray(row0, np.int64)
+        nrow = len(rd_col)
+        t = np.clip(row0_a, 0, max(nrow - 1, 0))
+
+        def g(j, dt=np.int32):
+            if not nrow:
+                return np.zeros(B, dt)
+            return np.ascontiguousarray(np.asarray(cols[j])[t].astype(dt))
+
+        rc_r = g(1, np.int8)
+        rid_r = g(2)
+        rpos1 = g(3, np.int64) + 1
+        mq_r, cl_r, cr_r, sc_r = g(11), g(5), g(6), g(8)
+        hs_r, zs_r = g(14, np.int8), g(15)
+        # mismatch arrays for the in-C MD build: rows of mmdat are the
+        # simple reads in ascending read order, matching the cumsum
+        mm_off = np.zeros(B + 1, np.int64)
+        mm_pos = np.zeros(0, np.int32)
+        mm_ref = np.zeros(0, np.uint8)
+        if mmdat is not None:
+            ri, nmv, wr, wc, refm = mmdat
+            cnt = np.zeros(B, np.int64)
+            cnt[ri] = nmv
+            mm_off[1:] = np.cumsum(cnt)
+            mm_pos = np.ascontiguousarray(wc.astype(np.int32))
+            lut = np.frombuffer(b"ACGTN", np.uint8)
+            mm_ref = np.ascontiguousarray(
+                lut[np.minimum(refm[wr, wc], 4)])
+        srd = self.rna_strandness
+        xs_code = np.zeros(B, np.int8)
+        if srd != "unstranded":
+            rcb = rc_r.astype(bool)
+            minus = (~rcb if srd in ("R", "RF") else rcb)
+            xs_code = np.where(minus, 2, 1).astype(np.int8)
+        nb = np.frombuffer("".join(names).encode(), np.uint8)
+        noff = np.zeros(B + 1, np.int64)
+        noff[1:] = np.cumsum([len(n) for n in names])
+        if getattr(self, "_ref_nb", None) is None:
+            self._ref_nb = np.frombuffer(
+                "".join(self.ref_names).encode(), np.uint8)
+            ro = np.zeros(len(self.ref_names) + 1, np.int64)
+            ro[1:] = np.cumsum([len(r) for r in self.ref_names])
+            self._ref_off = ro
+        maxname = int((noff[1:] - noff[:-1]).max()) if B else 8
+        stride = maxname + 4 * L + 192
+        outb = np.empty(B * stride, np.uint8)
+        outl = np.zeros(B, np.int32)
+        lens32 = np.ascontiguousarray(np.asarray(lens, np.int32))
+        cp = lambda a: a.ctypes.data  # noqa: E731
+        lib.sam_render_batch(
+            B, L, stride, cp(nb), cp(noff),
+            cp(fw_ascii), cp(q_ascii), cp(rc_ascii), cp(rq_ascii),
+            cp(lens32), cp(kind), cp(rc_r),
+            cp(self._ref_nb), cp(self._ref_off),
+            cp(rid_r), cp(rpos1), cp(mq_r), cp(cl_r), cp(cr_r),
+            cp(sc_r), cp(hs_r), cp(zs_r), cp(xs_code),
+            cp(mm_off), cp(mm_pos), cp(mm_ref),
+            np.int8(1 if self.no_unal else 0), cp(outb), cp(outl))
+        self.n_reads += B
+        self.n_unal += int(unal.sum())
+        self.n_uniq += int((kind == 1).sum())
+        ob = outb.tobytes()
+        ol = outl.tolist()
+        kind_l = kind.tolist()
+        parts = []
+        rfn = lambda p, s: ref_codes[p:p + s]  # noqa: E731
+        for i in range(B):
+            if kind_l[i] == 3:
+                alns = finalize(i)
+                if not alns:
+                    self.n_unal += 1
+                    if not self.no_unal:
+                        parts.append(
+                            (f"{names[i]}\t4\t*\t0\t0\t*\t*\t0\t0\t"
+                             f"{seq_of(i, False)}\t{qual_of(i, False)}"
+                             f"\tYT:Z:UU\n").encode())
+                    continue
+                if alns[0].nh == 1:
+                    self.n_uniq += 1
+                else:
+                    self.n_multi += 1
+                qp = q_ascii[i, :lens_sl[i]].astype(np.int32) - 33
+                for a in alns:
+                    parts.append(self._line(
+                        names[i], codes2d[i, :lens_sl[i]], qp, a,
+                        rfn).encode())
+            elif ol[i]:
+                parts.append(ob[i * stride:i * stride + ol[i]])
+        self.out.write(b"".join(parts).decode())
 
     # ------------------------------------------------------------------
     def write_read(self, name, codes, quals, alns, ref_codes_fn,

@@ -58,6 +58,27 @@ def get_sais():
     return lib
 
 
+def get_samfmt():
+    """ctypes handle to the batch SAM line formatter (native/samfmt.c),
+    or None when no toolchain is available (the Python writer loop is the
+    fallback and stays byte-identical)."""
+    if "samfmt" in _libs:
+        return _libs["samfmt"]
+    try:
+        lib = ctypes.CDLL(_build("samfmt", ["samfmt.c"]))
+    except (OSError, subprocess.CalledProcessError) as e:
+        print(f"[native] samfmt unavailable ({e}); python writer loop",
+              file=sys.stderr)
+        _libs["samfmt"] = None
+        return None
+    lib.sam_render_batch.restype = ctypes.c_int
+    lib.sam_render_batch.argtypes = [ctypes.c_int64] * 3 \
+        + [ctypes.c_void_p] * 23 + [ctypes.c_int8] \
+        + [ctypes.c_void_p] * 2
+    _libs["samfmt"] = lib
+    return lib
+
+
 def suffix_array_native(text_codes):
     """SA of text (uint8 codes 0..3) + implicit sentinel, via SA-IS.
     Returns int32 (or int64 for huge texts) array of length n+1, or None
