@@ -2321,19 +2321,13 @@ class TPUAligner:
         # interleaved-search replay (align/replay.py).
         best_before = np.full(2 * B, np.int64(-2 ** 40))
         orient_ranks = None
-        if not paired and lanes_meta is not None and self.graph is None:
+        if not paired and lanes_meta is not None:
+            # the interleave replay runs for GRAPH indexes too: the
+            # linear-FM round structure it replays is the same (variants
+            # are handled in extension, not search), and enabling it
+            # closed 29 graph-fuzz divergences (102 -> 73)
             valid, best_before, orient_ranks = self._eval_order_suppress(
                 valid, score, junc_kind, lanes_meta, lens, minsc, B, K)
-        elif not paired and lanes_meta is not None:
-            # graph runs skip the full interleave replay, but the
-            # orientation completion order (whose align() reports first,
-            # hence the multimap pool order) still follows the non-unique
-            # round counts: fewer rounds completes first, fw on ties
-            # (fitted 70/78 on strand-mixed fuzz multimap primaries)
-            rn = np.asarray(lanes_meta["h_rn"]).astype(np.int64)
-            fw_first = rn[:B] <= rn[B:]
-            orient_ranks = np.where(fw_first[:, None],
-                                    np.array([[0, 1]]), np.array([[1, 0]]))
 
         tick("evalorder")
         # redundancy rule (HI_Aligner::redundant): a candidate whose
