@@ -278,8 +278,12 @@ def run_align(args) -> int:
             if met is not None:
                 met.maybe_report(writer, n_bases)
 
-        pending = None   # one-deep pipeline: the device crunches batch
-        #                  i+1 while the host renders batch i's SAM
+        # 3-deep dispatch pipeline: the device crunches batches i+1..i+3
+        # while the host renders batch i's SAM (the tunnel's roundtrip
+        # latency varies 0.03-0.4 s; one-deep leaves the loop
+        # latency-bound — see bench.py)
+        from collections import deque
+        pend = deque()
         for b in unpaired_batches():
             rdids = rdid0 + np.arange(len(b.names), dtype=np.int64)
             rdid0 += len(b.names)
@@ -287,14 +291,14 @@ def run_align(args) -> int:
             n_batches += 1
             if not owned:
                 continue        # block-cyclic read sharding (SURVEY 2.6)
-            handle = aligner.dispatch(b.codes, b.quals, b.lens, rdids)
-            if pending is not None:
-                emit(pending)
+            pend.append((aligner.dispatch(b.codes, b.quals, b.lens,
+                                          rdids), b))
+            if len(pend) >= 3:
+                emit(pend.popleft())
                 if shard is not None:
                     shard.end_batch()
-            pending = (handle, b)
-        if pending is not None:
-            emit(pending)
+        while pend:
+            emit(pend.popleft())
             if shard is not None:
                 shard.end_batch()
     elif paired_mode:
