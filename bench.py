@@ -194,10 +194,19 @@ def bench_config(config: int):
     t0 = time.time()
     run_once()
     log(f"[bench:{config}] warmup {time.time() - t0:.1f}s")
-    K = 4
+    K = 8
     t0 = time.time()
+    # 3-deep dispatch pipeline (same shape as config 1 / the CLI driver)
+    from collections import deque
+    pend = deque()
     for _ in range(K):
-        run_once()
+        pend.append(aligner.dispatch(codes, quals, lens))
+        if paired:
+            pend.append(aligner.dispatch(codes2, quals, lens))
+        while len(pend) >= (6 if paired else 3):
+            aligner.collect(pend.popleft())
+    while pend:
+        aligner.collect(pend.popleft())
     dt = time.time() - t0
     n = B * K * (2 if paired else 1)
     value = n / dt

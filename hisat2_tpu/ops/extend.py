@@ -154,9 +154,14 @@ def extend_grouped(ref_words, n_text: int, reads, quals, lens,
         Cc = jnp.concatenate([zeros, jnp.cumsum(ccost, axis=-1)], axis=-1)
         brange = jnp.arange(L + 1, dtype=jnp.int32)[None, None, :]
         in_read = brange <= lnc[:, :, None]
-        # left clip of a columns gains P[a] - C[a]
+        # left clip of a columns gains P[a] - C[a].  On gain TIES the
+        # reference keeps the LARGER clip (its trim loop scans clip
+        # lengths ascending with >=; oracle: 6S94M beats the equal-score
+        # 3S97M+1mm form) — argmax returns the FIRST max, so take it on
+        # the reversed axis
         lgs = jnp.where(in_read, P - Cc, -1)
-        clip_l = jnp.argmax(lgs, axis=-1).astype(jnp.int32)
+        clip_l = (jnp.int32(L)
+                  - jnp.argmax(lgs[..., ::-1], axis=-1)).astype(jnp.int32)
         gl = compact_ops.take_last(lgs, clip_l)
         # right clip of b columns gains (P[len] - P[len-b]) - C[b]
         # (trim3 clip COST uses quality of the first b columns — replicating
@@ -172,7 +177,8 @@ def extend_grouped(ref_words, n_text: int, reads, quals, lens,
                 P, jnp.maximum(lnc[:, :, None] - brange, 0), -1)
         p_len = compact_ops.take_last(P, lnc)[:, :, None]
         rgs = jnp.where(in_read, p_len - p_at - Cc, -1)
-        clip_r = jnp.argmax(rgs, axis=-1).astype(jnp.int32)
+        clip_r = (jnp.int32(L)
+                  - jnp.argmax(rgs[..., ::-1], axis=-1)).astype(jnp.int32)
         gr = compact_ops.take_last(rgs, clip_r)
         gl = jnp.maximum(gl, 0)
         gr = jnp.maximum(gr, 0)
