@@ -179,6 +179,50 @@ class PairResult(NamedTuple):
 _BIG = np.int32(2 ** 30)
 
 
+
+# per-position PWM factors: table[kmer] = prod_j BACKGROUND[b_j]/PROB[b_j, j]
+# (exp of the summed log-odds) — evaluating the product directly with one
+# 4-way select per window position is pure VPU work, while the packed-kmer
+# table gather costs one descriptor per (lane, cand, x) cell and dominated
+# the spliced device step (6 gathers x ~12M cells = 550 ms/step on TPU)
+_F_DONOR = (_BACKGROUND[:, None] / _DONOR_PROB).astype(np.float32)  # [4, 9]
+_F_ACC = (_BACKGROUND[:, None] / _ACC_PROB).astype(np.float32)      # [4,15]
+
+
+def _pwm_prod(ch, M, offs, fmat, rc=False, out_len=None):
+    """Π_t fmat[char(x+offs[t]), col_t] over the rolling window — the
+    same value as table[_pack_window(...)] up to f32 product rounding.
+    Column mapping matches _pack_window: fw col_t = t, rc col_t =
+    len(offs)-1-t on the complemented char (chars > 3 read as 0/A)."""
+    N, C, W = ch.shape
+    L1 = out_len if out_len is not None else W - 2 * M
+    k = len(offs)
+    acc = None
+    for t, off in enumerate(offs):
+        c = jax.lax.dynamic_slice_in_dim(ch, M + off, L1, axis=2)
+        c = jnp.where(c > 3, 0, c)
+        if rc:
+            c = 3 - c
+            f = fmat[:, k - 1 - t]
+        else:
+            f = fmat[:, t]
+        term = jnp.where(c == 0, f[0],
+                         jnp.where(c == 1, f[1],
+                                   jnp.where(c == 2, f[2], f[3])))
+        acc = term if acc is None else acc * term
+    return acc
+
+
+def _pwm_planes(ch, M, L):
+    """(dsum_fw, dsum_rc, asum_fw, asum_rc) PWM products at every x."""
+    return (_pwm_prod(ch, M, range(-3, 6), _F_DONOR, out_len=L + 1),
+            _pwm_prod(ch, M, range(-6, 3), _F_DONOR, rc=True,
+                      out_len=L + 1),
+            _pwm_prod(ch, M, range(-14, 1), _F_ACC, out_len=L + 1),
+            _pwm_prod(ch, M, range(-1, 14), _F_ACC, rc=True,
+                      out_len=L + 1))
+
+
 def _pack_window(ch, M, offs, rc=False, out_len=None):
     """Rolling 2-bit pack of diagonal chars: code[b,c,x] over window
     positions x+offs (ascending genomic order; rc=True packs the
@@ -206,6 +250,21 @@ def diag_chars(ref_words, n_text: int, starts, L: int, margin: int):
     from . import rank as rk
     return rk.ref_chars_block(ref_words, n_text, starts - margin,
                               L + 2 * margin)
+
+
+
+def _take_x_i(v, bx, L1):
+    """v[n, i, bx[n, i, j]] without a gather: one-hot select over x,
+    fused by XLA into the reduction (the broadcasted take_along_axis
+    costs one descriptor per (n, i, j) cell)."""
+    sel = bx[:, :, :, None] == jnp.arange(L1, dtype=jnp.int32)
+    return jnp.where(sel, v[:, :, None, :], 0).sum(axis=3, dtype=v.dtype)
+
+
+def _take_x_j(v, bx, L1):
+    """v[n, j, bx[n, i, j]] (right-diagonal indexing)."""
+    sel = bx[:, :, :, None] == jnp.arange(L1, dtype=jnp.int32)
+    return jnp.where(sel, v[:, None, :, :], 0).sum(axis=3, dtype=v.dtype)
 
 
 def pair_sweep(ch, pen_spl, pen_ind, ismm, starts, valid, lens, minsc,
@@ -252,16 +311,7 @@ def pair_sweep(ch, pen_spl, pen_ind, ismm, starts, valid, lens, minsc,
 
         # PWM probabilities per diagonal (rolling windows; fw uses the left
         # diagonal for the donor and right for the acceptor, rc swaps+rc's)
-        dsum_fw = donor_sum[_pack_window(ch, M, range(-3, 6), out_len=L + 1)]
-        dsum_rc = donor_sum[_pack_window(ch, M, range(-6, 3), rc=True, out_len=L + 1)]
-        af1 = acc1t[_pack_window(ch, M, range(-14, -7), out_len=L + 1)]
-        af2 = acc2t[_pack_window(ch, M, range(-7, 1), out_len=L + 1)]
-        asum_fw = af1 * af2
-        # rc acceptor: revcomp of left-diagonal window [x-1 .. x+13]; the
-        # packed 15-mer's top 7 chars are the REVERSED tail (x+13 .. x+7)
-        ar1 = acc1t[_pack_window(ch, M, range(7, 14), rc=True, out_len=L + 1)]
-        ar2 = acc2t[_pack_window(ch, M, range(-1, 7), rc=True, out_len=L + 1)]
-        asum_rc = ar1 * ar2
+        dsum_fw, dsum_rc, asum_fw, asum_rc = _pwm_planes(ch, M, L)
 
     starts_l = starts[:, :, None]                                  # [N,C,1]
     starts_r = starts[:, None, :]                                  # [N,1,C]
@@ -393,14 +443,8 @@ def pair_sweep(ch, pen_spl, pen_ind, ismm, starts, valid, lens, minsc,
     # recover spldir/kind at the chosen x (dcode indexed by LEFT diagonal i,
     # acode by RIGHT diagonal j)
     if prm.allow_spliced:
-        dl = jnp.take_along_axis(
-            jnp.broadcast_to(dcode[:, :, None, :L + 1], (N, C, C, L + 1)
-                             ).reshape(N, C * C, L + 1),
-            bx.reshape(N, C * C, 1), axis=2).reshape(N, C, C)
-        ar = jnp.take_along_axis(
-            jnp.broadcast_to(acode[:, None, :, :L + 1], (N, C, C, L + 1)
-                             ).reshape(N, C * C, L + 1),
-            bx.reshape(N, C * C, 1), axis=2).reshape(N, C, C)
+        dl = _take_x_i(dcode[:, :, :L + 1], bx, L + 1)
+        ar = _take_x_j(acode[:, :, :L + 1], bx, L + 1)
         can_fw = (dl == 0x23) & (ar == 0x02)
         can_rc = (dl == 0x13) & (ar == 0x01)
         semi_fw = ((dl == 0x21) & (ar == 0x02)) \
@@ -425,17 +469,11 @@ def pair_sweep(ch, pen_spl, pen_ind, ismm, starts, valid, lens, minsc,
     lens2 = lens[:, None, None]
     canonical = (spldir == SPL_FW) | (spldir == SPL_RC)
     x = bx
-    mm_l = jnp.take_along_axis(
-        jnp.broadcast_to(Pm[:, :, None, :], (N, C, C, L + 1)
-                         ).reshape(N, C * C, L + 1),
-        x.reshape(N, C * C, 1), axis=2).reshape(N, C, C)
+    mm_l = _take_x_i(Pm, x, L + 1)
     xr = jnp.minimum(x + I, L)
     tot_m = jnp.take_along_axis(Pm, jnp.broadcast_to(lens3, (N, C, 1)),
                                 axis=2)[:, :, 0]
-    mm_r = tot_m[:, None, :] - jnp.take_along_axis(
-        jnp.broadcast_to(Pm[:, None, :, :], (N, C, C, L + 1)
-                         ).reshape(N, C * C, L + 1),
-        xr.reshape(N, C * C, 1), axis=2).reshape(N, C, C)
+    mm_r = tot_m[:, None, :] - _take_x_j(Pm, xr, L + 1)
 
     ok = bs > -_BIG // 2
     shorter_raw = jnp.minimum(x, lens2 - x)
@@ -963,12 +1001,7 @@ def second_sweep(ch, pen_spl, mm_raw, starts, valid, lens, minsc,
     a1c = jax.lax.dynamic_slice_in_dim(ch, M - 1, L + 1, axis=2)
     dcode = jnp.where((d0c < 4) & (d1c < 4), d0c * 16 + d1c, 255)
     acode = jnp.where((a0c < 4) & (a1c < 4), a0c * 16 + a1c, 255)
-    dsum_fw = donor_sum[_pack_window(ch, M, range(-3, 6), out_len=L + 1)]
-    dsum_rc = donor_sum[_pack_window(ch, M, range(-6, 3), rc=True, out_len=L + 1)]
-    asum_fw = acc1t[_pack_window(ch, M, range(-14, -7), out_len=L + 1)] \
-        * acc2t[_pack_window(ch, M, range(-7, 1), out_len=L + 1)]
-    asum_rc = acc1t[_pack_window(ch, M, range(7, 14), rc=True, out_len=L + 1)] \
-        * acc2t[_pack_window(ch, M, range(-1, 7), rc=True, out_len=L + 1)]
+    dsum_fw, dsum_rc, asum_fw, asum_rc = _pwm_planes(ch, M, L)
 
     def row(arr, idx):
         return jnp.take_along_axis(arr, idx[:, None, None], axis=1)[:, 0]
