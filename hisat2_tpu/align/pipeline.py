@@ -1604,10 +1604,14 @@ class TPUAligner:
             if sub.size == 0:
                 break
             processed[sub] = True
-            # bucketed subset size (bounds compiled-variant count)
+            # bucketed subset size (power-of-two steps bound the
+            # compiled-variant count while avoiding a full-B pass for a
+            # ~40% imperfect subset)
             L = codes.shape[1]
-            q = max(256, B // 4)
-            Bs = q if sub.size <= q else B
+            Bs = max(256, B // 8)
+            while Bs < sub.size:
+                Bs *= 2
+            Bs = min(Bs, B)
             n = sub.size
             sc_ = np.zeros((Bs, L), np.asarray(codes).dtype)
             sq_ = np.zeros((Bs, L), np.asarray(quals).dtype)
