@@ -312,6 +312,24 @@ def run_align(args) -> int:
                                                    False),
                             overlap_ok=not getattr(args, "no_overlap",
                                                    False))
+        from collections import deque
+        pend = deque()
+
+        def _finish_pair(item):
+            nonlocal n_bases
+            b1, b2, rdids, handle = item
+            _align_pair_batch(aligner, writer, policy, scoring,
+                              args.khits, b1, b2, ref_fn, rdids,
+                              sink_un_conc=sink_un_conc,
+                              sink_al_conc=sink_al_conc, handle=handle)
+            n_bases += int(b1.lens.sum()) + int(b2.lens.sum())
+            if met is not None:
+                met.maybe_report(writer, n_bases)
+            if shard is not None:
+                shard.end_batch()
+
+        # 2-deep dispatch pipeline (fused 2B-lane batches are heavy;
+        # one batch in flight hides the tunnel latency behind pairing)
         for b1, b2 in paired_batches():
             rdids = rdid0 + np.arange(len(b1.names), dtype=np.int64)
             rdid0 += len(b1.names)
@@ -319,16 +337,13 @@ def run_align(args) -> int:
             if not owned:
                 n_batches += 1
                 continue
-            _align_pair_batch(aligner, writer, policy, scoring,
-                              args.khits, b1, b2, ref_fn, rdids,
-                              sink_un_conc=sink_un_conc,
-                              sink_al_conc=sink_al_conc)
-            n_bases += int(b1.lens.sum()) + int(b2.lens.sum())
-            if met is not None:
-                met.maybe_report(writer, n_bases)
-            if shard is not None:
-                shard.end_batch()
+            pend.append((b1, b2, rdids,
+                         _dispatch_pair_batch(aligner, b1, b2, rdids)))
+            if len(pend) >= 2:
+                _finish_pair(pend.popleft())
             n_batches += 1
+        while pend:
+            _finish_pair(pend.popleft())
     else:
         print("error: provide -U, -1/-2, or --12", file=sys.stderr)
         return 1
@@ -448,9 +463,10 @@ def _replay_pair_giveup(aligner, res, policy, B, lens):
         res.alignments[B + i] = filt(a2, keep2)
 
 
-def _align_pair_batch(aligner, writer, policy, scoring, k, b1, b2, ref_fn,
-                      rdids=None, sink_un_conc=None, sink_al_conc=None):
-    """Align both mates in one device batch, then pair on host."""
+def _dispatch_pair_batch(aligner, b1, b2, rdids):
+    """Enqueue both mates as one fused device batch (lanes 0..B-1 =
+    mate 1, B..2B-1 = mate 2); pair with _align_pair_batch(handle=...)
+    to overlap device compute with host pairing of the previous batch."""
     B = len(b1.names)
     assert len(b2.names) == B, "mate files out of sync"
     L = max(b1.codes.shape[1], b2.codes.shape[1])
@@ -466,17 +482,29 @@ def _align_pair_batch(aligner, writer, policy, scoring, k, b1, b2, ref_fn,
 
     c1, q1 = padto(b1.codes, b1.quals, L)
     c2, q2 = padto(b2.codes, b2.quals, L)
-    seeds1 = rng_mod.gen_rand_seeds(b1.codes, b1.lens, b1.quals, b1.names)
-    seeds2 = rng_mod.gen_rand_seeds(b2.codes, b2.lens, b2.quals, b2.names)
-    pair_seeds = (seeds1 ^ seeds2).astype(np.uint32)
     codes = np.concatenate([c1, c2])
     quals = np.concatenate([q1, q2])
     lens = np.concatenate([b1.lens, b2.lens])
     if rdids is None:
         rdids = np.arange(B, dtype=np.int64)
-    res = aligner.align_batch(codes, quals, lens,
-                              rdids=np.concatenate([rdids, rdids]),
-                              paired=True)
+    return aligner.dispatch(codes, quals, lens,
+                            np.concatenate([rdids, rdids])), lens
+
+
+def _align_pair_batch(aligner, writer, policy, scoring, k, b1, b2, ref_fn,
+                      rdids=None, sink_un_conc=None, sink_al_conc=None,
+                      handle=None):
+    """Align both mates in one device batch, then pair on host."""
+    B = len(b1.names)
+    if rdids is None:
+        rdids = np.arange(B, dtype=np.int64)
+    if handle is None:
+        handle = _dispatch_pair_batch(aligner, b1, b2, rdids)
+    h, lens = handle
+    seeds1 = rng_mod.gen_rand_seeds(b1.codes, b1.lens, b1.quals, b1.names)
+    seeds2 = rng_mod.gen_rand_seeds(b2.codes, b2.lens, b2.quals, b2.names)
+    pair_seeds = (seeds1 ^ seeds2).astype(np.uint32)
+    res = aligner.collect(h, paired=True)
     _replay_pair_giveup(aligner, res, policy, B, lens)
 
     # mate rescue (HI_Aligner::go, hi_aligner.h:3912-3952): when no
