@@ -607,11 +607,12 @@ class TPUAligner:
         return out
 
     @staticmethod
-    def _unspill(o, Mdev):
+    def _unspill(o, meta):
         """Reconstruct dense [2B, Mdev] u_* arrays from the spill D2H
         layout (2 dense head slots + S compacted spill rows)."""
+        Mdev, spliced = meta
         src = o.pop("sp_src")                       # [S]
-        spw = o.pop("sp_w")                         # [S, 4]
+        spw = o.pop("sp_w")                         # [S, 4|5]
         spev = o.pop("sp_ev", None)
         if src.size and src[-1] == -2:
             raise SpillOverflow
@@ -639,8 +640,11 @@ class TPUAligner:
         o["u_n_mm"] = full(o["u_n_mm"], 0, (w2 >> 16) & 0xFF)
         o["u_n_n"] = full(o["u_n_n"], 0, (w2 >> 24) & 0x7F)
         o["u_x"] = full(o["u_x"], 0, w3 & 0xFF)
-        o["u_dd"] = full(o["u_dd"], 0,
-                         (((w3 >> 8) & 0xFF) ^ 0x80) - 0x80)
+        if spliced:
+            o["u_d2"] = full(o["u_d2"], 0, spw[sel, 4])
+        else:
+            o["u_dd"] = full(o["u_dd"], 0,
+                             (((w3 >> 8) & 0xFF) ^ 0x80) - 0x80)
         if spev is not None:
             o["u_event"] = full(o["u_event"], -1, spev[sel])
         return o
@@ -1144,8 +1148,7 @@ class TPUAligner:
         # slots with the SAME ordering key, so truncating to 10 on device
         # is lossless
         Mdev = min(Ktot, max(10, self.msize + 2))
-        use_spill = (not full_out) and (not sp.allow_spliced) \
-            and Mdev > 2
+        use_spill = (not full_out) and Mdev > 2
         if Mdev < Ktot or use_spill:
             skey = jnp.where(uni["valid"] > 0, -uni["score"],
                              np.int32(2 ** 31 - 1))
@@ -1212,13 +1215,20 @@ class TPUAligner:
                 | ((jnp.clip(tk(uni["clip_r"]), 0, 255) & 0xFF) << 8) \
                 | ((jnp.clip(tk(uni["n_mm"]), 0, 255) & 0xFF) << 16) \
                 | (jnp.clip(tk(uni["n_n"]), 0, 127) << 24)
-            w3 = (jnp.clip(tk(uni["x"]), 0, 255) & 0xFF) \
-                | ((tk(uni["dd"]) & 0xFF) << 8)
+            if sp.allow_spliced:
+                # spliced slots carry a full second diagonal instead of
+                # the byte delta
+                w3 = jnp.clip(tk(uni["x"]), 0, 255) & 0xFF
+                words = [w0, w1, w2, w3, tk(uni["d2"])]
+            else:
+                w3 = (jnp.clip(tk(uni["x"]), 0, 255) & 0xFF) \
+                    | ((tk(uni["dd"]) & 0xFF) << 8)
+                words = [w0, w1, w2, w3]
             out["sp_src"] = src
-            out["sp_w"] = jnp.stack([w0, w1, w2, w3], axis=1)
+            out["sp_w"] = jnp.stack(words, axis=1)
             if "event" in uni:
                 out["sp_ev"] = tk(uni["event"])
-            self._traced_spill_mdev = Mdev
+            self._traced_spill_mdev = (Mdev, bool(sp.allow_spliced))
             for k2 in list(uni):
                 if k2 != "alt":
                     uni[k2] = uni[k2][:, :2]
