@@ -31,6 +31,8 @@ def make_scoring(args) -> Scoring:
     rdg_o, rdg_e = (int(x) for x in args.rdg.split(","))
     rfg_o, rfg_e = (int(x) for x in args.rfg.split(","))
     dta = getattr(args, "dta", False)
+    canlen = getattr(args, "pen_canintronlen", None)
+    nclen = getattr(args, "pen_noncanintronlen", None)
     return Scoring(mm_max=mp_max, mm_min=mp_min, n_pen=args.npen,
                    sp_max=sp_max, sp_min=sp_min,
                    rd_gap_open=rdg_o, rd_gap_ext=rdg_e,
@@ -41,9 +43,13 @@ def make_scoring(args) -> Scoring:
                    ignore_quals=args.ignore_quals,
                    pen_can_splice=args.pen_cansplice,
                    pen_noncan_splice=args.pen_noncansplice,
-                   pen_noncan_intron_len=(SimpleFunc("G", -8.0, 2.0)
-                                          if dta else
-                                          SimpleFunc("G", -8.0, 1.0)),
+                   pen_can_intron_len=(SimpleFunc.parse(canlen)
+                                       if canlen else
+                                       SimpleFunc("G", -8.0, 1.0)),
+                   pen_noncan_intron_len=(
+                       SimpleFunc.parse(nclen) if nclen else
+                       SimpleFunc("G", -8.0, 2.0) if dta else
+                       SimpleFunc("G", -8.0, 1.0)),
                    min_intron_len=args.min_intronlen,
                    max_intron_len=args.max_intronlen,
                    min_anchor=15 if dta else 7,
@@ -52,6 +58,22 @@ def make_scoring(args) -> Scoring:
 
 def run_align(args) -> int:
     t0 = time.time()
+    if getattr(args, "sra_acc", None):
+        print("error: --sra-acc needs NCBI SRA network access, which "
+              "this offline build does not have; download FASTQ with "
+              "prefetch/fasterq-dump and pass it via -U/-1/-2",
+              file=sys.stderr)
+        return 1
+    if getattr(args, "tab5", None) or getattr(args, "tab6", None):
+        # tab5/tab6 are fixed-arity flavors of the --12 tabbed reader
+        args.tab12 = args.tab5 or args.tab6
+    if getattr(args, "dta_cufflinks", False):
+        args.dta = True
+    if getattr(args, "non_deterministic", False):
+        # the reference reseeds from the clock per read
+        # (hisat2.cpp:1046); one clock draw per RUN gives the same
+        # user-visible property (output varies run to run)
+        args.seed = int(time.time() * 1e6) & 0x7FFFFFFF
     index_base = args.index
     if not os.path.exists(index_base + ".npz"):
         from ..index.ht2 import convert_ht2, is_ht2
@@ -73,7 +95,10 @@ def run_align(args) -> int:
                          spliced=not args.no_spliced_alignment,
                          lane_meta=True,
                          max_seeds=getattr(args, "max_seeds", 0),
-                         all_hits=getattr(args, "all_hits", False))
+                         all_hits=getattr(args, "all_hits", False),
+                         tmo=getattr(args, "tmo", False),
+                         require_xs=getattr(args, "dta_cufflinks",
+                                            False))
     if aligner.splice_db is not None:
         if args.known_splicesite_infile:
             aligner.splice_db.add_from_file(args.known_splicesite_infile)
@@ -108,6 +133,7 @@ def run_align(args) -> int:
     writer = SamWriter(out, disp_names, index.meta.ref_lens,
                        cmdline=" ".join(sys.argv[1:]),
                        no_head=args.no_hd or shard is not None,
+                       no_sq=getattr(args, "no_sq", False),
                        no_unal=args.no_unal,
                        rg_id=args.rg_id, rg=args.rg,
                        annotator=(aligner.annotate_snps
@@ -305,6 +331,8 @@ def run_align(args) -> int:
         policy = PairPolicy(minins=args.minins, maxins=args.maxins,
                             orient=args.orient, no_mixed=args.no_mixed,
                             no_discordant=args.no_discordant,
+                            tlen_adjust=not getattr(
+                                args, "no_templatelen_adjustment", False),
                             spliced=not args.no_spliced_alignment,
                             max_intron=args.max_intronlen,
                             dovetail_ok=getattr(args, "dovetail", False),
@@ -373,7 +401,7 @@ def run_align(args) -> int:
         for k, v in total.items():
             setattr(writer, k, v)
         multihost.cleanup_shards(args.sam, world)
-    summ = writer.summary()
+    summ = writer.summary(new=getattr(args, "new_summary", False))
     if not args.quiet:
         sys.stderr.write(summ)
     if args.summary_file:
@@ -513,7 +541,8 @@ def _align_pair_batch(aligner, writer, policy, scoring, k, b1, b2, ref_fn,
     jobs = []        # (pair idx, rescued mate# (0/1), anchor, rc expected)
     all_pairs = []
     intron_fn = (aligner.splice_db.max_intron_in
-                 if aligner.splice_db is not None else None)
+                 if aligner.splice_db is not None
+                 and policy.tlen_adjust else None)
     for i in range(B):
         alns1 = res.alignments[i]
         alns2 = res.alignments[B + i]

@@ -26,6 +26,7 @@ class PairPolicy:
     # PairedEndPolicy/-I/-X check runs only under no_spliced_alignment)
     spliced: bool = False
     max_intron: int = 500000
+    tlen_adjust: bool = True   # --no-templatelen-adjustment disables
     # mate-geometry rules (pe.cpp:97-137): overlap/containment allowed by
     # default, dovetailing not (--dovetail / --no-contain / --no-overlap)
     dovetail_ok: bool = False

@@ -231,9 +231,15 @@ class TPUAligner:
                  max_pairs: int = 4, splice_db=None, ss_slots: int = 2,
                  lane_meta: bool = False, shard_devices=None,
                  max_seeds: int = 0, all_hits: bool = False,
+                 tmo: bool = False, require_xs: bool = False,
                  _devs=None, _ref_codes=None):
         self.meta = index.meta
         self.scoring = scoring or Scoring()
+        # --tmo: only known-splice-site junctions are reportable and no
+        # temp sites are collected; --dta-cufflinks: spliced alignments
+        # must carry a resolvable XS (classified direction) or be known
+        self.tmo = tmo
+        self.require_xs = require_xs
         self.k = k
         # --max-seeds defaults to max(5, 2k) (hisat2.cpp:3073); -a lifts
         # both limits — bounded here by a static device cap of 64
@@ -429,7 +435,8 @@ class TPUAligner:
                 index, scoring=self.scoring, k=k, max_hits=max_hits,
                 cand_per_hit=cand_per_hit, no_fw=no_fw, no_rc=no_rc,
                 variants=variants, spliced=False, lane_meta=lane_meta,
-                max_seeds=max_seeds, all_hits=all_hits, _devs=self.devs,
+                max_seeds=max_seeds, all_hits=all_hits, tmo=tmo,
+                require_xs=require_xs, _devs=self.devs,
                 _ref_codes=self.ref_codes)
 
     def _align_device_packed(self, d, params, reads, quals, lens, minsc,
@@ -1558,6 +1565,8 @@ class TPUAligner:
         if not self.spliced or self.splice_db is None:
             return res
         for _ in range(4):
+            if self.tmo:
+                break           # --tmo: no temp splice sites
             added = self.splice_db.collect_from_alignments(
                 res.alignments, rdids, lens, codes, self.ref_codes)
             if not added and self.splice_db.n_sites == ver:
@@ -2040,6 +2049,19 @@ class TPUAligner:
         inlen = np.arange(codes.shape[1])[None, :] < np.asarray(lens)[:, None]
         n_read = ((codes > 3) & inlen).sum(axis=1).astype(np.int64)
         n_n = np.where(junc_kind > 0, n_read[read_of_lane], n_n_dev)
+        if self.tmo:
+            # --tmo: every splice junction must be a known site
+            # (hisat2.cpp tranMapOnly); second/third junctions come from
+            # the novel sweep, so composites are dropped outright
+            valid = valid & ~((junc_kind == splice_ops.KIND_SPL)
+                              & (junc_known == 0))
+            valid = valid & (junc2_kind != splice_ops.KIND_SPL) \
+                & (junc3_kind != splice_ops.KIND_SPL)
+        if self.require_xs:
+            # --dta-cufflinks: spliced alignments need a classified
+            # strand (XS) or a known site (hisat2.cpp dta-cufflinks)
+            valid = valid & ~((junc_kind == splice_ops.KIND_SPL)
+                              & (spl_dir == 0) & (junc_known == 0))
         if self.no_fw:
             valid = valid & is_rc
         if self.no_rc:

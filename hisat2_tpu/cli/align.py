@@ -31,14 +31,30 @@ def build_parser():
                    help="raw one-sequence-per-line input")
     p.add_argument("--qseq", action="store_true",
                    help="Illumina qseq input")
-    p.add_argument("--phred33", dest="qual_mode", action="store_const",
-                   const="phred33", default="phred33")
-    p.add_argument("--phred64", dest="qual_mode", action="store_const",
-                   const="phred64")
+    p.add_argument("--phred33", "--phred33-quals", dest="qual_mode",
+                   action="store_const", const="phred33",
+                   default="phred33")
+    p.add_argument("--phred64", "--phred64-quals", "--solexa1.3-quals",
+                   dest="qual_mode", action="store_const", const="phred64")
     p.add_argument("--solexa-quals", dest="qual_mode", action="store_const",
                    const="solexa")
-    p.add_argument("--int-quals", dest="qual_mode", action="store_const",
-                   const="int")
+    p.add_argument("--int-quals", "--integer-quals", dest="qual_mode",
+                   action="store_const", const="int")
+    p.add_argument("--tab5", default=None,
+                   help="5-field tabbed paired reads "
+                        "(name, seq1, qual1, seq2, qual2; pat.h tab5)")
+    p.add_argument("--tab6", default=None,
+                   help="6-field tabbed paired reads (tab5 + mate-2 name)")
+    p.add_argument("--sra-acc", dest="sra_acc", default=None,
+                   help="SRA accession (requires network; unsupported "
+                        "in this offline build)")
+    p.add_argument("--qc-filter", dest="qc_filter", action="store_true",
+                   help="filter out reads whose qseq filter field is 0 "
+                        "(reported unaligned with YF:Z:QC)")
+    p.add_argument("--non-deterministic", "--nondeterministic",
+                   dest="non_deterministic", action="store_true",
+                   help="seed the per-read RNG from the clock instead of "
+                        "read name/sequence (hisat2.cpp:1046)")
     p.add_argument("-5", "--trim5", type=int, default=0,
                    help="trim N bases from 5' end")
     p.add_argument("-3", "--trim3", type=int, default=0,
@@ -88,8 +104,8 @@ def build_parser():
     p.add_argument("--coordinator", default=None,
                    help="jax.distributed coordinator address:port "
                         "(required on multi-host TPU pods)")
-    p.add_argument("-u", dest="upto", type=int, default=None,
-                   help="align at most this many reads")
+    p.add_argument("-u", "--upto", "--qupto", dest="upto", type=int,
+                   default=None, help="align at most this many reads")
     p.add_argument("-s", dest="skip", type=int, default=0,
                    help="skip the first N reads")
     p.add_argument("--batch-size", type=int, default=4096,
@@ -101,11 +117,18 @@ def build_parser():
     p.add_argument("--no-softclip", action="store_true")
     p.add_argument("--rdg", default="5,3", help="read gap open,extend")
     p.add_argument("--rfg", default="5,3", help="ref gap open,extend")
-    p.add_argument("--score-min", default="L,0,-0.2")
+    p.add_argument("--score-min", "--min-score", dest="score_min",
+                   default="L,0,-0.2")
     p.add_argument("--n-ceil", default="L,0,0.15")
     p.add_argument("--ignore-quals", action="store_true")
     p.add_argument("--pen-cansplice", type=int, default=0)
     p.add_argument("--pen-noncansplice", type=int, default=12)
+    p.add_argument("--pen-canintronlen", default=None,
+                   help="canonical intron length penalty function "
+                        "(default G,-8,1)")
+    p.add_argument("--pen-noncanintronlen", default=None,
+                   help="non-canonical intron length penalty function "
+                        "(default G,-8,1; G,-8,2 under --dta)")
     p.add_argument("--min-intronlen", type=int, default=20)
     p.add_argument("--max-intronlen", type=int, default=500000)
     p.add_argument("--known-splicesite-infile", default=None)
@@ -116,13 +139,41 @@ def build_parser():
                    choices=["unstranded", "F", "R", "FR", "RF"])
     p.add_argument("--dta", "--downstream-transcriptome-assembly",
                    dest="dta", action="store_true")
+    p.add_argument("--dta-cufflinks", dest="dta_cufflinks",
+                   action="store_true",
+                   help="like --dta, and report only spliced alignments "
+                        "with canonical or known junctions")
+    p.add_argument("--tmo", "--transcriptome-mapping-only", dest="tmo",
+                   action="store_true",
+                   help="report only alignments whose junctions are all "
+                        "known splice sites (novel discovery disabled)")
+    p.add_argument("--avoid-pseudogene", action="store_true",
+                   help="accepted for compatibility (needs gene "
+                        "annotation analysis the index does not carry)")
+    p.add_argument("--no-templatelen-adjustment",
+                   dest="no_templatelen_adjustment", action="store_true",
+                   help="disable intron-aware TLEN adjustment for "
+                        "RNA-seq pairs")
+    p.add_argument("--max-altstried", type=int, default=16,
+                   help="accepted for compatibility: the vectorized "
+                        "extension evaluates every in-window ALT "
+                        "combination, so no alt-budget applies")
+    p.add_argument("--no-anchorstop", dest="no_anchorstop",
+                   action="store_true",
+                   help="do not stop the per-orientation search at a "
+                        "long unique anchor (hisat2.cpp ARG_NO_ANCHORSTOP)")
     p.add_argument("--nofw", action="store_true")
     p.add_argument("--norc", action="store_true")
     p.add_argument("--no-unal", action="store_true",
                    help="suppress SAM records for unaligned reads")
-    p.add_argument("--no-hd", action="store_true", help="suppress header")
-    p.add_argument("--rg-id", default=None)
-    p.add_argument("--rg", action="append", default=[])
+    p.add_argument("--no-hd", "--sam-no-hd", "--sam-nohead", "--no-head",
+                   dest="no_hd", action="store_true",
+                   help="suppress header")
+    p.add_argument("--no-sq", "--sam-no-sq", "--sam-nosq", dest="no_sq",
+                   action="store_true", help="suppress @SQ header lines")
+    p.add_argument("--rg-id", "--sam-rg-id", dest="rg_id", default=None)
+    p.add_argument("--rg", "--sam-rg", dest="rg", action="append",
+                   default=[])
     p.add_argument("-I", "--minins", type=int, default=0)
     p.add_argument("-X", "--maxins", type=int, default=500)
     p.add_argument("--fr", dest="orient", action="store_const", const="fr",
@@ -139,6 +190,10 @@ def build_parser():
     p.add_argument("--no-discordant", action="store_true")
     p.add_argument("--no-spliced-alignment", action="store_true")
     p.add_argument("--summary-file", default=None)
+    p.add_argument("--new-summary", dest="new_summary",
+                   action="store_true",
+                   help="machine-friendly summary style "
+                        "(aln_sink.h:1506-1526)")
     p.add_argument("-t", "--time", action="store_true")
     p.add_argument("-p", "--threads", type=int, default=1,
                    help="accepted for compatibility (device batching)")
@@ -147,8 +202,10 @@ def build_parser():
                    help="seed for pseudo-random tie-breaking")
     p.add_argument("--met", type=float, default=1.0,
                    help="metrics snapshot interval in seconds")
-    p.add_argument("--met-file", dest="met_file", default=None)
-    p.add_argument("--met-stderr", dest="met_stderr", action="store_true")
+    p.add_argument("--met-file", "--metrics-file", dest="met_file",
+                   default=None)
+    p.add_argument("--met-stderr", "--metrics-stderr", dest="met_stderr",
+                   action="store_true")
     p.add_argument("--met-read", "--metrics-per-read", dest="met_read",
                    action="store_true",
                    help="emit a metrics tuple for every read "

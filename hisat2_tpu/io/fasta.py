@@ -112,7 +112,12 @@ def iter_tabbed(path: str, qual_mode: str = "phred33"):
     with _open(path) as f:
         for line in f:
             p = line.rstrip(b"\n").split(b"\t")
-            if len(p) >= 5:
+            if len(p) >= 6:
+                # tab6: name1 seq1 qual1 name2 seq2 qual2
+                yield (p[0].decode(), bitops.encode_dna(p[1]),
+                       decode_quals(p[2], qual_mode),
+                       bitops.encode_dna(p[4]), decode_quals(p[5], qual_mode))
+            elif len(p) >= 5:
                 yield (p[0].decode(), bitops.encode_dna(p[1]),
                        decode_quals(p[2], qual_mode),
                        bitops.encode_dna(p[3]), decode_quals(p[4], qual_mode))

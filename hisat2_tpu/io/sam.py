@@ -75,7 +75,7 @@ class SamWriter:
                  no_head: bool = False, no_unal: bool = False,
                  rg_id: str = None, rg: list = None, annotator=None,
                  rna_strandness: str = "unstranded",
-                 omit_sec_seq: bool = False):
+                 omit_sec_seq: bool = False, no_sq: bool = False):
         self.rna_strandness = rna_strandness
         self.omit_sec_seq = omit_sec_seq  # --omit-sec-seq (sam.h)
         self.out = out if hasattr(out, "write") else open(out, "w")
@@ -99,8 +99,9 @@ class SamWriter:
         self.n_mate_multi = 0
         if not no_head:
             self.out.write("@HD\tVN:1.0\tSO:unsorted\n")
-            for nm, ln in zip(ref_names, ref_lens):
-                self.out.write(f"@SQ\tSN:{nm}\tLN:{ln}\n")
+            if not no_sq:
+                for nm, ln in zip(ref_names, ref_lens):
+                    self.out.write(f"@SQ\tSN:{nm}\tLN:{ln}\n")
             if rg_id:
                 self.out.write("@RG\tID:" + rg_id
                                + "".join("\t" + r for r in (rg or [])) + "\n")
@@ -744,8 +745,52 @@ class SamWriter:
                         name, codes, quals, flag_extra=fx, yt="UP"))
 
     # ------------------------------------------------------------------
-    def summary(self) -> str:
-        """printAlSumm-equivalent summary (aln_sink.cpp:_printAlSumm)."""
+    def summary(self, new: bool = False) -> str:
+        """printAlSumm-equivalent summary (aln_sink.cpp:_printAlSumm);
+        new=True gives the machine-friendly --new-summary style
+        (aln_sink.h:1506-1526)."""
+        if new:
+            pct = lambda a, b: f"{100.0 * a / max(b, 1):.2f}%"  # noqa: E731
+            ls = ["HISAT2 summary stats:"]
+            if self.n_pairs:
+                n = self.n_pairs
+                nc0 = n - self.n_conc_uniq - self.n_conc_multi
+                nodisc = nc0 - self.n_disc
+                mates = nodisc * 2
+                al_mates = mates - self.n_mate_unal
+                tot_cand = n * 2
+                tot_al = (self.n_conc_uniq + self.n_conc_multi
+                          + self.n_disc) * 2 + al_mates
+                ls += [f"\tTotal pairs: {n}",
+                       "\t\tAligned concordantly or discordantly 0 time: "
+                       f"{nodisc} ({pct(nodisc, n)})",
+                       f"\t\tAligned concordantly 1 time: "
+                       f"{self.n_conc_uniq} ({pct(self.n_conc_uniq, n)})",
+                       f"\t\tAligned concordantly >1 times: "
+                       f"{self.n_conc_multi} ({pct(self.n_conc_multi, n)})",
+                       f"\t\tAligned discordantly 1 time: "
+                       f"{self.n_disc} ({pct(self.n_disc, n)})",
+                       f"\tTotal unpaired reads: {mates}",
+                       f"\t\tAligned 0 time: {self.n_mate_unal} "
+                       f"({pct(self.n_mate_unal, mates)})",
+                       f"\t\tAligned 1 time: {self.n_mate_uniq} "
+                       f"({pct(self.n_mate_uniq, mates)})",
+                       f"\t\tAligned >1 times: {self.n_mate_multi} "
+                       f"({pct(self.n_mate_multi, mates)})"]
+            else:
+                n = self.n_reads
+                tot_cand = n
+                tot_al = n - self.n_unal
+                ls += [f"\tTotal reads: {n}",
+                       f"\t\tAligned 0 time: {self.n_unal} "
+                       f"({pct(self.n_unal, n)})",
+                       f"\t\tAligned 1 time: {self.n_uniq} "
+                       f"({pct(self.n_uniq, n)})",
+                       f"\t\tAligned >1 times: {self.n_multi} "
+                       f"({pct(self.n_multi, n)})"]
+            ls.append(f"\tOverall alignment rate: "
+                      f"{pct(tot_al, tot_cand)}")
+            return "\n".join(ls) + "\n"
         if self.n_pairs:
             n = self.n_pairs
             conc0 = n - self.n_conc_uniq - self.n_conc_multi
