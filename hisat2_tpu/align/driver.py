@@ -97,8 +97,9 @@ def run_align(args) -> int:
                          max_seeds=getattr(args, "max_seeds", 0),
                          all_hits=getattr(args, "all_hits", False),
                          tmo=getattr(args, "tmo", False),
-                         require_xs=getattr(args, "dta_cufflinks",
-                                            False))
+                         require_xs=getattr(args, "dta_cufflinks", False),
+                         anchor_stop=not getattr(args, "no_anchorstop",
+                                                 False))
     if aligner.splice_db is not None:
         if args.known_splicesite_infile:
             aligner.splice_db.add_from_file(args.known_splicesite_infile)
@@ -215,6 +216,8 @@ def run_align(args) -> int:
             return
         for path in args.unpaired.split(","):
             yield from read_batches(path, bs, skip=sk, limit=up, fmt=fmt,
+                                    qc_filter=getattr(args, "qc_filter",
+                                                      False),
                                     qual_mode=qmode, trim5=trim5,
                                     trim3=trim3)
 
@@ -277,7 +280,11 @@ def run_align(args) -> int:
             ncnt = ((b.codes > 3) & inlen).sum(axis=1)
             maxn = np.array([aligner.scoring.max_n(int(l))
                              for l in b.lens])
-            nfv = ncnt > maxn
+            # 0 = pass, 1 = YF:Z:NS (N ceiling), 2 = YF:Z:QC (--qc-filter)
+            nfv = (ncnt > maxn).astype(np.int8)
+            qcf = getattr(b, "qc_fail", None)
+            if qcf is not None and qcf.any():
+                nfv = np.where(qcf, np.int8(2), nfv)
 
             k_rep = 10 ** 9 if getattr(args, "all_hits", False) \
                 else args.khits

@@ -232,6 +232,7 @@ class TPUAligner:
                  lane_meta: bool = False, shard_devices=None,
                  max_seeds: int = 0, all_hits: bool = False,
                  tmo: bool = False, require_xs: bool = False,
+                 anchor_stop: bool = True,
                  _devs=None, _ref_codes=None):
         self.meta = index.meta
         self.scoring = scoring or Scoring()
@@ -240,6 +241,7 @@ class TPUAligner:
         # must carry a resolvable XS (classified direction) or be known
         self.tmo = tmo
         self.require_xs = require_xs
+        self.anchor_stop = anchor_stop
         self.k = k
         # --max-seeds defaults to max(5, 2k) (hisat2.cpp:3073); -a lifts
         # both limits — bounded here by a static device cap of 64
@@ -436,8 +438,8 @@ class TPUAligner:
                 cand_per_hit=cand_per_hit, no_fw=no_fw, no_rc=no_rc,
                 variants=variants, spliced=False, lane_meta=lane_meta,
                 max_seeds=max_seeds, all_hits=all_hits, tmo=tmo,
-                require_xs=require_xs, _devs=self.devs,
-                _ref_codes=self.ref_codes)
+                require_xs=require_xs, anchor_stop=anchor_stop,
+                _devs=self.devs, _ref_codes=self.ref_codes)
 
     def _align_device_packed(self, d, params, reads, quals, lens, minsc,
                              rdids=None, ss=None, uniform=False, h2d=None,
@@ -693,7 +695,8 @@ class TPUAligner:
         H = max(self.max_hits, L // (self.min_k + 12) + 2)
         hits = search_ops.partial_search(
             d.blocked, d.fchr, meta.zrow, meta.rows, ar, al,
-            H, self.min_hit_len, self.min_k, uniform=uniform)
+            H, self.min_hit_len, self.min_k, uniform=uniform,
+            anchor_stop=self.anchor_stop)
 
         P = self.cand_per_hit
         w = hits.bot - hits.top                                   # [2B, H]

@@ -19,6 +19,9 @@ from ..utils import bitops
 def _open(path: str):
     if path.endswith(".gz"):
         return gzip.open(path, "rb")
+    if path.endswith(".bz2"):
+        import bz2
+        return bz2.open(path, "rb")
     return open(path, "rb")
 
 
@@ -57,7 +60,8 @@ def decode_quals(qual: bytes, mode: str = "phred33") -> np.ndarray:
     return np.clip(q, 0, 63).astype(np.uint8)
 
 
-def iter_reads(path: str, fmt: str = "auto", qual_mode: str = "phred33"
+def iter_reads(path: str, fmt: str = "auto", qual_mode: str = "phred33",
+               qc_filter: bool = False
                ) -> Iterator[tuple[str, np.ndarray, np.ndarray]]:
     """Yield (name, codes, quals) per read.
 
@@ -89,9 +93,18 @@ def iter_reads(path: str, fmt: str = "auto", qual_mode: str = "phred33"
                 if len(p) < 10:
                     continue
                 name = b"_".join(p[:7]).decode()
+                # mate field appends /1 or /2 (pat.h qseq parser)
+                if p[7].strip() in (b"1", b"2"):
+                    name += "/" + p[7].strip().decode()
                 seq = p[8].replace(b".", b"N")
-                yield name, bitops.encode_dna(seq), \
-                    decode_quals(p[9], qual_mode)
+                rec = (name, bitops.encode_dna(seq),
+                       decode_quals(p[9], qual_mode))
+                if qc_filter:
+                    # 11th field: 1 = passed QC (pat.h qseq; --qc-filter)
+                    bad = len(p) >= 11 and p[10].strip() == b"0"
+                    yield rec + (bad,)
+                else:
+                    yield rec
     else:
         for name, codes in iter_fasta(path):
             yield name, codes, np.full(len(codes), 40, np.uint8)
@@ -146,8 +159,11 @@ def _iter_fastq(path: str, qual_mode: str = "phred33"):
 class ReadBatch:
     """A padded batch: names, codes [B, L], quals [B, L], lens [B]."""
 
-    def __init__(self, names, codes_list, quals_list, pad_to: int = None):
+    def __init__(self, names, codes_list, quals_list, pad_to: int = None,
+                 qc_fail=None):
         self.names = names
+        self.qc_fail = (np.asarray(qc_fail, bool) if qc_fail is not None
+                        else np.zeros(len(names), bool))
         B = len(names)
         L = max((len(c) for c in codes_list), default=0)
         if pad_to is not None:
@@ -176,9 +192,11 @@ def batch_stream(records, batch_size: int, pad_to: int = None,
                  skip: int = 0, limit: int = None,
                  trim5: int = 0, trim3: int = 0):
     """Batch any (name, codes, quals) iterator (-u/-s/-5/-3 equivalents)."""
-    names, cs, qs = [], [], []
+    names, cs, qs, qc = [], [], [], []
     seen = 0
-    for name, codes, quals in records:
+    for rec in records:
+        name, codes, quals = rec[:3]
+        bad = bool(rec[3]) if len(rec) > 3 else False
         if seen < skip:
             seen += 1
             continue
@@ -189,16 +207,18 @@ def batch_stream(records, batch_size: int, pad_to: int = None,
         names.append(name)
         cs.append(codes)
         qs.append(quals)
+        qc.append(bad)
         if len(names) == batch_size:
-            yield ReadBatch(names, cs, qs, pad_to)
-            names, cs, qs = [], [], []
+            yield ReadBatch(names, cs, qs, pad_to, qc)
+            names, cs, qs, qc = [], [], [], []
     if names:
-        yield ReadBatch(names, cs, qs, pad_to)
+        yield ReadBatch(names, cs, qs, pad_to, qc)
 
 
 def read_batches(path: str, batch_size: int, pad_to: int = None,
                  skip: int = 0, limit: int = None, fmt: str = "auto",
-                 qual_mode: str = "phred33", trim5: int = 0, trim3: int = 0):
+                 qual_mode: str = "phred33", trim5: int = 0, trim3: int = 0,
+                 qc_filter: bool = False):
     """Stream ReadBatches of at most batch_size reads from one file."""
-    yield from batch_stream(iter_reads(path, fmt, qual_mode), batch_size,
-                            pad_to, skip, limit, trim5, trim3)
+    yield from batch_stream(iter_reads(path, fmt, qual_mode, qc_filter),
+                            batch_size, pad_to, skip, limit, trim5, trim3)

@@ -479,11 +479,13 @@ class SamWriter:
         for i in range(B):
             name = names[i]
             self.n_reads += 1
-            if counts[i] == 0:
+            if counts[i] == 0 or (n_filt is not None
+                                  and n_filt[i] == 2):
                 self.n_unal += 1
                 if not self.no_unal:
                     nf = n_filt[i] if n_filt is not None else False
-                    tail = "\tYF:Z:NS" if nf else ""
+                    tail = ("\tYF:Z:QC" if nf == 2 else
+                            "\tYF:Z:NS" if nf else "")
                     out_w(f"{name}\t4\t*\t0\t0\t*\t*\t0\t0\t"
                           f"{seq_of(i, False)}\t{qual_of(i, False)}"
                           f"\tYT:Z:UU{tail}\n")
@@ -545,7 +547,12 @@ class SamWriter:
         kind = np.full(B, 1, np.int8)
         kind[unal] = 0
         if n_filtered is not None:
-            kind[unal & np.asarray(n_filtered, bool)] = 4
+            nfa = np.asarray(n_filtered)
+            kind[unal & (nfa.astype(bool))] = 4
+            # --qc-filter: filtered reads report unaligned + YF:Z:QC
+            # regardless of any device rows
+            kind[nfa == 2] = 6
+            unal = unal | (nfa == 2)
         kind[np.asarray(cplx, bool) & ~unal] = 3
         row0_a = np.asarray(row0, np.int64)
         nrow = len(rd_col)

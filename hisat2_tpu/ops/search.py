@@ -184,7 +184,8 @@ def _partial_search_ref(blocked, fchr, zrow: int, rows: int,
 def partial_search(blocked, fchr, zrow: int, rows: int,
                    reads, lens, max_hits: int = 8,
                    min_hit_len: int = 16, min_k: int = 16,
-                   uniform: bool = False) -> PartialHits:
+                   uniform: bool = False,
+                   anchor_stop: bool = True) -> PartialHits:
     """Event-stream formulation of the wavefront search (same result as
     _partial_search_ref, bit-for-bit — see test_search_event_stream).
 
@@ -197,7 +198,9 @@ def partial_search(blocked, fchr, zrow: int, rows: int,
     B, L = reads.shape
     H = max_hits
     lens = lens.astype(jnp.int32)
-    a_stop_len = np.int32(min_k + 12)
+    # --no-anchorstop (hisat2.cpp ARG_NO_ANCHORSTOP): never end the
+    # per-orientation search at a long unique anchor
+    a_stop_len = np.int32(min_k + 12) if anchor_stop else np.int32(2**30)
     a_cancel_len = np.int32(min_k + 8)
 
     # right-to-left read chars, precomputed once: step s consumes

@@ -10,6 +10,7 @@
  * the output hot path.
  *
  * kind per read: 0 = unaligned, 4 = unaligned + YF:Z:NS,
+ *                6 = unaligned + YF:Z:QC (--qc-filter),
  *                1 = simple unique, 3 = complex (skipped here).
  */
 #include <stdint.h>
@@ -55,7 +56,7 @@ int sam_render_batch(
         int64_t Ln = lens[i];
         const uint8_t *nm_b = name_bytes + name_off[i];
         int nm_n = (int)(name_off[i + 1] - name_off[i]);
-        if (k == 0 || k == 4) {
+        if (k == 0 || k == 4 || k == 6) {
             if (no_unal) { out_len[i] = 0; continue; }
             p = put_str(p, (const char *)nm_b, nm_n);
             p = put_str(p, "\t4\t*\t0\t0\t*\t*\t0\t0\t", 17);
@@ -64,6 +65,7 @@ int sam_render_batch(
             p = put_str(p, (const char *)(q_ascii + i * L), Ln);
             p = put_str(p, "\tYT:Z:UU", 8);
             if (k == 4) p = put_str(p, "\tYF:Z:NS", 8);
+            else if (k == 6) p = put_str(p, "\tYF:Z:QC", 8);
             *p++ = '\n';
             out_len[i] = (int32_t)(p - p0);
             continue;
