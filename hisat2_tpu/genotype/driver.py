@@ -18,7 +18,8 @@ import sys
 
 import numpy as np
 
-from .typing import call_diploid, compatibility_classes, em_abundance
+from .typing import (call_diploid, compatibility_classes,
+                     em_abundance, pair_loglikelihood)
 
 
 def run_genotype(args) -> int:
@@ -76,6 +77,9 @@ def run_genotype(args) -> int:
         calls = call_diploid(ranked)
         if calls:
             out.write("\tcall: %s\n" % " / ".join(calls))
+        if getattr(args, "pair_loglik", False):
+            for a, b, ll in pair_loglikelihood(gc):
+                out.write("\tpair %s / %s loglik %.3f\n" % (a, b, ll))
     if args.out:
         out.close()
     return 0
@@ -153,6 +157,9 @@ def run_genotype_msa(args) -> int:
         calls = call_diploid(ranked)
         if calls:
             out.write("\tcall: %s\n" % " / ".join(calls))
+        if getattr(args, "pair_loglik", False):
+            for a, b, ll in pair_loglikelihood(gc):
+                out.write("\tpair %s / %s loglik %.3f\n" % (a, b, ll))
     if args.out:
         out.close()
     return 0
@@ -225,6 +232,10 @@ def build_parser():
                    help="max SNV edit distance read-vs-allele "
                         "(hisatgenotype_locus --num-editdist)")
     p.add_argument("--out", default=None, help="report file (stdout)")
+    p.add_argument("--pair-loglik", dest="pair_loglik",
+                   action="store_true",
+                   help="also rank diploid allele PAIRS by "
+                        "log-likelihood (li_hla/main.cpp model)")
     p.add_argument("--top", type=int, default=5,
                    help="ranked alleles to print per gene")
     return p

@@ -112,6 +112,34 @@ def call_diploid(ranked, min_abundance: float = 0.1):
     return calls
 
 
+def pair_loglikelihood(cmpt: dict, top: int = 5):
+    """Diploid pair log-likelihoods, li_hla style (the standalone HLA
+    checker, /root/reference/li_hla/main.cpp: for each allele pair (a,b)
+    the likelihood of a read is the mean of its per-haplotype
+    compatibilities, L(a,b) = sum_r w_r * log((P(r|a) + P(r|b)) / 2)
+    with P(r|x) = 1 if the read's compatibility class contains x else a
+    small error floor).  cmpt: {'a-b-...': count} compatibility classes.
+    Returns [(allele_a, allele_b, loglik)] sorted desc, top pairs."""
+    import itertools
+    import math
+
+    alleles = sorted({a for k in cmpt for a in k.split("-")})
+    if not alleles:
+        return []
+    ERR = 1e-4                     # mismatch/error floor per read
+    classes = [(set(k.split("-")), n) for k, n in cmpt.items()]
+    out = []
+    for a, b in itertools.combinations_with_replacement(alleles, 2):
+        ll = 0.0
+        for alset, n in classes:
+            pa = 1.0 if a in alset else ERR
+            pb = 1.0 if b in alset else ERR
+            ll += n * math.log((pa + pb) / 2.0)
+        out.append((a, b, ll))
+    out.sort(key=lambda t: -t[2])
+    return out[:top]
+
+
 def variant_compatibility(backbone, allele_vars, var_ids, allele_spans,
                           aligned_reads, editdist: int = 2):
     """Variant-set compatibility (hisatgenotype_locus.py typing: a read

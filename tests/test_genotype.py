@@ -75,3 +75,16 @@ def test_genotype_end_to_end():
         rep = open(out).read()
         assert "call: X*01:01 / X*02:01" in rep \
             or "call: X*02:01 / X*01:01" in rep
+
+
+def test_pair_loglikelihood_li_hla_model():
+    """li_hla-style diploid pair ranking: a heterozygous read mix must
+    rank the true (A, B) pair above both homozygous pairs."""
+    from hisat2_tpu.genotype.typing import pair_loglikelihood
+    cmpt = {"A*01": 40, "B*02": 38, "A*01-B*02": 10, "C*03": 2}
+    top = pair_loglikelihood(cmpt, top=3)
+    assert top[0][0] == "A*01" and top[0][1] == "B*02"
+    assert top[0][2] > top[1][2]
+    # homozygous truth: all reads on one allele
+    top2 = pair_loglikelihood({"A*01": 50, "A*01-B*02": 30}, top=2)
+    assert top2[0][:2] == ("A*01", "A*01")
