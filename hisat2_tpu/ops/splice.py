@@ -338,9 +338,23 @@ def pair_sweep(ch, pen_spl, pen_ind, ismm, starts, valid, lens, minsc,
         [Pi, jnp.broadcast_to(tot_i[:, :, None], (N, C, pad))], axis=2)
     Ps_p = jnp.concatenate(
         [Ps, jnp.broadcast_to(tot_s[:, :, None], (N, C, pad))], axis=2)
+    # RAW (forgiveness-blind) mismatch counts per column, for the indel
+    # x tie rule below: the reference's extension walks raw matches first
+    # and engages ALT forgiveness only at a mismatch, so among equal-score
+    # gap placements it lands on the one using the FEWEST forgiven columns
+    # (oracle-probed: fz1264 90M4D10M over 89M4D11M where x=89 needs a
+    # forgiven SNV; ties within equal raw counts keep the lowest x)
+    Pr = jnp.concatenate(
+        [zero3, jnp.cumsum((pen_spl > 0).astype(jnp.int32), axis=2)],
+        axis=2)
+    tot_r = jnp.take_along_axis(Pr, jnp.broadcast_to(lens3, (N, C, 1)),
+                                axis=2)[:, :, 0]
+    Pr_p = jnp.concatenate(
+        [Pr, jnp.broadcast_to(tot_r[:, :, None], (N, C, pad))], axis=2)
     # per-diagonal suffix penalties S[c, x] = total - prefix
     SSi = tot_i[:, :, None] - Pi_p                                # [N,C,Lp]
     SSs = tot_s[:, :, None] - Ps_p
+    SSr = tot_r[:, :, None] - Pr_p
     if prm.allow_spliced:
         # pad classification/PWM planes to the same sliceable length
         zpadi = jnp.full((N, C, pad), 255, jnp.int32)
@@ -356,7 +370,7 @@ def pair_sweep(ch, pen_spl, pen_ind, ismm, starts, valid, lens, minsc,
     ins_sel = [(is_ins & (I == v)) for v in range(1, V + 1)]
 
     def blk(carry, b0):
-        bk, bx, bp = carry
+        bk, bx, bp, btk = carry
         x0 = b0 * xblock
         xs = x0 + jnp.arange(xblock, dtype=jnp.int32)              # [W]
         x4 = xs[None, None, None, :]                               # [1,1,1,W]
@@ -368,11 +382,15 @@ def pair_sweep(ch, pen_spl, pen_ind, ismm, starts, valid, lens, minsc,
         # indel scores: left prefix on SNP-forgiving plane + shifted suffix
         # (the shift handles insertions without any per-pair gather)
         Pl_i = sl(Pi_p, 0)[:, :, None, :]                          # [N,C,1,W]
+        Pl_r = sl(Pr_p, 0)[:, :, None, :]
         score_ind = -(Pl_i + sl(SSi, 0)[:, None, :, :])
+        raw4 = Pl_r + sl(SSr, 0)[:, None, :, :]
         for v in range(1, V + 1):
             sv = -(Pl_i + sl(SSi, v)[:, None, :, :])
-            score_ind = jnp.where(ins_sel[v - 1][:, :, :, None],
-                                  sv, score_ind)
+            rv = Pl_r + sl(SSr, v)[:, None, :, :]
+            isv = ins_sel[v - 1][:, :, :, None]
+            score_ind = jnp.where(isv, sv, score_ind)
+            raw4 = jnp.where(isv, rv, raw4)
         score_ind = score_ind - gap_pen[:, :, :, None]
 
         if prm.allow_spliced:
@@ -421,19 +439,31 @@ def pair_sweep(ch, pen_spl, pen_ind, ismm, starts, valid, lens, minsc,
         tie1 = k1 == m1[:, :, :, None]
         s2 = jnp.where(tie1, ssc, -1.0).max(axis=3)
         tie2 = tie1 & (jnp.where(tie1, ssc, -1.0) == s2[:, :, :, None])
-        xbest = jnp.where(tie2, jnp.broadcast_to(x4, tie2.shape),
-                          _BIG).min(axis=3)
-        # merge with carry: same preference order, carry wins ties (first x)
-        better = (m1 > bk) | ((m1 == bk) & (s2 > bp))
+        # x tie rule: splices keep the FIRST (lowest) x; indel ties rank
+        # by RAW mismatch count first (fewest forgiven columns — the
+        # reference's extension walks raw matches and engages ALT
+        # forgiveness only at a mismatch: oracle fz1264 90M4D10M beats
+        # 89M4D11M whose x=89 needs a forgiven SNV; within equal raw
+        # counts the lowest x wins: fz1157 64M5D36M, fz206 76M5D24M)
+        ind_tk = raw4 * np.int32(L + 2) + x4
+        tkey4 = jnp.where(sp4, x4, ind_tk) if prm.allow_spliced else ind_tk
+        xtk = jnp.where(tie2, jnp.broadcast_to(tkey4, tie2.shape),
+                        _BIG).min(axis=3)
+        xbest = jnp.where(is_spl, xtk, xtk % np.int32(L + 2))
+        # merge with carry: same preference order, then the tie key
+        better = (m1 > bk) | ((m1 == bk) & (s2 > bp)) \
+            | ((m1 == bk) & (s2 == bp) & (xtk < btk))
         bk = jnp.where(better, m1, bk)
         bp = jnp.where(better, s2, bp)
         bx = jnp.where(better, xbest, bx)
-        return (bk, bx, bp), None
+        btk = jnp.where(better, xtk, btk)
+        return (bk, bx, bp, btk), None
 
     init = (jnp.full((N, C, C), -1, jnp.int32),
             jnp.zeros((N, C, C), jnp.int32),
-            jnp.full((N, C, C), -1.0, jnp.float32))
-    (bk, bx, bp), _ = jax.lax.scan(
+            jnp.full((N, C, C), -1.0, jnp.float32),
+            jnp.full((N, C, C), _BIG, jnp.int32))
+    (bk, bx, bp, _btk), _ = jax.lax.scan(
         blk, init, jnp.arange(nblk, dtype=jnp.int32))
     # decompose the winning key back into score (dir bit recomputed below)
     bs = jnp.where(bk >= 0, (bk & ((1 << 23) - 1)) - 2 ** 21,
@@ -865,8 +895,14 @@ def self_indel_sweep(ch, reads, quals, lens, starts, valid, minsc,
     zero3 = jnp.zeros((N, C, 1), jnp.int32)
 
     def prefix(delta):
+        """(forgiving penalty prefix, RAW mismatch count prefix) — the raw
+        count feeds the x tie rule: among equal-penalty gap placements the
+        reference lands on the one using the fewest ALT-forgiven columns
+        (its extension walks raw matches first; see pair_sweep)."""
         chs = jax.lax.dynamic_slice_in_dim(ch, M + delta, L, axis=2)
         mm = vp & (rd < 4) & (chs < 4) & (rd != chs)
+        raw = jnp.concatenate(
+            [zero3, jnp.cumsum(mm.astype(jnp.int32), axis=2)], axis=2)
         if snv1_w is not None:
             v1 = jax.lax.dynamic_slice_in_dim(snv1_w, M + delta, L, axis=2)
             v2 = jax.lax.dynamic_slice_in_dim(snv2_w, M + delta, L, axis=2)
@@ -874,7 +910,8 @@ def self_indel_sweep(ch, reads, quals, lens, starts, valid, minsc,
                     | ((v2 != 0) & (rd == ((chs + v2) & 3))))
         pen = (jnp.where(mm, mmq, 0) + isn_pen
                + jnp.where(vp & (chs > 3), jnp.int32(100000), 0))
-        return jnp.concatenate([zero3, jnp.cumsum(pen, axis=2)], axis=2)
+        return (jnp.concatenate([zero3, jnp.cumsum(pen, axis=2)], axis=2),
+                raw)
 
     def shifted(P, g, tot):
         # P[x + g] for x = 0..L (prefix saturates at the total)
@@ -882,8 +919,9 @@ def self_indel_sweep(ch, reads, quals, lens, starts, valid, minsc,
         return jnp.concatenate([P[:, :, g:], tail], axis=2)
 
     ln2b = jnp.broadcast_to(ln, (N, C))
-    P0 = prefix(0)
+    P0, R0 = prefix(0)
     T0 = compact_ops.take_last(P0, ln2b)
+    TR0 = compact_ops.take_last(R0, ln2b)
     xs = jnp.arange(L + 1, dtype=jnp.int32)[None, None, :]
 
     # two result sets from one pass over the planes:
@@ -898,21 +936,23 @@ def self_indel_sweep(ch, reads, quals, lens, starts, valid, minsc,
     #    candidate (the caller checks), like pair_sweep's indel rows
     #
     # each combo's penalty plane is folded into a running elementwise min
-    # of (pen << 6 | combo_id); the (combo, x) winner decodes from TWO
-    # final argmins instead of one reduction per combo — tie-break order
-    # (pen, combo order, lowest x) is identical because the combo id
-    # dominates x positionally
-    _CAP = 1 << 24     # pen clamp so (pen << 6 | cid) fits int32
-    BIGP = jnp.int32(_CAP << 6)
+    # of ((pen << 6 | raw_mm) << 6 | combo_id); the (combo, x) winner
+    # decodes from TWO final argmins instead of one reduction per combo —
+    # tie-break order (pen, raw mismatches, combo order, lowest x): the
+    # raw tier picks the placement using the fewest ALT-forgiven columns
+    _PCAP = 1 << 19    # pen clamp so ((pen << 6 | raw) << 6 | cid) fits
+    BIGP = jnp.int32(2 ** 31 - 1)
     run_s = jnp.full((N, C, L + 1), BIGP, jnp.int32)
     run_w = jnp.full((N, C, L + 1), BIGP, jnp.int32)
     A = jnp.int32(prm.min_anchor)
     cmeta = []     # cid -> (o1, o2, kind, gap cost)
     for g in range(1, G + 1):
-        Pm = prefix(-g)
-        Pp = prefix(+g)
+        Pm, Rm = prefix(-g)
+        Pp, Rp = prefix(+g)
         Tm = compact_ops.take_last(Pm, ln2b)
         Tp = compact_ops.take_last(Pp, ln2b)
+        TRm = compact_ops.take_last(Rm, ln2b)
+        TRp = compact_ops.take_last(Rp, ln2b)
         cdel = int(prm.rd_gap_open + prm.rd_gap_ext * g)
         cins = int(prm.rf_gap_open + prm.rf_gap_ext * g)
         okw_d = (xs >= 1) & (xs <= ln[:, :, None] - 1)
@@ -921,22 +961,27 @@ def self_indel_sweep(ch, reads, quals, lens, starts, valid, minsc,
         oks_i = (xs >= A) & (xs + g <= ln[:, :, None] - A)
         combos = (
             # deletion, candidate holds the RIGHT segment: left = d - g
-            (Pm + (T0[:, :, None] - P0) + cdel, oks_d, okw_d,
+            (Pm + (T0[:, :, None] - P0) + cdel,
+             Rm + (TR0[:, :, None] - R0), oks_d, okw_d,
              (-g, 0, KIND_DEL)),
             # deletion, candidate holds the LEFT segment: right = d + g
-            (P0 + (Tp[:, :, None] - Pp) + cdel, oks_d, okw_d,
+            (P0 + (Tp[:, :, None] - Pp) + cdel,
+             R0 + (TRp[:, :, None] - Rp), oks_d, okw_d,
              (0, g, KIND_DEL)),
             # insertion, candidate holds the RIGHT segment: left = d + g
             (Pp + (T0[:, :, None] - shifted(P0, g, T0)) + cins,
+             Rp + (TR0[:, :, None] - shifted(R0, g, TR0)),
              oks_i, okw_i, (g, 0, KIND_INS)),
             # insertion, candidate holds the LEFT segment: right = d - g
             (P0 + (Tm[:, :, None] - shifted(Pm, g, Tm)) + cins,
+             R0 + (TRm[:, :, None] - shifted(Rm, g, TRm)),
              oks_i, okw_i, (0, -g, KIND_INS)),
         )
-        for pen, oks, okw, meta2 in combos:
+        for pen, raw, oks, okw, meta2 in combos:
             cid = len(cmeta)
             cmeta.append(meta2)
-            packed = jnp.minimum(pen, _CAP - 1) * 64 + cid
+            packed = (jnp.minimum(pen, _PCAP - 1) * 64
+                      + jnp.minimum(raw, 63)) * 64 + cid
             run_s = jnp.minimum(run_s, jnp.where(oks, packed, BIGP))
             run_w = jnp.minimum(run_w, jnp.where(okw, packed, BIGP))
 
@@ -949,10 +994,10 @@ def self_indel_sweep(ch, reads, quals, lens, starts, valid, minsc,
         am = jnp.argmin(running, axis=2).astype(jnp.int32)
         val = running.min(axis=2)
         cid = jnp.minimum(val & 63, len(cmeta))
-        best = val >> 6
+        best = val >> 12
         score = -best
         ok = valid & (score >= minsc[:, None]) \
-            & (val < ((_CAP - 1) * 64))
+            & (val < ((_PCAP - 1) * 4096))
         cid = jnp.where(ok, cid, len(cmeta))
         return {prefix_key + "score": jnp.where(ok, score, -_BIG),
                 prefix_key + "d1": starts + o1_t[cid],
