@@ -223,10 +223,26 @@ def build_parser():
     sub.add_argument("--extract-reads", dest="extract", metavar="LOCI",
                      help="per-locus read extraction: LOCI file of "
                           "`name chr start end` lines (needs --index)")
-    p.add_argument("--index", help="genome index for --extract-reads")
+    sub.add_argument("--extract-vars", dest="extract_vars", metavar="DB",
+                     help="IMGT-style DB dir (msf/<gene>_gen.msf [+ "
+                          "fasta/, hla.dat]) -> backbone + "
+                          ".snp/.link/.haplotype files "
+                          "(hisatgenotype_extract_vars equivalent)")
+    p.add_argument("--index", help="genome index for --extract-reads / "
+                                   "backbone remapping in --extract-vars")
     p.add_argument("--out-base", default="extracted",
-                   help="output basename for --extract-reads")
-    p.add_argument("-U", dest="reads", required=True,
+                   help="output basename for --extract-reads / "
+                        "--extract-vars")
+    p.add_argument("--locus-list", default=None,
+                   help="comma-separated genes for --extract-vars")
+    p.add_argument("--inter-gap", type=int, default=30)
+    p.add_argument("--intra-gap", type=int, default=50)
+    p.add_argument("--min-var-freq", type=float, default=0.0,
+                   help="exclude vars below this %% freq from .index.snp")
+    p.add_argument("--whole-haplotype", action="store_true")
+    p.add_argument("--leftshift", action="store_true",
+                   help="left-shift deletions in the MSA")
+    p.add_argument("-U", dest="reads", default=None,
                    help="reads (FASTA/FASTQ)")
     p.add_argument("--num-editdist", type=int, default=2,
                    help="max SNV edit distance read-vs-allele "
@@ -243,6 +259,20 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if getattr(args, "extract_vars", None):
+        from .vars import extract_vars
+        nv, nh = extract_vars(
+            args.extract_vars, args.out_base,
+            genes=(args.locus_list.split(",") if args.locus_list
+                   else None),
+            inter_gap=args.inter_gap, intra_gap=args.intra_gap,
+            whole_haplotype=args.whole_haplotype,
+            min_var_freq=args.min_var_freq, leftshift=args.leftshift,
+            genome_index=args.index)
+        print(f"{nv} variants, {nh} haplotypes", file=sys.stderr)
+        return 0
+    if args.reads is None:
+        build_parser().error("-U is required")
     if getattr(args, "extract", None):
         args.loci = args.extract
         return run_extract_reads(args)
