@@ -223,6 +223,11 @@ def build_parser():
     sub.add_argument("--extract-reads", dest="extract", metavar="LOCI",
                      help="per-locus read extraction: LOCI file of "
                           "`name chr start end` lines (needs --index)")
+    sub.add_argument("--build-genome", dest="build_genome",
+                     metavar="GENOME_FA",
+                     help="splice --database-list backbones into "
+                          "GENOME_FA and rebase their variant DBs "
+                          "(hisatgenotype_build_genome equivalent)")
     sub.add_argument("--extract-vars", dest="extract_vars", metavar="DB",
                      help="IMGT-style DB dir (msf/<gene>_gen.msf [+ "
                           "fasta/, hla.dat]) -> backbone + "
@@ -235,6 +240,14 @@ def build_parser():
                         "--extract-vars")
     p.add_argument("--locus-list", default=None,
                    help="comma-separated genes for --extract-vars")
+    p.add_argument("--database-list", default="hla",
+                   help="comma-separated extract-vars output bases for "
+                        "--build-genome")
+    p.add_argument("--commonvar", default=None,
+                   help="genome-coordinate .snp/.haplotype base to merge "
+                        "in --build-genome")
+    p.add_argument("--clnsig", default=None,
+                   help="clinical-significance table for --build-genome")
     p.add_argument("--inter-gap", type=int, default=30)
     p.add_argument("--intra-gap", type=int, default=50)
     p.add_argument("--min-var-freq", type=float, default=0.0,
@@ -259,6 +272,15 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if getattr(args, "build_genome", None):
+        from .build_genome import build_genotype_genome
+        nv, nh = build_genotype_genome(
+            args.build_genome, args.database_list.split(","),
+            args.out_base, commonvar_base=args.commonvar,
+            clnsig_fname=args.clnsig)
+        print(f"{nv} variants, {nh} haplotypes rebased",
+              file=sys.stderr)
+        return 0
     if getattr(args, "extract_vars", None):
         from .vars import extract_vars
         nv, nh = extract_vars(
