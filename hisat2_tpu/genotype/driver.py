@@ -160,6 +160,23 @@ def run_genotype_msa(args) -> int:
         if getattr(args, "pair_loglik", False):
             for a, b, ll in pair_loglikelihood(gc):
                 out.write("\tpair %s / %s loglik %.3f\n" % (a, b, ll))
+    if getattr(args, "assembly", False) and aligned:
+        # hisatgenotype_locus.py --assembly equivalent: reconstruct the
+        # sample's two haplotype sequences from the phased reads
+        from ..utils.bitops import decode_dna
+        from .assembly import assemble
+        snv_pos = np.array([v[1] for v in snvs], np.int32)
+        snv_alt = np.array(["ACGT".index(v[2]) for v in snvs], np.int8)
+        haps, assign, cov = assemble(
+            np.asarray(backbone, np.int8), snv_pos, snv_alt, aligned)
+        fa = f"{args.out_base}.assembly.fa"
+        with open(fa, "w") as f:
+            for g, h in enumerate(haps):
+                f.write(f">hap{g + 1} mean_cov="
+                        f"{cov[g].mean():.1f}\n{decode_dna(h)}\n")
+        n_inf = int((assign >= 0).sum())
+        out.write(f"assembly: 2 haplotypes -> {fa} "
+                  f"({n_inf}/{len(aligned)} reads phased)\n")
     if args.out:
         out.close()
     return 0
@@ -261,6 +278,10 @@ def build_parser():
                    help="max SNV edit distance read-vs-allele "
                         "(hisatgenotype_locus --num-editdist)")
     p.add_argument("--out", default=None, help="report file (stdout)")
+    p.add_argument("--assembly", action="store_true",
+                   help="with --msa: phase reads and write the two "
+                        "assembled haplotype sequences "
+                        "(hisatgenotype_locus --assembly)")
     p.add_argument("--pair-loglik", dest="pair_loglik",
                    action="store_true",
                    help="also rank diploid allele PAIRS by "

@@ -43,7 +43,9 @@ def test_msa_typing(tmp_path):
         i = 0
         for rep in picks:
             s = msa[rep][1]
-            for _ in range(120):
+            # 300/pick: even the worst-covered variant site sees ~8+
+            # reads from the minor allele, enough for het calling
+            for _ in range(300):
                 st = int(rng.integers(0, L - 150))
                 f.write(f">r{i}\n{s[st:st + 150]}\n")
                 i += 1
@@ -55,7 +57,8 @@ def test_msa_typing(tmp_path):
         [sys.executable, "-m", "hisat2_tpu", "genotype",
          "--msa", str(tmp_path / "locus.msa.fa"),
          "-U", str(tmp_path / "reads.fa"),
-         "--out", str(tmp_path / "report.txt")],
+         "--out", str(tmp_path / "report.txt"),
+         "--assembly", "--out-base", str(tmp_path / "asm")],
         env=env, capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     rep = open(tmp_path / "report.txt").read()
@@ -69,3 +72,9 @@ def test_msa_typing(tmp_path):
           float(re.search(r"([\d.]+)%", l).group(1)) for l in lines[:2]}
     assert ab[msa[3][0]] > ab[msa[27][0]]
     assert "call:" in rep
+    # --assembly: the two phased haplotypes must match the two source
+    # alleles away from the low-coverage read-length edges
+    fa = open(tmp_path / "asm.assembly.fa").read().splitlines()
+    haps = {fa[1][150:L - 150], fa[3][150:L - 150]}
+    want = {msa[3][1][150:L - 150], msa[27][1][150:L - 150]}
+    assert haps == want
