@@ -289,7 +289,18 @@ def run_align(args) -> int:
             k_rep = 10 ** 9 if getattr(args, "all_hits", False) \
                 else args.khits
 
+            # per-read hybridSearch replay for search-path-sensitive
+            # reads (novel gaps / clips / multimaps / unaligned): their
+            # report sets come out finalized in true submission order
+            from . import hybrid as hybrid_mod
+            overrides = hybrid_mod.substitute_batch(
+                aligner, res, b.codes, b.quals, b.lens, seeds,
+                secondary=getattr(args, "secondary", False),
+                exact=getattr(args, "exact_replay", False))
+
             def finalize(i, raw=res.raw):
+                if i in overrides:
+                    return overrides[i]
                 return rng_mod.finalize_unpaired(
                     pipeline_mod.read_alignments(raw, i), int(seeds[i]),
                     k_rep, aligner.ref_codes,

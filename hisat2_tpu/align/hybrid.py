@@ -1341,3 +1341,189 @@ def render_fields(hit: Hit):
         prev = e
     return (hit.toff + 1, cigar, "".join(md), hit.score, xm, xo, xg,
             xm + xg)
+
+# ---------------------------------------------------------------------------
+# pipeline integration: substitute search-path-sensitive reads
+# ---------------------------------------------------------------------------
+
+def _hit_junctions(hit: Hit):
+    """Group a Hit's gap edits into pipeline junction descriptors:
+    [(x_abs, kind, ref_len)] with x = read offset of the split point
+    (KIND_DEL: right segment start; KIND_INS: insertion start)."""
+    juncs = []
+    i = 0
+    es = hit.edits
+    while i < len(es):
+        e = es[i]
+        if e.typ == RDGAP:
+            k = 1
+            while i + k < len(es) and es[i + k].typ == RDGAP \
+                    and es[i + k].pos == e.pos:
+                k += 1
+            juncs.append((hit.rdoff + e.pos, 2, k))
+            i += k
+        elif e.typ == RFGAP:
+            k = 1
+            while i + k < len(es) and es[i + k].typ == RFGAP \
+                    and es[i + k].pos == e.pos + k:
+                k += 1
+            juncs.append((hit.rdoff + e.pos, 3, -k))
+            i += k
+        else:
+            i += 1
+    return juncs
+
+
+def hit_to_alignment(hit: Hit, read_idx: int, L: int, nh: int,
+                     secondary: bool, zs, mapq: int):
+    """Convert an emulator Hit to the pipeline's Alignment dataclass
+    (up to 3 gap junctions; caller pre-checks the junction count)."""
+    from .pipeline import Alignment
+    juncs = _hit_junctions(hit)
+    jp = hit.joined - hit.rdoff
+    n_del = sum(j[2] for j in juncs if j[1] == 2)
+    n_ins = sum(-j[2] for j in juncs if j[1] == 3)
+    kw = {}
+    diag = jp
+    for n, (x, kind, ln) in enumerate(juncs):
+        diag += ln
+        pfx = ("junc_", "junc2_", "junc3_")[n]
+        kw[pfx + "kind"] = kind
+        kw[pfx + "x"] = x
+        kw[pfx + "len"] = ln
+        kw[pfx + ("d2" if n == 0 else ("d3" if n == 1 else "d4"))] = diag
+    n_mm = sum(1 for e in hit.edits if e.typ == MM and e.snp < 0
+               and e.rd < 4 and e.rf < 4)
+    n_n = sum(1 for e in hit.edits if e.typ == MM
+              and (e.rd > 3 or e.rf > 3))
+    return Alignment(
+        read_idx=read_idx, rc=not hit.fw, ref_id=hit.tidx,
+        ref_pos=hit.toff, joined_pos=jp, clip_l=hit.trim5,
+        clip_r=hit.trim3, aln_span=(L - hit.trim5 - hit.trim3
+                                    + n_del - n_ins),
+        score=hit.score, n_mm=n_mm, n_n=n_n, mapq=mapq, nh=nh,
+        secondary=secondary, zs=zs, **kw)
+
+
+def substitute_batch(aligner, res, codes, quals, lens, seeds,
+                     secondary: bool = False, exact: bool = False):
+    """Replace search-path-sensitive reads' results with the per-read
+    hybridSearch replay (unpaired DNA mode only).
+
+    Default scope = the batched sweeps' known divergence surface: a
+    NOVEL gap join in any kept candidate (gap-vs-clip and record-set
+    choices are path-dependent), a soft clip >= 5 (local-search ZS
+    band), a multimap pool containing a gap, or no alignment at all
+    (budgeted give-ups the sweeps over/under-run).  `exact` widens the
+    scope to EVERY imperfect read (any edit/clip/multimap) — full
+    byte-parity mode (--exact-replay), at per-read host cost.
+    Returns {read_idx: [Alignment...]} and patches res.raw in place so
+    the vectorized SAM renderer and metrics see the substituted rows."""
+    from .mapq import mapq_v2
+    from .pipeline import RAW_COLS
+    if aligner.spliced or aligner.all_hits or len(aligner.shards) != 1 \
+            or aligner.no_fw or aligner.no_rc:
+        return {}
+    raw = res.raw
+    B = res.n_reads
+    ci = {nm: i for i, nm in enumerate(RAW_COLS)}
+    if raw is not None and len(raw["cols"][0]):
+        cols = [np.asarray(c) for c in raw["cols"]]
+        rd = cols[ci["read"]]
+        jk1, jk2, jk3 = (cols[ci["junc_kind"]], cols[ci["junc2_kind"]],
+                         cols[ci["junc3_kind"]])
+        known = cols[ci["junc_known"]].astype(bool) \
+            | (cols[ci["junc_snp"]] >= 0)
+        gap = np.isin(jk1, (2, 3)) | np.isin(jk2, (2, 3)) \
+            | np.isin(jk3, (2, 3))
+        spl = (jk1 == 1) | (jk2 == 1) | (jk3 == 1)
+        risky_rows = (gap & ~known) \
+            | (cols[ci["clip_l"]] >= 5) | (cols[ci["clip_r"]] >= 5)
+        if exact:
+            risky_rows |= (cols[ci["clip_l"]] > 0) \
+                | (cols[ci["clip_r"]] > 0) | (cols[ci["n_mm"]] > 0) \
+                | (cols[ci["has_sec"]] > 0)
+        risk = np.zeros(B, bool)
+        np.logical_or.at(risk, rd[risky_rows], True)
+        # multimap pools: order/record-set divergence needs a gap in the
+        # pool (or any pool, under exact)
+        pool = np.bincount(rd, minlength=B)
+        hasgap = np.zeros(B, bool)
+        np.logical_or.at(hasgap, rd[gap & ~known], True)
+        risk |= (pool >= 2) & (hasgap if not exact
+                               else np.ones(B, bool))
+        # known-ALT junctions and spliced forms are outside the DNA
+        # replay's model: keep the device result for those reads
+        block = np.zeros(B, bool)
+        np.logical_or.at(block, rd[known | spl], True)
+        aligned = np.zeros(B, bool)
+        aligned[rd] = True
+        risk = (risk | ~aligned) & ~block
+    else:
+        cols = None
+        risk = np.ones(B, bool)
+    idxs = np.flatnonzero(risk)
+    if not idxs.size:
+        return {}
+    hy = getattr(aligner, "_hybrid", None)
+    if hy is None:
+        hy = HybridAligner(aligner.shards[0], variants=aligner.variants,
+                           scoring=aligner.scoring, k=aligner.k,
+                           anchor_stop=aligner.anchor_stop)
+        aligner._hybrid = hy
+    overrides = {}
+    minsc_v = np.zeros(len(idxs), np.int64)
+    for t, i in enumerate(idxs):
+        L = int(lens[i])
+        q_ascii = np.asarray(quals[i, :L], np.int64) + 33
+        sink, minsc = hy.align_read(codes[i, :L], q_ascii, L)
+        minsc_v[t] = minsc
+        hits, nh, zs = finalize(sink, int(seeds[i]), aligner.k,
+                                secondary=secondary)
+        if any(len(_hit_junctions(h)) > 3 for h in hits):
+            continue            # beyond the Alignment junction arity
+        if not hits:
+            overrides[i] = []
+            continue
+        best = hits[0].score
+        # MAPQ's secbest is the SELECTED set's runner-up (equal-best
+        # multimaps only, post-truncation); ZS separately reports the
+        # best unselected submission (sink best2)
+        sec = hits[1].score if nh >= 2 else 0
+        mq = int(mapq_v2([best], [sec], [nh >= 2], [0], [minsc])[0])
+        overrides[i] = [
+            hit_to_alignment(h, int(i), L, nh, n > 0, zs, mq)
+            for n, h in enumerate(hits)]
+    if not overrides:
+        return {}
+    # patch res.raw: drop substituted reads' rows, splice in new ones
+    new_rows = []
+    for i, alns in overrides.items():
+        for a in alns:
+            new_rows.append((
+                a.read_idx, int(a.rc), a.ref_id, a.ref_pos, a.joined_pos,
+                a.clip_l, a.clip_r, a.aln_span, a.score, a.n_mm, a.n_n,
+                a.mapq, a.nh, int(a.secondary), int(a.zs is not None),
+                a.zs if a.zs is not None else 0,
+                a.junc_kind, a.junc_x, a.junc_len, a.junc_d2, a.spl_dir,
+                int(a.junc_known), a.junc_snp,
+                a.junc2_kind, a.junc2_x, a.junc2_len, a.junc2_d3,
+                a.junc2_dir,
+                a.junc3_kind, a.junc3_x, a.junc3_len, a.junc3_d4,
+                a.junc3_dir))
+    over = np.zeros(B, bool)
+    over[list(overrides)] = True
+    if cols is not None:
+        keep = ~over[cols[ci["read"]]]
+        kept = [c[keep] for c in cols]
+    else:
+        kept = [np.zeros(0, np.int64) for _ in RAW_COLS]
+    if new_rows:
+        nr = np.asarray(new_rows, np.int64).T
+        merged = [np.concatenate([k, n]) for k, n in zip(kept, nr)]
+    else:
+        merged = kept
+    order = np.argsort(merged[0], kind="stable")
+    res.raw = {"cols": [c[order] for c in merged]}
+    res._alignments = None
+    return overrides

@@ -79,6 +79,13 @@ def build_parser():
                    help="print * for SEQ/QUAL of secondary alignments")
     p.add_argument("--reorder", action="store_true",
                    help="accepted; output is already in input order")
+    p.add_argument("--exact-replay", dest="exact_replay",
+                   action="store_true",
+                   help="replay EVERY imperfect read through the "
+                        "per-read reference evaluation model (full "
+                        "byte parity; slower on edit-dense data). "
+                        "Default replays only gap/clip/multimap-gap/"
+                        "unaligned reads")
     p.add_argument("--mm", action="store_true",
                    help="accepted; index load is memory-mapped already")
     p.add_argument("-q", dest="fastq", action="store_true",
