@@ -60,7 +60,9 @@ def main(config: int = 1):
     aligner = TPUAligner(index)
 
     # load the real example reads, tile to a steady-state batch size
-    B = 8192
+    # (B/DEPTH from the measured sweep in PERF.md: smaller batches with a
+    # deeper in-flight window hide more of the tunnel's latency variance)
+    B = 4096
     batch = next(read_batches(EXAMPLE_READS, 10000, pad_to=100))
     reps = (B + len(batch.names) - 1) // len(batch.names)
     codes = np.tile(batch.codes, (reps, 1))[:B]
@@ -77,7 +79,7 @@ def main(config: int = 1):
     # timed: full pipeline including SAM rendering to an in-memory sink,
     # with the production one-deep dispatch pipeline (device crunches batch
     # i+1 while the host renders batch i)
-    K = 16
+    K = 48
     t0 = time.time()
     total = 0
     ref_fn = lambda p, s: aligner.ref_codes[p:p + s]  # noqa: E731
@@ -99,7 +101,7 @@ def main(config: int = 1):
     # highly variable (0.03-0.4 s); keeping several batches in flight
     # hides it behind device compute + host rendering
     from collections import deque
-    DEPTH = 4
+    DEPTH = 8
     pend = deque()
     for _ in range(K):
         pend.append(aligner.dispatch(codes, quals, lens))
