@@ -443,15 +443,30 @@ def _replay_unpaired_giveup(aligner, res, lens):
     return [list(r) for r in res.orient_ranks]
 
 
-def _replay_pair_giveup(aligner, res, policy, B, lens):
+def _padL(c, L):
+    if c.shape[1] >= L:
+        return c[:, :L]
+    out = np.full((c.shape[0], L), 4, c.dtype)
+    out[:, :c.shape[1]] = c
+    return out
+
+
+def _replay_pair_giveup(aligner, res, policy, B, lens, codes=None):
     """Replay the reference's interleaved paired search (align/replay.py)
-    and drop alignments from lanes the reference never completed."""
+    and drop alignments from lanes the reference never completed.
+
+    The device's event-stream round logs carry rare one-off segment-
+    length deltas; on pairs where the replay decision is consequential
+    (an alignment would be dropped, or a mate has none), the logs are
+    re-derived exactly with the host emulator's partialSearch
+    (align/hybrid.partial_rounds) before deciding."""
     from . import replay as replay_mod
     lm = res.lanes
     if lm is None or aligner.graph is not None:
         return                  # see _replay_unpaired_giveup
     Bt = 2 * B                  # total reads (mate1 block + mate2 block)
     minw_cap = 2 * max(2 * aligner.k, 10)       # kseeds * 2
+    hy = None
     for i in range(B):
         lane_ids = [i, i + Bt, B + i, B + i + Bt]
         metas = []
@@ -461,6 +476,29 @@ def _replay_pair_giveup(aligner, res, policy, B, lens):
             verdict = bool(lm["h_alignable"][l]) \
                 and int(lm["h_minw"][l]) <= minw_cap
             metas.append((rounds, verdict, int(lm["best"][l])))
+        sensitive = (codes is not None and not aligner.spliced
+                     and len(aligner.shards) == 1
+                     and (not res.alignments[i]
+                          or not res.alignments[B + i]))
+        if sensitive:
+            if hy is None:
+                from . import hybrid as hybrid_mod
+                hy = getattr(aligner, "_hybrid", None)
+                if hy is None:
+                    hy = hybrid_mod.HybridAligner(
+                        aligner.shards[0], variants=aligner.variants,
+                        scoring=aligner.scoring, k=aligner.k,
+                        anchor_stop=aligner.anchor_stop)
+                    aligner._hybrid = hy
+            from .hybrid import partial_rounds
+            for t, rd in enumerate((i, B + i)):
+                L = int(lens[rd])
+                cf = np.asarray(codes[rd, :L], np.int8)
+                cr = np.where(cf < 4, 3 - cf, cf)[::-1].copy()
+                for o, seq in enumerate((cf, cr)):
+                    li = 2 * t + o
+                    metas[li] = (partial_rounds(hy, seq),
+                                 metas[li][1], metas[li][2])
         minsc = (aligner.scoring.min_score(int(lens[i])),
                  aligner.scoring.min_score(int(lens[B + i])))
         a1, a2 = res.alignments[i], res.alignments[B + i]
@@ -551,7 +589,9 @@ def _align_pair_batch(aligner, writer, policy, scoring, k, b1, b2, ref_fn,
     seeds2 = rng_mod.gen_rand_seeds(b2.codes, b2.lens, b2.quals, b2.names)
     pair_seeds = (seeds1 ^ seeds2).astype(np.uint32)
     res = aligner.collect(h, paired=True)
-    _replay_pair_giveup(aligner, res, policy, B, lens)
+    codes12 = np.concatenate(
+        [_padL(b1.codes, int(max(lens))), _padL(b2.codes, int(max(lens)))])
+    _replay_pair_giveup(aligner, res, policy, B, lens, codes12)
 
     # mate rescue (HI_Aligner::go, hi_aligner.h:3912-3952): when no
     # concordant pair exists but one mate aligned, search the other mate in

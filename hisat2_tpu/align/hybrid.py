@@ -1527,3 +1527,26 @@ def substitute_batch(aligner, res, codes, quals, lens, seeds,
     res.raw = {"cols": [c[order] for c in merged]}
     res._alignments = None
     return overrides
+
+def partial_rounds(hy: HybridAligner, seq) -> list[tuple[int, int]]:
+    """Exact per-round (segment length, unique-search flag) log for one
+    orientation — nextBWT's loop over partialSearch with the mismatch
+    skip (hi_aligner.h:4060-4070).  The interleaved-search replay
+    (align/replay.py) consumes these; the device's event-stream logs
+    carry rare one-off length deltas that flip its scheduling on
+    gate-threshold pairs, so at-risk pairs re-derive the logs here."""
+    L = len(seq)
+    lane = Lane(L)
+    out = []
+    while not lane.done:
+        nu = lane.n_unique
+        astop = hy._partial_search(lane, seq)
+        h = lane.hits[-1]
+        out.append((h.ln, 1 if lane.n_unique > nu else 0))
+        if astop:
+            lane.done = True
+        if lane.done:
+            break
+        if lane.cur + 1 < L:
+            lane.cur += 1
+    return out

@@ -214,7 +214,7 @@ def finalize_pairs(pairs, seed, k: int, ref_codes):
 
         def cmp(i, j):
             a1, a2, *_ = top[i]
-            b1, b2, _ = top[j]
+            b1, b2, *_ = top[j]
             if a1.rc != b1.rc:
                 return -1 if not a1.rc else 1
             c = _suffix_cmp(ref_codes, a1.joined_pos, b1.joined_pos)
