@@ -74,6 +74,16 @@ def run_align(args) -> int:
         # (hisat2.cpp:1046); one clock draw per RUN gives the same
         # user-visible property (output varies run to run)
         args.seed = int(time.time() * 1e6) & 0x7FFFFFFF
+    if getattr(args, "local_mode", False):
+        print("error: this build implements end-to-end alignment only "
+              "(HI_Aligner local mode is not ported); remove --local",
+              file=sys.stderr)
+        return 1
+    if getattr(args, "ma", 0) > 0:
+        # hisat2.cpp:3714 — same warning, bonus forced to 0
+        print("Warning: Match bonus always = 0 in --end-to-end mode; "
+              "ignoring user setting", file=sys.stderr)
+        args.ma = 0
     index_base = args.index
     if not os.path.exists(index_base + ".npz"):
         from ..index.ht2 import convert_ht2, is_ht2
@@ -131,6 +141,9 @@ def run_align(args) -> int:
     elif getattr(args, "add_chrname", False):
         disp_names = ["chr" + n if not n.startswith("chr") else n
                       for n in disp_names]
+    seed_map = {}
+    if getattr(args, "show_rand_seed", False):
+        out = _SeedTagOut(out, seed_map)
     writer = SamWriter(out, disp_names, index.meta.ref_lens,
                        cmdline=" ".join(sys.argv[1:]),
                        no_head=args.no_hd or shard is not None,
@@ -274,6 +287,8 @@ def run_align(args) -> int:
             seeds = rng_mod.gen_rand_seeds(b.codes, b.lens, b.quals,
                                            b.names,
                                            seed=getattr(args, "seed", 0))
+            if getattr(args, "show_rand_seed", False):
+                seed_map.update(zip(b.names, (int(x) for x in seeds)))
             ranks = _replay_unpaired_giveup(aligner, res, b.lens)
             inlen = (np.arange(b.codes.shape[1])[None, :]
                      < b.lens[:, None])
@@ -441,6 +456,40 @@ def _replay_unpaired_giveup(aligner, res, lens):
     if res.orient_ranks is None:
         return None
     return [list(r) for r in res.orient_ranks]
+
+
+class _SeedTagOut:
+    """--show-rand-seed: append ZS:i:<seed> (the read's pseudo-random
+    seed, sam.h:683) to every record, independent of render path."""
+
+    def __init__(self, out, seed_map):
+        self._out = out
+        self._seeds = seed_map
+        self._buf = ""
+
+    def write(self, s):
+        self._buf += s
+        while "\n" in self._buf:
+            line, self._buf = self._buf.split("\n", 1)
+            if line and not line.startswith("@"):
+                sd = self._seeds.get(line.split("\t", 1)[0])
+                if sd is not None:
+                    # the reference emits it right after MD:Z (sam.h:683)
+                    fields = line.split("\t")
+                    at = len(fields)
+                    for t, f in enumerate(fields):
+                        if f.startswith("MD:Z:"):
+                            at = t + 1
+                            break
+                        if f.startswith("YT:Z:"):
+                            at = t
+                            break
+                    fields.insert(at, f"ZS:i:{sd}")
+                    line = "\t".join(fields)
+            self._out.write(line + "\n")
+
+    def __getattr__(self, nm):
+        return getattr(self._out, nm)
 
 
 def _padL(c, L):

@@ -113,8 +113,30 @@ def build_parser():
                         "(required on multi-host TPU pods)")
     p.add_argument("-u", "--upto", "--qupto", dest="upto", type=int,
                    default=None, help="align at most this many reads")
-    p.add_argument("-s", dest="skip", type=int, default=0,
+    p.add_argument("-s", "--skip", dest="skip", type=int, default=0,
                    help="skip the first N reads")
+    p.add_argument("--refidx", action="store_true",
+                   help="accepted; with a named index the reference "
+                        "keeps SN/RNAME unchanged too (verified v2.1.0)")
+    p.add_argument("--end-to-end", action="store_true",
+                   help="accepted; end-to-end is the only mode (the "
+                        "reference removed bowtie2's --local)")
+    p.add_argument("--local", "--fast-local", "--sensitive-local",
+                   "--very-fast-local", "--very-sensitive-local",
+                   dest="local_mode", action="store_true",
+                   help=argparse.SUPPRESS)
+    p.add_argument("--ma", type=int, default=0,
+                   help="match bonus (forced to 0 in end-to-end mode, "
+                        "like the reference's scoring setup)")
+    p.add_argument("--mapq-v", type=int, default=2, choices=(2,),
+                   help="MAPQ model version (only the default v2 "
+                        "BowtieMapq2 table is implemented)")
+    p.add_argument("--gbar", type=int, default=4,
+                   help="accepted; the SW layer it gates is off the "
+                        "reference's own hot path (SURVEY 2.4)")
+    p.add_argument("--show-rand-seed", action="store_true",
+                   help="append ZS:i:<seed> (the read's pseudo-random "
+                        "seed) to each record, like sam.h:683")
     p.add_argument("--batch-size", type=int, default=4096,
                    help="reads per device batch")
     p.add_argument("--mp", default="6,2", help="max,min mismatch penalty")
