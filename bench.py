@@ -127,6 +127,8 @@ def bench_config(config: int):
       2: synthetic 40 Mbp linear genome, 100 bp single-end DNA
       3: example chr22 slice + SNP graph index, simulated paired DNA
       4: chr22 slice + splice sites (tran-style index), spliced RNA
+      5: HLA-like genotype locus (3 kb backbone MSA, 200 alleles),
+         variant-set typing throughput (the hisatgenotype path)
     """
     import jax
     import numpy as np
@@ -139,6 +141,8 @@ def bench_config(config: int):
     os.makedirs(CACHE, exist_ok=True)
     rng = np.random.default_rng(7)
     B = 8192
+    if config == 5:
+        return bench_genotype(rng)
     if config == 2:
         g = rng.integers(0, 4, 40_000_000).astype(np.uint8)
         index = build_fm_index([("c2", g)])
@@ -216,6 +220,72 @@ def bench_config(config: int):
         "metric": f"aligned_reads_per_sec_per_chip_{name}",
         "value": round(value, 1), "unit": "reads/sec/chip",
         "vs_baseline": None,
+    }))
+
+
+def bench_genotype(rng):
+    """Config 5: variant-set HLA-like typing throughput.  A 3 kb
+    backbone with 200 alleles (2-16 SNVs each) stands in for an IMGT
+    locus (real HLA data is not downloadable in this environment);
+    reads simulate a 2:1 diploid mixture.  Measures reads/sec through
+    the full typing path: backbone graph alignment -> clipped
+    placements -> variant-set compatibility -> EM ranking."""
+    import io as _io
+    import numpy as np
+
+    from hisat2_tpu.genotype.driver import run_genotype_msa
+
+    ACGT = np.array(list("ACGT"))
+    L = 3000
+    bb = rng.integers(0, 4, L)
+    msa = []
+    for a in range(200):
+        seq = bb.copy()
+        for p in rng.choice(L, int(rng.integers(2, 17)), replace=False):
+            seq[p] = (seq[p] + 1 + rng.integers(0, 3)) % 4
+        msa.append((f"X*{a // 10 + 1:02d}:{a % 10 + 1:02d}",
+                    "".join(ACGT[seq])))
+    os.makedirs(CACHE, exist_ok=True)
+    msa_path = os.path.join(CACHE, "hla_like.msa.fa")
+    reads_path = os.path.join(CACHE, "hla_like.reads.fa")
+    with open(msa_path, "w") as f:
+        for nm, s2 in msa:
+            f.write(f">{nm}\n{s2}\n")
+    n_reads = 30000
+    with open(reads_path, "w") as f:
+        i = 0
+        for rep, n in ((3, n_reads * 2 // 3), (27, n_reads // 3)):
+            s2 = msa[rep][1]
+            for _ in range(n):
+                st = int(rng.integers(0, L - 150))
+                f.write(f">r{i}\n{s2[st:st + 150]}\n")
+                i += 1
+
+    class A:
+        pass
+    args = A()
+    args.msa = msa_path
+    args.reads = reads_path
+    args.out = os.path.join(CACHE, "hla_like.report")
+    args.top = 5
+    args.num_editdist = 2
+    args.pair_loglik = False
+    args.assembly = False
+    args.out_base = os.path.join(CACHE, "hla_like")
+    run_genotype_msa(args)          # warmup (compile)
+    t0 = time.time()
+    run_genotype_msa(args)
+    dt = time.time() - t0
+    value = i / dt
+    rep = open(args.out).read()
+    ok = msa[3][0] in rep and msa[27][0] in rep
+    log(f"[bench:5] typed {i} reads in {dt:.1f}s (top alleles "
+        f"{'correct' if ok else 'WRONG'})")
+    print(json.dumps({
+        "metric": "genotype_typing_reads_per_sec",
+        "value": round(value, 1),
+        "unit": "reads/sec/chip",
+        "vs_baseline": 0.0,
     }))
 
 
