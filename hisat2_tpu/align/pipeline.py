@@ -693,10 +693,18 @@ class TPUAligner:
         # enough hit slots for anchor-stop segmentation: unique anchors
         # close every min_k+12 bp (hi_aligner.h:5603)
         H = max(self.max_hits, L // (self.min_k + 12) + 2)
-        hits = search_ops.partial_search(
-            d.blocked, d.fchr, meta.zrow, meta.rows, ar, al,
-            H, self.min_hit_len, self.min_k, uniform=uniform,
-            anchor_stop=self.anchor_stop)
+        if getattr(d, "ftab2_top", None) is not None:
+            # bigram double-step scan: two chars per gathered row, ~1.7x
+            # on the search's while-loop (PERF.md; bit-identical events)
+            hits = search_ops.partial_search2(
+                d.blocked, d.fchr, d.ftab2_top, meta.zrow, meta.zrow2,
+                meta.rows, ar, al, H, self.min_hit_len, self.min_k,
+                uniform=uniform, anchor_stop=self.anchor_stop)
+        else:
+            hits = search_ops.partial_search(
+                d.blocked, d.fchr, meta.zrow, meta.rows, ar, al,
+                H, self.min_hit_len, self.min_k, uniform=uniform,
+                anchor_stop=self.anchor_stop)
 
         P = self.cand_per_hit
         w = hits.bot - hits.top                                   # [2B, H]
@@ -756,9 +764,15 @@ class TPUAligner:
                                 jnp.int32(2 ** 30))
             cut = jnp.minimum(cut, cut_ext).astype(jnp.int32)
             H2 = 2
-            hits2 = search_ops.partial_search(
-                d.blocked, d.fchr, meta.zrow, meta.rows, ar,
-                cut, H2, self.min_hit_len, self.min_k)
+            if getattr(d, "ftab2_top", None) is not None:
+                hits2 = search_ops.partial_search2(
+                    d.blocked, d.fchr, d.ftab2_top, meta.zrow,
+                    meta.zrow2, meta.rows, ar, cut, H2,
+                    self.min_hit_len, self.min_k)
+            else:
+                hits2 = search_ops.partial_search(
+                    d.blocked, d.fchr, meta.zrow, meta.rows, ar,
+                    cut, H2, self.min_hit_len, self.min_k)
             w2 = hits2.bot - hits2.top
             hv2 = jnp.arange(H2, dtype=jnp.int32)[None, :] \
                 < hits2.nh[:, None]

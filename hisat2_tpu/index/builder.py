@@ -240,12 +240,41 @@ def _build_single(joined, frag_joined, frag_ref, frag_off,
 
     ftab_top, ftab_bot = _build_ftab(joined, sa, ftab_k)
 
+    # bigram planes: the double-step backward search consumes TWO chars
+    # per gathered row (ops/search.py partial_search2; PERF.md — gathers
+    # are latency-flat in row size, so halving the scan's steps is free).
+    # bwt2[i] = (T[SA[i]-2], T[SA[i]-1]) packed 4-bit; the <=2 rows with
+    # SA[i] < 2 pack 0 and rank2 corrects for them like zrow.  fchr2 =
+    # first row of each 2-gram prefix block (the k=2 ftab top).
+    prev2 = sa.astype(np.int64) - 2
+    zrow2 = int(np.flatnonzero(sa == 1)[0]) if rows > 1 else -1
+    sym2 = (joined[np.maximum(prev2, 0)].astype(np.uint8) * 4
+            + joined[np.maximum(prev, 0)].astype(np.uint8))
+    sym2 = np.where(prev2 >= 0, sym2, 0).astype(np.uint8)
+    sym2[zrow] = 0
+    if zrow2 >= 0:
+        sym2[zrow2] = 0
+    padded2 = np.zeros(nblocks * BLOCK_BASES, dtype=np.uint8)
+    padded2[:rows] = sym2
+    bwt2_words = bitops.pack_4bit(padded2)
+    onehot2 = np.zeros((nblocks * BLOCK_BASES, 16), dtype=np.int32)
+    onehot2[r_idx, sym2[:rows]] = 1
+    onehot2[zrow, 0] = 0
+    if zrow2 >= 0:
+        onehot2[zrow2, 0] = 0
+    per_block2 = onehot2.reshape(nblocks, BLOCK_BASES, 16).sum(axis=1)
+    occ2 = np.zeros((nblocks + 1, 16), dtype=np.int32)
+    np.cumsum(per_block2, axis=0, out=occ2[1:])
+    ftab2_top, _ = _build_ftab(joined, sa, 2)
+
     ref_words = bitops.pack_2bit(joined)
     meta = FMMeta(n=n, rows=rows, zrow=zrow, off_rate=off_rate,
-                  ftab_k=ftab_k, ref_names=ref_names, ref_lens=ref_lens)
+                  ftab_k=ftab_k, ref_names=ref_names, ref_lens=ref_lens,
+                  zrow2=zrow2)
     return FMIndex(
         meta=meta, bwt_words=bwt_words, occ=occ, mark_words=mark_words,
         mark_chk=mark_chk, sa_marked=sa_marked,
+        bwt2_words=bwt2_words, occ2=occ2, ftab2_top=ftab2_top,
         ftab_top=ftab_top, ftab_bot=ftab_bot, fchr=fchr, ref_words=ref_words,
         frag_joined=np.concatenate([frag_joined, [np.int32(n)]]).astype(np.int32),
         frag_ref=frag_ref, frag_off=frag_off)

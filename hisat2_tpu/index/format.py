@@ -45,15 +45,22 @@ import numpy as np
 BLOCK_BASES = 128           # rank checkpoint interval (rows per occ block)
 
 
-def fuse_blocked(occ, bwt_words):
-    """uint32 [nblocks+1, 12]: per 128-row block, [occ c0..c3 | 8 BWT
-    words] — the rank kernel's whole working set for a row, one gather."""
+def fuse_blocked(occ, bwt_words, occ2=None, bwt2_words=None):
+    """uint32 [nblocks+1, 12 or 44]: per 128-row block, [occ c0..c3 |
+    8 BWT words | occ2 s0..s15 | 16 bigram words] — the rank kernel's
+    whole working set for a row, one gather.  Row width stays
+    latency-flat on the gather path (PERF.md), so fusing the bigram
+    planes is free; rank() reads only cols 0..11."""
     occ = np.asarray(occ)
     bw = np.asarray(bwt_words).reshape(-1, 8)
     nblk = bw.shape[0]
-    out = np.zeros((nblk + 1, 12), np.uint32)
+    W = 12 if occ2 is None else 44
+    out = np.zeros((nblk + 1, W), np.uint32)
     out[:, :4] = occ.astype(np.uint32)
-    out[:nblk, 4:] = bw
+    out[:nblk, 4:12] = bw
+    if occ2 is not None:
+        out[:, 12:28] = np.asarray(occ2).astype(np.uint32)
+        out[:nblk, 28:44] = np.asarray(bwt2_words).reshape(-1, 16)
     return out
 WORDS_PER_BLOCK = BLOCK_BASES // 16
 DEFAULT_OFF_RATE = 5        # SA sampled every 32 rows   (gfm.h:3909)
@@ -70,6 +77,7 @@ class FMMeta:
     ftab_k: int
     ref_names: tuple[str, ...]
     ref_lens: tuple[int, ...]
+    zrow2: int = -1         # BWT row with SA == 1 (bigram-plane special)
 
     @property
     def off_mask(self) -> int:
@@ -92,10 +100,17 @@ class FMIndex:
     frag_joined: Any        # int32  [F + 1]
     frag_ref: Any           # int32  [F]
     frag_off: Any           # int32  [F]
+    # bigram planes (optional; older indexes lack them and the search
+    # falls back to single-char steps): 4-bit (prev2, prev1) symbols,
+    # their occ checkpoints, and the 2-gram prefix block starts
+    bwt2_words: Any = None  # uint32 [nblocks * 16]
+    occ2: Any = None        # int32  [nblocks + 1, 16]
+    ftab2_top: Any = None   # int32  [16]
     # derived, device-only (built by to_device, never persisted): the occ
-    # checkpoint fused in front of each 128-row block's 8 BWT words, so a
-    # rank query costs ONE row gather instead of two separate gathers
-    blocked: Any = None     # uint32 [nblocks + 1, 12]
+    # checkpoint fused in front of each 128-row block's 8 BWT words (and
+    # the bigram planes when present), so a rank query costs ONE row
+    # gather instead of two separate gathers
+    blocked: Any = None     # uint32 [nblocks + 1, 12 or 44]
 
     def arrays(self) -> dict[str, Any]:
         return {f.name: getattr(self, f.name)
@@ -110,7 +125,12 @@ class FMIndex:
         import jax
         import jax.numpy as jnp
         arrs = self.arrays()
-        arrs["blocked"] = fuse_blocked(self.occ, self.bwt_words)
+        arrs["blocked"] = fuse_blocked(self.occ, self.bwt_words,
+                                       self.occ2, self.bwt2_words)
+        # the fused table carries the bigram planes; don't also upload
+        # the raw ones
+        arrs.pop("occ2", None)
+        arrs.pop("bwt2_words", None)
         # pad ref_words to a multiple of 8: ref_chars_block then gathers
         # 8-word ROWS (2 descriptors per diagonal) instead of 8 scalar
         # words — the TPU gather path is descriptor-bound (ops/rank.py)

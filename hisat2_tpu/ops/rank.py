@@ -35,16 +35,12 @@ def _word_offsets():
     return jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32)[None, :]
 
 
-def rank(blocked, zrow: int, i, c):
-    """# occurrences of char c in bwt[0:i), '$' excluded.  i,c: int32 [B].
-
-    blocked: the fused [nblocks+1, 12] layout (index.format.fuse_blocked)
-    — occ checkpoint + the block's 8 BWT words in ONE gathered row (two
-    separate gathers cost ~2x on the TPU's descriptor-bound gather path).
-    """
+def rank_from_rows(row, i, c, zrow: int):
+    """rank() given the PRE-GATHERED blocked rows for positions i —
+    lets one gather serve several rank flavors (partial_search2 computes
+    both the 1-char and the bigram LF from the same rows)."""
     blk = i >> 7
     within = i & 127
-    row = blocked[blk]                                            # [B, 12]
     # occ[c] via a 4-way select (cheaper than a second gather)
     base = jnp.where(
         c < 2,
@@ -63,6 +59,16 @@ def rank(blocked, zrow: int, i, c):
     # in [block_start, i).
     corr = ((c == 0) & (zrow >= (blk << 7)) & (i > zrow)).astype(jnp.int32)
     return base + cnt - corr
+
+
+def rank(blocked, zrow: int, i, c):
+    """# occurrences of char c in bwt[0:i), '$' excluded.  i,c: int32 [B].
+
+    blocked: the fused [nblocks+1, 12+] layout (index.format.fuse_blocked)
+    — occ checkpoint + the block's 8 BWT words in ONE gathered row (two
+    separate gathers cost ~2x on the TPU's descriptor-bound gather path).
+    """
+    return rank_from_rows(blocked[i >> 7], i, c, zrow)
 
 
 def lf(blocked, fchr, zrow: int, i, c):
@@ -155,3 +161,46 @@ def ref_chars_block(ref_words, n_text: int, start, L: int):
     ch = ((sel >> sh) & np.uint32(3)).astype(jnp.int32)
     pos = start[..., None] + t
     return jnp.where((pos < 0) | (pos >= n_text), jnp.int32(4), ch)
+
+
+_NIB_LO = np.uint32(0x11111111)
+
+
+def rank2_from_rows(row, i, sym, zrow: int, zrow2: int):
+    """rank2() on pre-gathered 44-column rows (see rank_from_rows)."""
+    blk = i >> 7
+    within = i & 127
+    # occ2[sym] via one-hot reduce (a per-lane dynamic column index
+    # would be another descriptor-bound gather)
+    onehot = (jnp.arange(16, dtype=jnp.int32)[None, :]
+              == sym[:, None].astype(jnp.int32))
+    base = jnp.where(onehot, row[:, 12:28].astype(jnp.int32), 0
+                     ).sum(axis=1)
+    w = row[:, 28:44]                                         # [B, 16]
+    pat = (sym.astype(jnp.uint32) * _NIB_LO)[:, None]
+    x = w ^ pat
+    m = x | (x >> _ONE) | (x >> np.uint32(2)) | (x >> np.uint32(3))
+    hit = (~m) & _NIB_LO                       # bit0 of matching nibbles
+    woff = jnp.arange(16, dtype=jnp.int32)[None, :]
+    nvalid = jnp.clip(within[:, None] - 8 * woff, 0, 8)
+    shift = jnp.minimum(4 * nvalid, 31).astype(jnp.uint32)
+    mask = jnp.where(nvalid >= 8, _FULL, (_ONE << shift) - _ONE)
+    cnt = jax.lax.population_count(hit & mask).astype(jnp.int32).sum(axis=1)
+    corr = jnp.zeros_like(cnt)
+    for zr in (zrow, zrow2):
+        if zr >= 0:
+            corr = corr + ((sym == 0) & (zr >= (blk << 7))
+                           & (i > zr)).astype(jnp.int32)
+    return base + cnt - corr
+
+
+def rank2(blocked, zrow: int, zrow2: int, i, sym):
+    """# rows j < i whose two PRECEDING text chars form 4-bit symbol
+    `sym` (prev2*4 + prev1) — the bigram-BWT rank backing the
+    double-step backward search (ops/search.partial_search2).
+
+    blocked: the 44-column fused layout (index.format.fuse_blocked with
+    bigram planes): cols 12..27 = occ2 checkpoint, 28..43 = 16 packed
+    4-bit symbol words per 128-row block.  The <=2 rows with SA < 2
+    (zrow, zrow2) pack symbol 0; corrected like rank()'s '$' slot."""
+    return rank2_from_rows(blocked[i >> 7], i, sym, zrow, zrow2)

@@ -260,7 +260,15 @@ def partial_search(blocked, fchr, zrow: int, rows: int,
                      (jnp.arange(L, dtype=jnp.int32), rrev.T))
     ev = ev.T                                   # [B, L]
     ev_top, ev_bot, ev_stop = ev_top.T, ev_bot.T, ev_stop.T
+    return _finish_events(lens, H, min_hit_len, f_top, f_bot, f_rb,
+                          f_stopped, ev, ev_top, ev_bot, ev_stop)
 
+
+def _finish_events(lens, H, min_hit_len, f_top, f_bot, f_rb, f_stopped,
+                   ev, ev_top, ev_bot, ev_stop):
+    """Derive PartialHits from a per-position event stream (shared by
+    the single- and double-step scans)."""
+    B, L = ev.shape
     srange = jnp.arange(L, dtype=jnp.int32)[None, :]
     pos = lens[:, None] - 1 - srange            # [B, L] (monotone dec.)
     is_ev = ev > 0
@@ -337,3 +345,132 @@ def partial_search(blocked, fchr, zrow: int, rows: int,
     rwords = (rl4 << sh).sum(axis=2)
     return PartialHits(rwords, rn, ht, hb, hl, hh, nh, ha, hu, hp,
                        f_stopped)
+
+
+def partial_search2(blocked, fchr, ftab2_top, zrow: int, zrow2: int,
+                    rows: int, reads, lens, max_hits: int = 8,
+                    min_hit_len: int = 16, min_k: int = 16,
+                    uniform: bool = False,
+                    anchor_stop: bool = True) -> PartialHits:
+    """Double-step wavefront search: TWO read chars per scan iteration
+    from ONE gathered row (bit-identical events to partial_search).
+
+    The 44-column fused layout carries both the classic and the bigram
+    (prev2, prev1) rank planes per 128-row block; gathers are
+    latency-flat in row size on this hardware (PERF.md), so consuming
+    two chars per gather halves the scan's dominant cost.  Per step:
+
+      phase 1 (char c1): classic LF from the gathered rows — full
+        per-char stop/disarm/mismatch semantics.
+      phase 2 (char c2): for lanes whose phase-1 LF succeeded, the
+        2-char range comes from the SAME rows via the bigram rank
+        (ftab2[sym] + rank2, sym = c2*4 + c1); lanes that restarted at
+        phase 1 start a fresh segment with the closed form
+        [fchr[c2], fchr[c2+1]).
+
+    Only linear-FM semantics change none: anchor-stop length/width
+    checks run at every char, exactly like the reference's per-char
+    loop (hi_aligner.h:5528-5608)."""
+    B, L = reads.shape
+    H = max_hits
+    lens = lens.astype(jnp.int32)
+    a_stop_len = np.int32(min_k + 12) if anchor_stop else np.int32(2**30)
+    a_cancel_len = np.int32(min_k + 8)
+    S = (L + 1) // 2
+
+    if uniform:
+        rrev = reads[:, ::-1]
+    else:
+        colL = jnp.arange(L, dtype=jnp.int32)[None, :]
+        ridx = lens[:, None] - 1 - colL
+        rrev = jnp.where(ridx >= 0,
+                         jnp.take_along_axis(reads, jnp.maximum(ridx, 0),
+                                             axis=1), jnp.int32(4))
+    if L % 2:
+        rrev = jnp.concatenate(
+            [rrev, jnp.full((B, 1), 4, rrev.dtype)], axis=1)
+
+    def phase(state, pos, c, t_new, b_new):
+        """Shared per-char event/state logic given the LF result."""
+        top, bot, rb, arm, stopped = state
+        active = pos >= 0
+        valid_c = (c < 4) & active
+        ok = valid_c & (b_new > t_new)
+        seg = rb - pos
+        width = b_new - t_new
+        arm = arm & ~(ok & (seg - 1 >= a_cancel_len) & (width >= 4))
+        astop = ok & arm & active & (seg >= a_stop_len) & (width == 1)
+        fail = active & ~ok
+        ev = jnp.where(astop, jnp.int32(2),
+                       jnp.where(fail, jnp.int32(1), jnp.int32(0)))
+        ev_top = jnp.where(astop, t_new, top)
+        ev_bot = jnp.where(astop, b_new, bot)
+        top_n = jnp.where(ok, t_new, np.int32(0))
+        bot_n = jnp.where(ok, b_new, np.int32(rows))
+        rb_n = jnp.where(ok, rb, pos)
+        top_n = jnp.where(astop, np.int32(0), top_n)
+        bot_n = jnp.where(astop, np.int32(rows), bot_n)
+        rb_n = jnp.where(astop, pos, rb_n)
+        arm = jnp.where(fail | astop, True, arm)
+        top = jnp.where(active, top_n, top)
+        bot = jnp.where(active, bot_n, bot)
+        rb = jnp.where(active, rb_n, rb)
+        stopped_out = stopped
+        stopped = stopped | astop
+        restart = fail | astop
+        return ((top, bot, rb, arm, stopped),
+                (ev, ev_top, ev_bot, stopped_out), restart)
+
+    def step(state, xs):
+        s, c1, c2 = xs
+        top, bot, rb, arm, stopped = state
+        pos1 = lens - 1 - 2 * s
+        pos2 = pos1 - 1
+        # ONE row gather serves the classic LF (phase 1) AND the bigram
+        # LF (phase 2, for lanes phase 1 advanced)
+        i2 = jnp.concatenate([top, bot])
+        rws = blocked[i2 >> 7]
+        cc1 = jnp.minimum(c1, 3)
+        r1 = rk.rank_from_rows(rws, i2, jnp.concatenate([cc1, cc1]),
+                               zrow)
+        lf1 = fchr[cc1]
+        t1 = lf1 + r1[:B]
+        b1 = lf1 + r1[B:]
+        state, ev1, restart1 = phase(state, pos1, c1, t1, b1)
+        # phase 2
+        cc2 = jnp.minimum(c2, 3)
+        sym = cc2 * 4 + cc1
+        r2 = rk.rank2_from_rows(rws, i2, jnp.concatenate([sym, sym]),
+                                zrow, zrow2)
+        oh16 = (jnp.arange(16, dtype=jnp.int32)[None, :]
+                == sym[:, None])
+        base2 = jnp.where(oh16, ftab2_top[None, :], 0).sum(axis=1)
+        t2b = base2 + r2[:B]
+        b2b = base2 + r2[B:]
+        oh4 = (jnp.arange(4, dtype=jnp.int32)[None, :] == cc2[:, None])
+        t2f = jnp.where(oh4, fchr[None, :4], 0).sum(axis=1)
+        b2f = jnp.where(oh4, fchr[None, 1:5], 0).sum(axis=1)
+        t2 = jnp.where(restart1, t2f, t2b)
+        b2 = jnp.where(restart1, b2f, b2b)
+        state, ev2, _ = phase(state, pos2, c2, t2, b2)
+        return state, (ev1, ev2)
+
+    z = jnp.zeros((B,), jnp.int32)
+    init = (z, jnp.full((B,), rows, jnp.int32), lens.astype(jnp.int32),
+            jnp.ones((B,), bool), jnp.zeros((B,), bool))
+    c1s = rrev[:, 0::2].T
+    c2s = rrev[:, 1::2].T
+    (f_top, f_bot, f_rb, _, f_stopped), (ev1, ev2) = jax.lax.scan(
+        step, init, (jnp.arange(S, dtype=jnp.int32), c1s, c2s))
+
+    def interleave(a1, a2):
+        # [S, B] x2 -> [B, L] in original per-char order
+        m = jnp.stack([a1, a2], axis=1)         # [S, 2, B]
+        return m.transpose(2, 0, 1).reshape(B, 2 * S)[:, :L]
+
+    ev = interleave(ev1[0], ev2[0])
+    ev_top = interleave(ev1[1], ev2[1])
+    ev_bot = interleave(ev1[2], ev2[2])
+    ev_stop = interleave(ev1[3], ev2[3])
+    return _finish_events(lens, H, min_hit_len, f_top, f_bot, f_rb,
+                          f_stopped, ev, ev_top, ev_bot, ev_stop)

@@ -74,3 +74,15 @@ def unpack_2bit(words: np.ndarray, n: int) -> np.ndarray:
         out[w0 * BASES_PER_WORD:(w0 + len(blk)) * BASES_PER_WORD] = \
             ((blk[:, None] >> shifts) & 3).astype(np.uint8).reshape(-1)
     return out[:n]
+
+
+def pack_4bit(codes: np.ndarray) -> np.ndarray:
+    """Pack 4-bit symbols (0-15) into uint32 words, 8 per word
+    (the bigram-BWT plane; ops/rank.rank2)."""
+    codes = np.asarray(codes, np.uint32)
+    if len(codes) % 8:
+        codes = np.concatenate(
+            [codes, np.zeros(8 - len(codes) % 8, np.uint32)])
+    c = codes.reshape(-1, 8)
+    sh = np.arange(8, dtype=np.uint32) * 4
+    return (c << sh[None, :]).sum(axis=1, dtype=np.uint32)

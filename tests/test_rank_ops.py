@@ -126,3 +126,46 @@ def test_search_event_stream_matches_reference_impl(small_index):
         np.testing.assert_array_equal(
             np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
             err_msg=f)
+
+
+def test_partial_search2_equivalence():
+    """The bigram double-step scan must produce bit-identical
+    PartialHits to the single-step scan (events, hit slots, round logs)
+    across even/odd lengths, Ns, mismatches, and variable lens."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hisat2_tpu.index.builder import build_fm_index
+    from hisat2_tpu.index.format import fuse_blocked
+    from hisat2_tpu.ops import search as so
+
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 4, 120000).astype(np.int8)
+    idx = build_fm_index([("c", g)])
+    blocked = jnp.asarray(fuse_blocked(idx.occ, idx.bwt_words,
+                                       idx.occ2, idx.bwt2_words))
+    fchr = jnp.asarray(idx.fchr)
+    ftab2 = jnp.asarray(idx.ftab2_top)
+    B = 64
+    for L in (100, 101, 75):
+        reads = np.zeros((B, L), np.int32)
+        lens = np.full(B, L, np.int32)
+        for i in range(B):
+            o = int(rng.integers(0, len(g) - L))
+            r = g[o:o + L].astype(np.int32)
+            for _ in range(int(rng.integers(0, 4))):
+                p = int(rng.integers(0, L))
+                r[p] = (r[p] + 1 + int(rng.integers(3))) % 4
+            if i % 7 == 0:
+                r[int(rng.integers(0, L))] = 4
+            if i % 11 == 0:
+                lens[i] = L - int(rng.integers(1, 20))
+            reads[i] = r
+        a = so.partial_search(blocked, fchr, idx.meta.zrow,
+                              idx.meta.rows, jnp.asarray(reads),
+                              jnp.asarray(lens))
+        b = so.partial_search2(blocked, fchr, ftab2, idx.meta.zrow,
+                               idx.meta.zrow2, idx.meta.rows,
+                               jnp.asarray(reads), jnp.asarray(lens))
+        for x, y in zip(a, b):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
