@@ -1508,8 +1508,34 @@ class TPUAligner:
         zero-penalty known sites for later reads (readid-gated on device),
         replicating the reference's sequential temp-splice-site semantics
         (useTempSpliceSite, hisat2.cpp:3180-3203,3559) batch-synchronously."""
-        return self.collect(self.dispatch(codes, quals, lens, rdids),
-                            paired=paired)
+        try:
+            return self.collect(self.dispatch(codes, quals, lens, rdids),
+                                paired=paired)
+        except Exception as e:
+            # --passMemExc-style recovery (gfm.h:1890 semantics, applied
+            # to the align side): on device OOM, halve the batch and
+            # merge the halves' raw rows
+            if "RESOURCE_EXHAUSTED" not in str(e) or codes.shape[0] < 2 \
+                    or paired:
+                raise      # paired batches interleave mate blocks: the
+                           # caller owns the split there
+            import sys
+            B = codes.shape[0]
+            h = B // 2
+            print(f"warning: device OOM on a {B}-read batch; retrying "
+                  f"as two halves", file=sys.stderr)
+            if rdids is None:
+                rdids = np.arange(B, dtype=np.int64)
+            r1 = self.align_batch(codes[:h], quals[:h], lens[:h],
+                                  rdids[:h], paired=False)
+            r2 = self.align_batch(codes[h:], quals[h:], lens[h:],
+                                  rdids[h:], paired=False)
+            cols = []
+            for c1, c2 in zip(r1.raw["cols"], r2.raw["cols"]):
+                c2 = np.asarray(c2).copy()
+                cols.append(np.concatenate([np.asarray(c1), c2]))
+            cols[0][len(r1.raw["cols"][0]):] += h
+            return BatchResult(n_reads=B, raw={"cols": cols})
 
     def dispatch(self, codes: np.ndarray, quals: np.ndarray,
                  lens: np.ndarray, rdids: np.ndarray = None):

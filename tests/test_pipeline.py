@@ -144,3 +144,37 @@ def test_uniform_len_fast_path_matches_general(small_index):
         al.dev, al.params, reads, quals, lens, minsc, uniform=False))
     for k in a:
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_align_oom_recovery():
+    """--passMemExc-style align-side recovery: a device OOM on a batch
+    retries as two halves with merged, read-index-rebased raw rows."""
+    import numpy as np
+
+    from hisat2_tpu.align.pipeline import TPUAligner
+    from hisat2_tpu.index.builder import build_fm_index
+
+    rng = np.random.default_rng(1)
+    g = rng.integers(0, 4, 100000).astype(np.int8)
+    idx = build_fm_index([("c", g)])
+    al = TPUAligner(idx)
+    codes = np.stack([g[o:o + 100]
+                      for o in rng.integers(0, 99000, 64)]).astype(np.int64)
+    quals = np.full((64, 100), 40, np.int64)
+    lens = np.full(64, 100, np.int64)
+    full = al.align_batch(codes, quals, lens)
+    orig = al.collect
+    state = {"fail": True}
+
+    def failing(handle, paired=False):
+        if state["fail"] and len(handle[1]) == 64:
+            state["fail"] = False
+            raise RuntimeError("RESOURCE_EXHAUSTED (simulated)")
+        return orig(handle, paired=paired)
+
+    al.collect = failing
+    rec = al.align_batch(codes, quals, lens)
+    assert all(
+        [(a.ref_pos, a.score) for a in x] == [(a.ref_pos, a.score)
+                                              for a in y]
+        for x, y in zip(full.alignments, rec.alignments))
