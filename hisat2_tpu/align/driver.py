@@ -716,10 +716,10 @@ def _align_pair_batch(aligner, writer, policy, scoring, k, b1, b2, ref_fn,
                    if len(pairs) > 1 else 0)
             minsc = scoring.min_score(l1) + scoring.min_score(l2)
             perf = scoring.perfect_score(l1) + scoring.perfect_score(l2)
-            mq = int(mapq_mod.mapq_v2(
+            mq = int(mapq_mod.mapq_selected(
                 np.array([best]), np.array([sec]),
                 np.array([len(pairs) > 1]), np.array([perf]),
-                np.array([minsc]))[0])
+                np.array([minsc]), paired=True)[0])
             nh = len(pairs)
             fixed = []
             for j, (a1, a2, tl, tl2) in enumerate(pairs):

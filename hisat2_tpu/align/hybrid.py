@@ -1419,7 +1419,7 @@ def substitute_batch(aligner, res, codes, quals, lens, seeds,
     byte-parity mode (--exact-replay), at per-read host cost.
     Returns {read_idx: [Alignment...]} and patches res.raw in place so
     the vectorized SAM renderer and metrics see the substituted rows."""
-    from .mapq import mapq_v2
+    from .mapq import mapq_selected
     from .pipeline import RAW_COLS
     if aligner.spliced or aligner.all_hits or len(aligner.shards) != 1 \
             or aligner.no_fw or aligner.no_rc:
@@ -1490,7 +1490,7 @@ def substitute_batch(aligner, res, codes, quals, lens, seeds,
         # multimaps only, post-truncation); ZS separately reports the
         # best unselected submission (sink best2)
         sec = hits[1].score if nh >= 2 else 0
-        mq = int(mapq_v2([best], [sec], [nh >= 2], [0], [minsc])[0])
+        mq = int(mapq_selected([best], [sec], [nh >= 2], [0], [minsc])[0])
         overrides[i] = [
             hit_to_alignment(h, int(i), L, nh, n > 0, zs, mq)
             for n, h in enumerate(hits)]

@@ -2573,7 +2573,7 @@ class TPUAligner:
         has_sec = (seg_len > 1) | alt_valid | (shadow > -2 ** 39)
         perfect = np.array([self.scoring.perfect_score(int(l))
                             for l in ulens], np.int64)[uinv[seg_read]]
-        mq = mapq_mod.mapq_v2(best, np.maximum(sec_cand, -2 ** 30),
+        mq = mapq_mod.mapq_selected(best, np.maximum(sec_cand, -2 ** 30),
                               seg_len > 1, perfect, minsc[seg_read])
         seg_zs = np.where(has_sec, secbest, 0)
         n_rep = np.minimum(seg_len, self.k)

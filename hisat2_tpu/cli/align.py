@@ -128,9 +128,10 @@ def build_parser():
     p.add_argument("--ma", type=int, default=0,
                    help="match bonus (forced to 0 in end-to-end mode, "
                         "like the reference's scoring setup)")
-    p.add_argument("--mapq-v", type=int, default=2, choices=(2,),
-                   help="MAPQ model version (only the default v2 "
-                        "BowtieMapq2 table is implemented)")
+    p.add_argument("--mapq-v", type=int, default=2, choices=(1, 2, 3),
+                   help="MAPQ model version (unique.h new_mapq: 1 = "
+                        "BowtieMapq, 2 = BowtieMapq2 default, 3 = "
+                        "BowtieMapq3 binned tables)")
     p.add_argument("--gbar", type=int, default=4,
                    help="accepted; the SW layer it gates is off the "
                         "reference's own hot path (SURVEY 2.4)")
@@ -276,6 +277,8 @@ def main(argv=None):
             return 0
         return lastret
     args = build_parser().parse_args(argv)
+    from ..align import mapq as mapq_mod
+    mapq_mod.VERSION = args.mapq_v
     from ..align.driver import run_align
     return run_align(args)
 

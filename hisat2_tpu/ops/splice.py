@@ -356,6 +356,37 @@ def pair_sweep(ch, pen_spl, pen_ind, ismm, starts, valid, lens, minsc,
     SSs = tot_s[:, :, None] - Ps_p
     SSr = tot_r[:, :, None] - Pr_p
     if prm.allow_spliced:
+        # --- budget-scan base planes (combineWith's scan REGION,
+        # hi_aligner.h:1330-1336 + 1470-1490): the prefix/suffix mismatch
+        # scans start at the pair's hit-segment boundaries (this_rdoff /
+        # other_rdoff + other_len), not the read ends, and break once the
+        # penalty accumulated WITHIN the region drops below remainsc.
+        # Per diagonal, the left base at junction x is the penalty plateau
+        # of the last clean run (>= 8 cols, minK_local) at or before x;
+        # the right base mirrors it.  budget = plane - base <= -minsc.
+        mmc = pen_spl > 0                                       # [N,C,L]
+        colL = jnp.arange(L, dtype=jnp.int32)[None, None, :]
+        lastmm = jax.lax.cummax(jnp.where(mmc, colL, -1), axis=2)
+        nxt = jax.lax.cummax(
+            jnp.where(mmc[:, :, ::-1], colL, -1), axis=2)[:, :, ::-1]
+        nextmm = jnp.where(nxt >= 0, (L - 1) - nxt, L)
+        runlen = nextmm - (lastmm + 1)
+        qual_col = ~mmc & (runlen >= 8)
+        PsL = Ps[:, :, :L]                                      # at col x'
+        SSsL = tot_s[:, :, None] - PsL
+        lpv = jnp.where(qual_col, PsL, 0)
+        base_l = jnp.concatenate(
+            [zero3, jax.lax.cummax(lpv, axis=2)], axis=2)       # [N,C,L+1]
+        rv = jnp.where(qual_col, SSsL, 0)
+        base_r = jnp.concatenate(
+            [jax.lax.cummax(rv[:, :, ::-1], axis=2)[:, :, ::-1], zero3],
+            axis=2)
+        base_l = jnp.concatenate(
+            [base_l, jnp.broadcast_to(base_l[:, :, -1:], (N, C, pad))],
+            axis=2)
+        base_r = jnp.concatenate(
+            [base_r, jnp.broadcast_to(base_r[:, :, -1:], (N, C, pad))],
+            axis=2)
         # pad classification/PWM planes to the same sliceable length
         zpadi = jnp.full((N, C, pad), 255, jnp.int32)
         zpadf = jnp.zeros((N, C, pad), jnp.float32)
@@ -394,8 +425,21 @@ def pair_sweep(ch, pen_spl, pen_ind, ismm, starts, valid, lens, minsc,
         score_ind = score_ind - gap_pen[:, :, :, None]
 
         if prm.allow_spliced:
-            s_spl = -(sl(Ps_p, 0)[:, :, None, :]
-                      + sl(SSs, 0)[:, None, :, :])
+            lp4 = sl(Ps_p, 0)[:, :, None, :]                       # [N,C,1,W]
+            rp4 = sl(SSs, 0)[:, None, :, :]                        # [N,1,C,W]
+            s_spl = -(lp4 + rp4)
+            # combineWith's x scan is BUDGET-BOUNDED (hi_aligner.h:
+            # 1470-1490): the prefix/suffix mismatch scans break once the
+            # penalty accumulated within the scan REGION drops below
+            # remainsc, so x positions out of budget never compete —
+            # without this, an accidental canonical motif at a
+            # high-mismatch x outranks the true noncanonical junction
+            # (the dir preference ignores score) and noncan novel
+            # junctions are lost wholesale.  The bases subtract penalty
+            # outside the pair's hit segments (multi-junction reads).
+            m4 = minsc[:, None, None, None]
+            budget4 = (lp4 - sl(base_l, 0)[:, :, None, :] <= -m4) \
+                & (rp4 - sl(base_r, 0)[:, None, :, :] <= -m4)
             dl = sl(dcode, 0)[:, :, None, :]                       # [N,C,1,W]
             ar = sl(acode, 0)[:, None, :, :]                       # [N,1,C,W]
             # 0x23=GT 0x02=AG 0x13=CT(rc AG) 0x01=AC(rc GT) 0x21=GC
@@ -429,6 +473,8 @@ def pair_sweep(ch, pen_spl, pen_ind, ismm, starts, valid, lens, minsc,
             ssc = jnp.zeros_like(score, jnp.float32)
 
         valid4 = vx & pmask[:, :, :, None]
+        if prm.allow_spliced:
+            valid4 &= ~sp4 | budget4
         # composite key encodes the reference preference (hi_aligner.h:
         # 1588-1603): classified dir > score > PWM prob > first (lowest) x.
         # score fits 22 bits after clamping to [-2^21, 0].

@@ -134,3 +134,36 @@ def test_two_junction_read(splice_genome):
     assert (a.junc_x, a.junc_len) == (30, 400)
     assert (a.junc2_x, a.junc2_len) == (70, 600)
     assert a.score == 0 and a.mapq == 60
+
+
+def test_noncan_junction_budget_window():
+    """Novel junction discovery with a NON-canonical intron: the x scan is
+    budget-bounded (combineWith temp-score breaks, hi_aligner.h:1470-1490),
+    so only near-junction positions compete.  An accidental canonical
+    motif WITHIN the budget window still wins the dir preference (the
+    reference behaves the same); motifs outside the window must not.
+
+    Expectation byte-verified vs hisat2-align-s v2.1.0 on this exact
+    fixture: 63M5000N37M AS:i:-18 XS:A:- (an in-budget canonical RC motif
+    at x=63 outranks the true noncanonical junction at x=58).  Before the
+    budget window, far-out-of-budget motifs hijacked EVERY noncanonical
+    junction read (13% junction recall vs the oracle's 54% on an
+    all-random-intron corpus; now 286/300 records byte-identical)."""
+    from hisat2_tpu.align.pipeline import TPUAligner
+    from hisat2_tpu.index.builder import build_fm_index
+    import numpy as np
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 4, 200000).astype(np.uint8)
+    g[30000], g[30001] = 3, 3        # break the donor motif
+    g[34998], g[34999] = 3, 3        # break the acceptor motif
+    idx = build_fm_index([("chrT", g)])
+    al = TPUAligner(idx, spliced=True)
+    read = np.concatenate([g[29942:30000], g[35000:35042]])
+    codes = read[None, :].astype(np.int32)
+    quals = np.full((1, 100), 40, np.int32)
+    res = al.align_batch(codes, quals, np.array([100], np.int32))
+    alns = res.alignments[0]
+    assert alns, "noncanonical junction read did not align"
+    a = alns[0]
+    assert (a.ref_pos, a.score, a.junc_kind, a.junc_x, a.junc_len,
+            a.spl_dir) == (29942, -18, 1, 63, 5000, 2)
