@@ -37,7 +37,13 @@ def log(msg):
 
 def main(config: int = 1):
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_hisat2_tpu")
+    # repo-local persistent compile cache: /tmp is wiped between driver
+    # rounds (measured round 2: the 748 s warmup was a cold cache), the
+    # repo directory is not.  Pre-warmed during the round; verified to
+    # hit across processes on the axon backend (8.6 s -> 0.46 s).
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import numpy as np
 
@@ -140,7 +146,7 @@ def bench_config(config: int):
 
     os.makedirs(CACHE, exist_ok=True)
     rng = np.random.default_rng(7)
-    B = 8192
+    B = 4096
     if config == 5:
         return bench_genotype(rng)
     if config == 2:
@@ -189,30 +195,34 @@ def bench_config(config: int):
         codes2 = np.where(codes2 < 4, 3 - codes2, codes2).astype(np.int64)
     log(f"[bench:{config}] {name}: warming up ...")
 
+    if paired:
+        # co-dispatched mates: one fused device batch per pair batch
+        # (lanes 0..B-1 = mate 1, B..2B-1 = mate 2), like the CLI driver
+        codes = np.concatenate([codes, codes2])
+        quals = np.concatenate([quals, quals])
+        lens = np.concatenate([lens, lens])
+
     def run_once():
-        if paired:
-            from hisat2_tpu.align.paired import PairPolicy
-            res1 = aligner.align_batch(codes, quals, lens)
-            res2 = aligner.align_batch(codes2, quals, lens)
-            return res1, res2
-        return aligner.align_batch(codes, quals, lens)
+        return aligner.align_batch(codes, quals, lens, paired=paired)
 
     t0 = time.time()
     run_once()
     log(f"[bench:{config}] warmup {time.time() - t0:.1f}s")
-    K = 8
+    K = 16
+    nb = codes.shape[0]
+    rd0 = nb
     t0 = time.time()
-    # 3-deep dispatch pipeline (same shape as config 1 / the CLI driver)
+    # 8-deep dispatch pipeline (same shape as config 1 / the CLI driver);
+    # advancing rdids so temp-splice-site injection reflects steady state
     from collections import deque
     pend = deque()
-    for _ in range(K):
-        pend.append(aligner.dispatch(codes, quals, lens))
-        if paired:
-            pend.append(aligner.dispatch(codes2, quals, lens))
-        while len(pend) >= (6 if paired else 3):
-            aligner.collect(pend.popleft())
+    for i in range(K):
+        rdids = rd0 + i * nb + np.arange(nb, dtype=np.int64)
+        pend.append(aligner.dispatch(codes, quals, lens, rdids))
+        while len(pend) >= 8:
+            aligner.collect(pend.popleft(), paired=paired)
     while pend:
-        aligner.collect(pend.popleft())
+        aligner.collect(pend.popleft(), paired=paired)
     dt = time.time() - t0
     n = B * K * (2 if paired else 1)
     value = n / dt

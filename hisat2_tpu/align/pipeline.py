@@ -232,10 +232,22 @@ class TPUAligner:
                  lane_meta: bool = False, shard_devices=None,
                  max_seeds: int = 0, all_hits: bool = False,
                  tmo: bool = False, require_xs: bool = False,
-                 anchor_stop: bool = True,
+                 anchor_stop: bool = True, lite: bool = False,
+                 inject_ss: bool = False,
                  _devs=None, _ref_codes=None):
         self.meta = index.meta
         self.scoring = scoring or Scoring()
+        # lite: the tier-A fast path of the two-pass pipeline — ungapped
+        # extension (+ optional known-splice-site injection) with small
+        # slot counts and none of the sweep/injection machinery.  Reads
+        # whose exact answer could involve the skipped machinery are
+        # routed to the full aligner by _collect_two_pass (imperfect
+        # score, slot saturation via h_sat, known-indel overlap); the
+        # reference has the same structure (extension first, hybridSearch
+        # recursion only on unfinished reads, spliced_aligner.h:113-214).
+        self.lite = lite
+        self.inject_ss = inject_ss
+        self.use_ss = spliced or inject_ss
         # --tmo: only known-splice-site junctions are reportable and no
         # temp sites are collected; --dta-cufflinks: spliced alignments
         # must carry a resolvable XS (classified direction) or be known
@@ -292,6 +304,13 @@ class TPUAligner:
             self.core_cands = max(k + 1, 6)
             self.max_cands = max(self.core_cands, self.msize + 1)
             self.short_rows = 5
+            if lite:
+                # tier-A caps: up to lite_cap equal-best placements are
+                # fully representable; wider hits / fuller pools set the
+                # per-lane h_sat flag and route the read to the full pass
+                self.lite_cap = 8
+                self.msize = min(self.msize, self.lite_cap)
+                self.max_cands = self.core_cands
         # up to 6 rows resolve per hit in spliced mode (the reference
         # resolves short-segment ranges only when nelt <= 5,
         # spliced_aligner.h:951)
@@ -413,6 +432,11 @@ class TPUAligner:
                               else SpliceSiteDB(index))
             if variants is not None and len(variants.ss_ref):
                 self.splice_db.add_from_variants(variants)
+        elif inject_ss:
+            # lite fast pass of a spliced aligner: shares the parent's
+            # site DB so pass-1 known/temp-site injection sees the same
+            # table the full pass would
+            self.splice_db = splice_db
         else:
             self.splice_db = None
         self.ss_slots = ss_slots
@@ -439,7 +463,33 @@ class TPUAligner:
                 variants=variants, spliced=False, lane_meta=lane_meta,
                 max_seeds=max_seeds, all_hits=all_hits, tmo=tmo,
                 require_xs=require_xs, anchor_stop=anchor_stop,
+                lite=not all_hits, inject_ss=not all_hits,
+                splice_db=self.splice_db,
                 _devs=self.devs, _ref_codes=self.ref_codes)
+        elif (not lite and not all_hits and variants is not None
+              and variants.n_snps):
+            # DNA mode on a graph index: the same two-pass structure —
+            # a lite tier-A pass finishes perfect/near-perfect reads,
+            # the full machinery (indel injection, self-gap sweep, wide
+            # multimap slots) runs only on the routed subset
+            self._fast = TPUAligner(
+                index, scoring=self.scoring, k=k, max_hits=max_hits,
+                cand_per_hit=cand_per_hit, no_fw=no_fw, no_rc=no_rc,
+                variants=variants, spliced=False, lane_meta=lane_meta,
+                max_seeds=max_seeds, tmo=tmo,
+                require_xs=require_xs, anchor_stop=anchor_stop,
+                lite=True, _devs=self.devs, _ref_codes=self.ref_codes)
+        # host-side routing table for the DNA two-pass: reads overlapping
+        # a known ALT indel could carry an equal-or-better free ALT form
+        # the lite pass cannot represent — route them to the full pass
+        self._indel_bounds = None
+        if (self._fast is not None and self._fast.lite
+                and self.graph is not None
+                and len(self.graph.indel_pos)):
+            ip = np.asarray(self.graph.indel_pos, np.int64)
+            il = np.maximum(np.asarray(self.graph.indel_len, np.int64), 0)
+            self._indel_bounds = np.unique(
+                np.concatenate([ip - 1, ip + il + 1]))
 
     def _align_device_packed(self, d, params, reads, quals, lens, minsc,
                              rdids=None, ss=None, uniform=False, h2d=None,
@@ -480,7 +530,7 @@ class TPUAligner:
         # read-length-bounded fields fit int8 only for short reads (L is
         # static at trace time)
         L = reads.shape[1]
-        I8 = {"u_flags", "u_dd", "u_ab", "h_alignable", "h_stop",
+        I8 = {"u_flags", "u_dd", "u_ab", "h_alignable", "h_stop", "h_sat",
               "q2_bkind", "q2_bdir", "q2_dir", "q2_bknown",
               "q3_ldir", "q3_rdir", "r2_bkind", "r2_bdir", "r2_dir",
               "r2_bknown", "r3_ldir", "r3_rdir"}
@@ -715,6 +765,14 @@ class TPUAligner:
         # (spliced_aligner.h:951)
         islong_h = (hits.hi - hits.lo) > self.min_k + 2
         maxsize = max(self.k, self.max_seeds)
+        lite_wide = None
+        if self.lite:
+            # tier A resolves at most lite_cap rows per hit and only
+            # align-capable (long) hits; anything wider flags h_sat and
+            # the read re-runs through the full pass
+            maxsize = min(maxsize, self.lite_cap)
+            lite_wide = jnp.any(hv & islong_h & (w > maxsize), axis=1)
+            hv &= islong_h
         hv &= jnp.where(islong_h, w <= maxsize, w <= self.short_rows)
         P = max(P, self.short_rows, self.msize)
         j = jnp.arange(P, dtype=jnp.int32)
@@ -972,6 +1030,13 @@ class TPUAligner:
                "n_n": ext.n_n, "clip_l": ext.clip_l, "clip_r": ext.clip_r,
                "valid": cvalid_long & ext.ok,
                "ab": cab, "post": cpost}
+        if self.lite:
+            # per-lane saturation: distinct align-capable diagonals (sums
+            # across shards at merge) + 64 when a hit was wider than
+            # lite_cap — either way the read re-runs through the full pass
+            n_long = (kept & ~is_short).sum(axis=1, dtype=jnp.int32)
+            out["h_sat"] = (jnp.minimum(n_long, 63)
+                            + 64 * lite_wide.astype(jnp.int32))
         if self.lane_meta:
             # per-lane search round logs: only the paired give-up replay
             # reads these (the tunneled D2H link is slow - don't ship them
@@ -1006,14 +1071,14 @@ class TPUAligner:
                            selfgap=jnp.zeros((2 * B, T0), jnp.int32))]
         else:
             blocks = []
-        if self.spliced or self.has_indels:
+        if self.use_ss or self.has_indels:
             C = cstart.shape[1]
             zero3 = jnp.zeros((2 * B, C, 1), jnp.int32)
             al3 = jnp.broadcast_to(al[:, None, None], (2 * B, C, 1))
             P_raw = jnp.concatenate(
                 [zero3, jnp.cumsum(planes.pen_raw, axis=2)], axis=2)
             tot_raw = jnp.take_along_axis(P_raw, al3, axis=2)[:, :, 0]
-        if self.spliced:
+        if self.use_ss:
             # known/temp splice-site injection
             rd2 = jnp.concatenate([rdids, rdids]).astype(jnp.int32)
             Pm = jnp.concatenate(
@@ -1036,7 +1101,7 @@ class TPUAligner:
             blocks.append(dict(inj, known=jnp.ones((2 * B, J), jnp.int32),
                                event=jnp.full((2 * B, J), -1, jnp.int32),
                                selfgap=jnp.zeros((2 * B, J), jnp.int32)))
-        if self.has_indels:
+        if self.has_indels and not self.lite:
             # known ALT indel injection
             P_snv = jnp.concatenate(
                 [zero3, jnp.cumsum(planes.pen, axis=2)], axis=2)
@@ -1060,45 +1125,51 @@ class TPUAligner:
         # no global FM anchor (the partial search walks through the gap and
         # lands on a chimeric diagonal; the reference re-searches the span
         # in its 57kb local index, spliced_aligner.h:736)
-        selfw = splice_ops.self_indel_sweep(
-            ch, ar, aq, al, cstart, cvalid, am, params["mm_pen"],
-            self.scoring.n_pen, self.splice_params,
-            snv1_w=snv1_w, snv2_w=snv2_w, max_gap=g_budget)
-        src_i = selfw.pop("src")
-        Cs = cstart.shape[1]
-        sab = compact_ops.take_cols(cab, src_i)
-        spost = compact_ops.take_cols(cpost, src_i)
-        strict = {k2: selfw[k2] for k2 in
-                  ("score", "d1", "d2", "x", "kind", "spldir", "splscore")}
-        blocks.append(dict(strict, ab=sab, post=spost,
-                           known=jnp.zeros((2 * B, Cs), jnp.int32),
-                           event=jnp.full((2 * B, Cs), -1, jnp.int32),
-                           selfgap=jnp.ones((2 * B, Cs), jnp.int32)))
-        if not sp.allow_spliced:
-            # wide rows: both diagonals must be live candidates (the
-            # pair_sweep / combineWith two-FM-anchor geometry, not subject
-            # to the local-search flank floor or best-score suppression)
-            other_d = selfw["w_d1"] + selfw["w_d2"] - cstart
-            eqm = (other_d[:, :, None]
-                   == jnp.where(cvalid, cstart, -1)[:, None, :])
-            pair_eq = jnp.any(eqm, axis=2)
-            # the pair inherits the LATER anchor's search round (the
-            # budget-replay gate uses max(ab_i, ab_j), like the pair block)
-            oidx = jnp.argmax(eqm, axis=2).astype(jnp.int32)
-            wab = jnp.maximum(sab, jnp.where(
-                pair_eq, compact_ops.take_cols(cab, oidx), 0))
-            wpost = spost & jnp.where(
-                pair_eq, compact_ops.take_cols(cpost, oidx), True)
-            wsc = jnp.where(pair_eq, selfw["w_score"], -splice_ops._BIG)
-            wide = {"score": wsc, "d1": selfw["w_d1"],
-                    "d2": selfw["w_d2"], "x": selfw["w_x"],
-                    "kind": jnp.where(pair_eq, selfw["w_kind"], 0),
-                    "spldir": selfw["w_spldir"],
-                    "splscore": selfw["w_splscore"]}
-            blocks.append(dict(wide, ab=wab, post=wpost,
+        if not self.lite:
+            selfw = splice_ops.self_indel_sweep(
+                ch, ar, aq, al, cstart, cvalid, am, params["mm_pen"],
+                self.scoring.n_pen, self.splice_params,
+                snv1_w=snv1_w, snv2_w=snv2_w, max_gap=g_budget)
+            src_i = selfw.pop("src")
+            Cs = cstart.shape[1]
+            sab = compact_ops.take_cols(cab, src_i)
+            spost = compact_ops.take_cols(cpost, src_i)
+            strict = {k2: selfw[k2] for k2 in
+                      ("score", "d1", "d2", "x", "kind", "spldir",
+                       "splscore")}
+            blocks.append(dict(strict, ab=sab, post=spost,
                                known=jnp.zeros((2 * B, Cs), jnp.int32),
                                event=jnp.full((2 * B, Cs), -1, jnp.int32),
-                               selfgap=jnp.zeros((2 * B, Cs), jnp.int32)))
+                               selfgap=jnp.ones((2 * B, Cs), jnp.int32)))
+            if not sp.allow_spliced:
+                # wide rows: both diagonals must be live candidates (the
+                # pair_sweep / combineWith two-FM-anchor geometry, not
+                # subject to the local-search flank floor or best-score
+                # suppression)
+                other_d = selfw["w_d1"] + selfw["w_d2"] - cstart
+                eqm = (other_d[:, :, None]
+                       == jnp.where(cvalid, cstart, -1)[:, None, :])
+                pair_eq = jnp.any(eqm, axis=2)
+                # the pair inherits the LATER anchor's search round (the
+                # budget-replay gate uses max(ab_i, ab_j), like the pair
+                # block)
+                oidx = jnp.argmax(eqm, axis=2).astype(jnp.int32)
+                wab = jnp.maximum(sab, jnp.where(
+                    pair_eq, compact_ops.take_cols(cab, oidx), 0))
+                wpost = spost & jnp.where(
+                    pair_eq, compact_ops.take_cols(cpost, oidx), True)
+                wsc = jnp.where(pair_eq, selfw["w_score"],
+                                -splice_ops._BIG)
+                wide = {"score": wsc, "d1": selfw["w_d1"],
+                        "d2": selfw["w_d2"], "x": selfw["w_x"],
+                        "kind": jnp.where(pair_eq, selfw["w_kind"], 0),
+                        "spldir": selfw["w_spldir"],
+                        "splscore": selfw["w_splscore"]}
+                blocks.append(dict(
+                    wide, ab=wab, post=wpost,
+                    known=jnp.zeros((2 * B, Cs), jnp.int32),
+                    event=jnp.full((2 * B, Cs), -1, jnp.int32),
+                    selfgap=jnp.zeros((2 * B, Cs), jnp.int32)))
         # (splscore is consumed on-device only - not shipped to the host)
         # --- unified slot compaction: merge the ungapped candidates and
         # every junction block into ONE per-slot schema, keep each lane's
@@ -1202,9 +1273,10 @@ class TPUAligner:
                         | (cs << 4))
         for k2 in ("valid", "post", "selfgap", "known", "kind", "spldir"):
             del uni[k2]
-        if not sp.allow_spliced:
+        if not sp.allow_spliced and not self.use_ss:
             # DNA mode: |d2 - d1| <= max(gap budget, ALT indel len < 20),
-            # so the second diagonal ships as a byte delta
+            # so the second diagonal ships as a byte delta (ss injection
+            # produces full-size introns — those keep the wide layout)
             uni["dd"] = uni["d2"] - uni["d1"]
             del uni["d2"]
         if use_spill:
@@ -1239,9 +1311,9 @@ class TPUAligner:
                 | ((jnp.clip(tk(uni["clip_r"]), 0, 255) & 0xFF) << 8) \
                 | ((jnp.clip(tk(uni["n_mm"]), 0, 255) & 0xFF) << 16) \
                 | (jnp.clip(tk(uni["n_n"]), 0, 127) << 24)
-            if sp.allow_spliced:
-                # spliced slots carry a full second diagonal instead of
-                # the byte delta
+            if sp.allow_spliced or self.use_ss:
+                # spliced/ss-injecting slots carry a full second diagonal
+                # instead of the byte delta
                 w3 = jnp.clip(tk(uni["x"]), 0, 255) & 0xFF
                 words = [w0, w1, w2, w3, tk(uni["d2"])]
             else:
@@ -1252,7 +1324,9 @@ class TPUAligner:
             out["sp_w"] = jnp.stack(words, axis=1)
             if "event" in uni:
                 out["sp_ev"] = tk(uni["event"])
-            self._traced_spill_mdev = (Mdev, bool(sp.allow_spliced))
+            self._traced_spill_mdev = (Mdev,
+                                       bool(sp.allow_spliced
+                                            or self.use_ss))
             for k2 in list(uni):
                 if k2 != "alt":
                     uni[k2] = uni[k2][:, :2]
@@ -1570,9 +1644,9 @@ class TPUAligner:
         return [self._device_step(
             dev, {**self.params, **self.shard_params[i]}, rd, qd,
             None, None,
-            jnp.asarray(rdids, jnp.int32) if self.spliced else None,
+            jnp.asarray(rdids, jnp.int32) if self.use_ss else None,
             (self.splice_db.device_tables(b, dev.meta.n)
-             if self.spliced else None), uniform=uniform, h2d=h2d,
+             if self.use_ss else None), uniform=uniform, h2d=h2d,
             full_out=full_out)
             for i, (dev, b) in enumerate(zip(self.devs,
                                              self.shard_bases))]
@@ -1630,6 +1704,7 @@ class TPUAligner:
 
     def _collect_two_pass(self, handle, paired: bool) -> BatchResult:
         _, h1, codes, quals, lens, rdids = handle
+        ver1 = h1[6] if isinstance(h1, tuple) and len(h1) >= 7 else 0
         res1 = self._fast.collect(h1, paired=paired)
         B = res1.n_reads
         if rdids is None:
@@ -1646,17 +1721,44 @@ class TPUAligner:
             np.maximum.at(best, r_rd, sc)
             r_lo = np.asarray(c[4]) + np.asarray(c[5])      # aln_start
             r_hi = r_lo + np.asarray(c[7])                  # + aln_span
+        # pass-1 completeness threshold: only PERFECT (score 0) reads are
+        # final after pass 1.  An imperfect best can not only be beaten
+        # by the skipped machinery (novel gap = open+extend cost) but
+        # also gain ZS/secbest EVIDENCE from worse gap forms (measured:
+        # a clip-2 best at -4 carries a -20 gap-form ZS in the full
+        # pass), so any penalized read re-runs.  Free known-ALT-indel
+        # ties on perfect reads are routed by the indel-boundary check;
+        # zero-penalty known-junction ties by pass-1 injection (spliced).
+        thr = 0
+        # slot saturation (lite tier only): reads whose placement pool
+        # exceeded the lite caps re-run through the full layout
+        sat = None
+        if res1.lanes is not None and "h_sat" in res1.lanes:
+            v = np.asarray(res1.lanes["h_sat"])
+            cap = getattr(self._fast, "lite_cap", 8)
+            sat = (v[:B] > cap) | (v[B:2 * B] > cap)
         merged = res1
         processed = np.zeros(B, bool)
-        for _ in range(3):
-            # reads needing the junction machinery: no alignment, a best
-            # below the end-to-end perfect score (0), or a perfect
-            # placement whose span covers a known/temp splice-site
-            # boundary (a zero-penalty known junction can TIE a perfect
-            # ungapped form and the reference prefers the spliced one)
-            needs = ~(has & (best >= 0))
+        for it in range(3):
+            needs = ~(has & (best >= thr))
+            if sat is not None:
+                needs |= sat
+            if self._indel_bounds is not None and r_rd is not None:
+                bnd = self._indel_bounds
+                near = (np.searchsorted(bnd, r_hi + 1)
+                        - np.searchsorted(bnd, r_lo - 1)) > 0
+                needs[r_rd[near]] = True
             if self.splice_db is not None and r_rd is not None:
-                bnd = self.splice_db.joined_boundaries()
+                # perfect placements whose span covers a splice-site
+                # boundary the pass-1 table did NOT yet contain (a
+                # zero-penalty junction can TIE a perfect ungapped form).
+                # With pass-1 known-site injection the established table
+                # is already represented, so only sites added since the
+                # pass-1 dispatch route; without injection (-a fast
+                # twin), every boundary routes.
+                since = ver1 if getattr(self._fast, "inject_ss", False) \
+                    else 0
+                bnd = self.splice_db.joined_boundaries(since=since)
                 if bnd.size:
                     near = (np.searchsorted(bnd, r_hi + 1)
                             - np.searchsorted(bnd, r_lo - 1)) > 0
@@ -1788,7 +1890,7 @@ class TPUAligner:
                 merged[k] = np.minimum.reduce(vs)
             elif k in ("h_alignable", "h_stop"):
                 merged[k] = np.logical_or.reduce(vs)
-            elif k == "h_rn":
+            elif k in ("h_rn", "h_sat"):
                 merged[k] = np.add.reduce(vs)
             elif k == "h_rounds":
                 merged[k] = vs[0]
@@ -2079,6 +2181,8 @@ class TPUAligner:
                        ("h_rounds", "h_rn", "h_minw", "h_alignable",
                         "h_stop")}
                       if "h_rounds" in o_np else None)
+        if "h_sat" in o_np:
+            lanes_meta = dict(lanes_meta or {}, h_sat=o_np["h_sat"])
         lane = np.repeat(np.arange(2 * B, dtype=np.int64), K)
         tick("unpack")
         # host-side policy filters (all vectorized)
@@ -2400,7 +2504,8 @@ class TPUAligner:
         # interleaved-search replay (align/replay.py).
         best_before = np.full(2 * B, np.int64(-2 ** 40))
         orient_ranks = None
-        if not paired and lanes_meta is not None:
+        if not paired and lanes_meta is not None \
+                and "h_rounds" in lanes_meta:
             # the interleave replay runs for GRAPH indexes too: the
             # linear-FM round structure it replays is the same (variants
             # are handled in extension, not search), and enabling it
@@ -2445,7 +2550,15 @@ class TPUAligner:
                             np.int64(-2 ** 40))
             jkm = junc_kind.reshape(2 * B, Km)[rsel2]
             jk_r = np.concatenate([jkm[:R], jkm[R:]], axis=1)
-            ordm = np.lexsort((-jk_r, s_r, -sc_r), axis=1)
+            # known-site junction forms outrank novel ones at equal
+            # (score, start): the reference's combineWith tries known
+            # sites first and keeps the first perfect form, so an
+            # equal-scoring novel placement must not shadow the known
+            # one (observed: a known len-127 intron vs a chance novel
+            # len-138 form, both score 0)
+            knm = junc_known.reshape(2 * B, Km)[rsel2]
+            kn_r = np.concatenate([knm[:R], knm[R:]], axis=1)
+            ordm = np.lexsort((-jk_r, -kn_r, s_r, -sc_r), axis=1)
             s_s = np.take_along_axis(s_r, ordm, axis=1)
             e_s = np.take_along_axis(e_r, ordm, axis=1)
             v_s = np.take_along_axis(vsub, ordm, axis=1)
@@ -2515,7 +2628,8 @@ class TPUAligner:
         sc = score[idx].astype(np.int64)
         # deterministic selection order: per read, score desc then position,
         # ungapped before junction candidates at equal (score, position)
-        order = np.lexsort((junc_x[idx], junc_kind[idx], o, s, -sc, r))
+        order = np.lexsort((junc_x[idx], -junc_known[idx],
+                            junc_kind[idx], o, s, -sc, r))
         idx, r, o, s, sc = idx[order], r[order], o[order], s[order], sc[order]
         # per-read segments
         bnd = np.flatnonzero(np.diff(r, prepend=-1))

@@ -105,25 +105,35 @@ class SpliceSiteDB:
             self._by_ref = None
         return False
 
-    def joined_boundaries(self) -> np.ndarray:
-        """Sorted joined positions of every site's exon boundaries (the
-        last left-exonic and first right-exonic base) — used by the
-        two-pass pipeline to find perfect reads that could still carry an
-        equal-score known-junction representation."""
-        if getattr(self, "_bnd_key", None) == len(self.sites):
+    def joined_boundaries(self, since: int = 0) -> np.ndarray:
+        """Sorted joined positions of site exon boundaries (the last
+        left-exonic and first right-exonic base) — used by the two-pass
+        pipeline to find perfect reads that could still carry an
+        equal-score known-junction representation.  `since` restricts to
+        sites added at insertion index >= since (sites only accumulate),
+        so a pass whose injection table already contained the first
+        `since` sites re-routes only against genuinely new ones."""
+        if since >= len(self.sites):
+            return np.zeros(0, np.int64)
+        if since == 0 and getattr(self, "_bnd_key", None) == \
+                len(self.sites):
             return self._bnd
         out = []
-        for (rid, left, right) in self.sites:
+        keys = list(self.sites) if since == 0 else \
+            list(self.sites)[since:]
+        for (rid, left, right) in keys:
             jl = self._to_joined(rid, left)
             jr = self._to_joined(rid, right)
             if jl >= 0:
                 out.append(jl)
             if jr >= 0:
                 out.append(jr)
-        self._bnd = np.unique(np.array(out, np.int64)) if out \
+        bnd = np.unique(np.array(out, np.int64)) if out \
             else np.zeros(0, np.int64)
-        self._bnd_key = len(self.sites)
-        return self._bnd
+        if since == 0:
+            self._bnd = bnd
+            self._bnd_key = len(self.sites)
+        return bnd
 
     def _to_ref(self, joined: int):
         f = int(np.searchsorted(self.frag_joined, joined, "right")) - 1

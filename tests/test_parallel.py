@@ -128,11 +128,8 @@ def test_sharded_variants_match_single(tmp_path):
 
     a1 = TPUAligner(single, variants=single._variants)
     a2 = TPUAligner(sharded, variants=sharded._variants)
-    minsc = np.full(len(reads), -40, np.int64)
-    r1 = a1._host_phase(a1._merge_shards(
-        a1.dispatch(reads, quals, lens)[0]), reads, quals, lens, minsc)
-    r2 = a2._host_phase(a2._merge_shards(
-        a2.dispatch(reads, quals, lens)[0]), reads, quals, lens, minsc)
+    r1 = a1.align_batch(reads, quals, lens)
+    r2 = a2.align_batch(reads, quals, lens)
     al1, al2 = r1.alignments, r2.alignments
     assert sum(map(len, al1)) > 0
     for x, y in zip(al1, al2):
