@@ -352,6 +352,12 @@ def run_align(args) -> int:
                 continue        # block-cyclic read sharding (SURVEY 2.6)
             pend.append((aligner.dispatch(b.codes, b.quals, b.lens,
                                           rdids), b))
+            if len(pend) >= 2:
+                # advance the mid-queue two-pass handle: its pass-2
+                # bucket dispatches NOW and overlaps the newer batches'
+                # pass-1 compute (no-op for single-pass aligners)
+                h, bb = pend[-2]
+                pend[-2] = (aligner.advance(h), bb)
             if len(pend) >= 3:
                 emit(pend.popleft())
                 if shard is not None:
@@ -389,8 +395,9 @@ def run_align(args) -> int:
             if shard is not None:
                 shard.end_batch()
 
-        # 2-deep dispatch pipeline (fused 2B-lane batches are heavy;
-        # one batch in flight hides the tunnel latency behind pairing)
+        # 3-deep dispatch pipeline (fused 2B-lane batches are heavy;
+        # batches in flight hide the tunnel latency behind pairing, and
+        # the mid-queue advance() overlaps pass-2 buckets with pass-1)
         for b1, b2 in paired_batches():
             rdids = rdid0 + np.arange(len(b1.names), dtype=np.int64)
             rdid0 += len(b1.names)
@@ -401,6 +408,12 @@ def run_align(args) -> int:
             pend.append((b1, b2, rdids,
                          _dispatch_pair_batch(aligner, b1, b2, rdids)))
             if len(pend) >= 2:
+                # advance the older handle so its pass-2 bucket overlaps
+                # the newest batch's pass-1 device step
+                p1, p2, pr, (ph, plens) = pend[-2]
+                pend[-2] = (p1, p2, pr,
+                            (aligner.advance(ph, paired=True), plens))
+            if len(pend) >= 3:
                 _finish_pair(pend.popleft())
             n_batches += 1
         while pend:

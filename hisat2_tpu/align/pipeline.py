@@ -768,10 +768,19 @@ class TPUAligner:
         lite_wide = None
         if self.lite:
             # tier A resolves at most lite_cap rows per hit and only
-            # align-capable (long) hits; anything wider flags h_sat and
-            # the read re-runs through the full pass
+            # align-capable (long) hits; hits wider than lite_cap but
+            # narrow enough for the FULL pass to represent (<= its
+            # max(k, max_seeds) row gate) flag h_sat and re-run — hits
+            # wider than BOTH passes' gates resolve in neither, so they
+            # need no routing
+            full_max = maxsize
             maxsize = min(maxsize, self.lite_cap)
-            lite_wide = jnp.any(hv & islong_h & (w > maxsize), axis=1)
+            lite_wide = jnp.any(hv & islong_h & (w > maxsize)
+                                & (w <= full_max), axis=1)
+            # lane meta (h_minw for the paired give-up replay) must see
+            # the FULL pass's hit-visibility gates, not lite's
+            hv_meta = hv & jnp.where(islong_h, w <= full_max,
+                                     w <= self.short_rows)
             hv &= islong_h
         hv &= jnp.where(islong_h, w <= maxsize, w <= self.short_rows)
         P = max(P, self.short_rows, self.msize)
@@ -1023,7 +1032,8 @@ class TPUAligner:
                 minsc=am, mm_min=self.scoring.mm_min)
         else:
             ext_x = None
-        wpos = jnp.where(hv & (w > 0), w, jnp.int32(2 ** 30))
+        wpos = jnp.where((hv_meta if self.lite else hv) & (w > 0), w,
+                         jnp.int32(2 ** 30))
         lane_minw = wpos.min(axis=1)                            # [2B]
         lane_alignable = jnp.any(align_slot, axis=1)
         out = {"starts": cstart, "score": ext.score, "n_mm": ext.n_mm,
@@ -1675,6 +1685,8 @@ class TPUAligner:
         device pass when the dispatched one used a stale site table."""
         if isinstance(handle, tuple) and handle and handle[0] == "2pass":
             return self._collect_two_pass(handle, paired)
+        if isinstance(handle, tuple) and handle and handle[0] == "2pass2":
+            return self._finish_two_pass(handle, paired)
         packed, codes, quals, lens, rdids, minsc, ver = handle
         res = self._host_phase(
             self._merge_or_respill(packed, codes, quals, lens, rdids),
@@ -1702,7 +1714,93 @@ class TPUAligner:
         finally:
             self._fast = saved
 
+    def advance(self, handle, paired: bool = False):
+        """Move a dispatched batch one stage forward WITHOUT waiting on
+        newly-enqueued device work: for two-pass handles, collect pass 1,
+        compute the routing set, and dispatch the pass-2 bucket — the
+        returned stage-2 handle's collect() then only waits for a step
+        that is already in the device queue.  Pipelined callers invoke
+        advance() on a mid-queue handle so pass 2 overlaps later batches'
+        pass 1 (without it, collect() serializes a full device round trip
+        per batch).  Non-two-pass handles return unchanged."""
+        if isinstance(handle, tuple) and handle and handle[0] == "2pass":
+            return self._advance_two_pass(handle, paired)
+        return handle
+
     def _collect_two_pass(self, handle, paired: bool) -> BatchResult:
+        return self._finish_two_pass(
+            self._advance_two_pass(handle, paired), paired)
+
+    def _route_two_pass(self, st) -> np.ndarray:
+        """One routing round: read indices whose pass-1 answer is not
+        final (unaligned / under-covered / slot-saturated / boundary
+        overlap with known indels or newly-added splice sites)."""
+        (has, best, bdirty, r_rd, r_lo, r_hi, sat, ver1, processed) = st
+        B = has.shape[0]
+        # pass-1 completeness: a read is final when its best is PERFECT,
+        # or when the best is a fully-covered plain form (no soft clip,
+        # no junction) that no novel gap can beat or tie (the cheapest
+        # gap costs open+extend).  The reference only recurses into the
+        # gap/junction machinery over UNCOVERED spans (hybridSearch,
+        # spliced_aligner.h:113-214): a clipped best leaves a span and
+        # gains gap-form ZS evidence there (measured: clip-2 best at -4
+        # carries a -20 gap-form ZS), so clipped/junctioned bests re-run;
+        # covered mismatched bests do not.  Free known-ALT-indel ties
+        # are routed by the indel-boundary check; zero-penalty known-
+        # junction ties by pass-1 injection (spliced).
+        sp = self.splice_params
+        gapmin = min(sp.rd_gap_open + sp.rd_gap_ext,
+                     sp.rf_gap_open + sp.rf_gap_ext)
+        final = has & ((best >= 0)
+                       | ((best > -gapmin) & ~bdirty))
+        needs = ~final
+        if sat is not None:
+            needs |= sat
+        if self._indel_bounds is not None and r_rd is not None:
+            bnd = self._indel_bounds
+            near = (np.searchsorted(bnd, r_hi + 1)
+                    - np.searchsorted(bnd, r_lo - 1)) > 0
+            needs[r_rd[near]] = True
+        if self.splice_db is not None and r_rd is not None:
+            # perfect placements whose span covers a splice-site
+            # boundary the pass-1 table did NOT yet contain (a
+            # zero-penalty junction can TIE a perfect ungapped form).
+            # With pass-1 known-site injection the established table
+            # is already represented, so only sites added since the
+            # pass-1 dispatch route; without injection (-a fast
+            # twin), every boundary routes.
+            since = ver1 if getattr(self._fast, "inject_ss", False) \
+                else 0
+            bnd = self.splice_db.joined_boundaries(since=since)
+            if bnd.size:
+                near = (np.searchsorted(bnd, r_hi + 1)
+                        - np.searchsorted(bnd, r_lo - 1)) > 0
+                needs[r_rd[near]] = True
+        needs &= ~processed
+        return np.flatnonzero(needs)
+
+    def _dispatch_sub(self, codes, quals, lens, rdids, sub):
+        """Dispatch the routed subset through the full layout, padded to
+        a power-of-two bucket (bounds the compiled-variant count while
+        avoiding a full-B pass for a small subset)."""
+        B = codes.shape[0]
+        L = codes.shape[1]
+        Bs = max(256, B // 8)
+        while Bs < sub.size:
+            Bs *= 2
+        Bs = min(Bs, B)
+        n = sub.size
+        sc_ = np.zeros((Bs, L), np.asarray(codes).dtype)
+        sq_ = np.zeros((Bs, L), np.asarray(quals).dtype)
+        sl_ = np.zeros(Bs, np.asarray(lens).dtype)
+        sr_ = np.zeros(Bs, np.int64)
+        sc_[:n] = np.asarray(codes)[sub]
+        sq_[:n] = np.asarray(quals)[sub]
+        sl_[:n] = np.asarray(lens)[sub]
+        sr_[:n] = np.asarray(rdids)[sub]
+        return self._dispatch_full(sc_, sq_, sl_, sr_)
+
+    def _advance_two_pass(self, handle, paired: bool):
         _, h1, codes, quals, lens, rdids = handle
         ver1 = h1[6] if isinstance(h1, tuple) and len(h1) >= 7 else 0
         res1 = self._fast.collect(h1, paired=paired)
@@ -1712,6 +1810,7 @@ class TPUAligner:
         # pass-1 summary per read: any alignment / best score / spans
         has = np.zeros(B, bool)
         best = np.full(B, -2 ** 40, np.int64)
+        bdirty = np.zeros(B, bool)      # a best row is clipped/junctioned
         r_rd = r_lo = r_hi = None
         if res1.raw is not None and len(res1.raw["cols"][0]):
             c = res1.raw["cols"]
@@ -1719,17 +1818,12 @@ class TPUAligner:
             sc = np.asarray(c[8])
             has[r_rd] = True
             np.maximum.at(best, r_rd, sc)
+            dirty = (np.asarray(c[5]) > 0) | (np.asarray(c[6]) > 0) \
+                | (np.asarray(c[16]) != 0)
+            isb = sc == best[r_rd]
+            np.logical_or.at(bdirty, r_rd[isb & dirty], True)
             r_lo = np.asarray(c[4]) + np.asarray(c[5])      # aln_start
             r_hi = r_lo + np.asarray(c[7])                  # + aln_span
-        # pass-1 completeness threshold: only PERFECT (score 0) reads are
-        # final after pass 1.  An imperfect best can not only be beaten
-        # by the skipped machinery (novel gap = open+extend cost) but
-        # also gain ZS/secbest EVIDENCE from worse gap forms (measured:
-        # a clip-2 best at -4 carries a -20 gap-form ZS in the full
-        # pass), so any penalized read re-runs.  Free known-ALT-indel
-        # ties on perfect reads are routed by the indel-boundary check;
-        # zero-penalty known-junction ties by pass-1 injection (spliced).
-        thr = 0
         # slot saturation (lite tier only): reads whose placement pool
         # exceeded the lite caps re-run through the full layout
         sat = None
@@ -1737,61 +1831,36 @@ class TPUAligner:
             v = np.asarray(res1.lanes["h_sat"])
             cap = getattr(self._fast, "lite_cap", 8)
             sat = (v[:B] > cap) | (v[B:2 * B] > cap)
-        merged = res1
         processed = np.zeros(B, bool)
-        for it in range(3):
-            needs = ~(has & (best >= thr))
-            if sat is not None:
-                needs |= sat
-            if self._indel_bounds is not None and r_rd is not None:
-                bnd = self._indel_bounds
-                near = (np.searchsorted(bnd, r_hi + 1)
-                        - np.searchsorted(bnd, r_lo - 1)) > 0
-                needs[r_rd[near]] = True
-            if self.splice_db is not None and r_rd is not None:
-                # perfect placements whose span covers a splice-site
-                # boundary the pass-1 table did NOT yet contain (a
-                # zero-penalty junction can TIE a perfect ungapped form).
-                # With pass-1 known-site injection the established table
-                # is already represented, so only sites added since the
-                # pass-1 dispatch route; without injection (-a fast
-                # twin), every boundary routes.
-                since = ver1 if getattr(self._fast, "inject_ss", False) \
-                    else 0
-                bnd = self.splice_db.joined_boundaries(since=since)
-                if bnd.size:
-                    near = (np.searchsorted(bnd, r_hi + 1)
-                            - np.searchsorted(bnd, r_lo - 1)) > 0
-                    needs[r_rd[near]] = True
-            needs &= ~processed
-            sub = np.flatnonzero(needs)
-            if sub.size == 0:
-                break
+        st = (has, best, bdirty, r_rd, r_lo, r_hi, sat, ver1, processed)
+        sub = self._route_two_pass(st)
+        h2 = None
+        ver0 = self.splice_db.n_sites if self.splice_db else 0
+        if sub.size:
             processed[sub] = True
-            # bucketed subset size (power-of-two steps bound the
-            # compiled-variant count while avoiding a full-B pass for a
-            # ~40% imperfect subset)
-            L = codes.shape[1]
-            Bs = max(256, B // 8)
-            while Bs < sub.size:
-                Bs *= 2
-            Bs = min(Bs, B)
-            n = sub.size
-            sc_ = np.zeros((Bs, L), np.asarray(codes).dtype)
-            sq_ = np.zeros((Bs, L), np.asarray(quals).dtype)
-            sl_ = np.zeros(Bs, np.asarray(lens).dtype)
-            sr_ = np.zeros(Bs, np.int64)
-            sc_[:n] = np.asarray(codes)[sub]
-            sq_[:n] = np.asarray(quals)[sub]
-            sl_[:n] = np.asarray(lens)[sub]
-            sr_[:n] = np.asarray(rdids)[sub]
-            ver0 = self.splice_db.n_sites if self.splice_db else 0
-            h2 = self._dispatch_full(sc_, sq_, sl_, sr_)
+            h2 = self._dispatch_sub(codes, quals, lens, rdids, sub)
+        return ("2pass2", st, res1, h2, sub, ver0,
+                codes, quals, lens, rdids)
+
+    def _finish_two_pass(self, stage2, paired: bool) -> BatchResult:
+        (_, st, merged, h2, sub, ver0,
+         codes, quals, lens, rdids) = stage2
+        B = merged.n_reads
+        processed = st[-1]
+        for it in range(3):
+            if h2 is None:
+                break
             res2 = self.collect(h2, paired=paired)
             merged = self._merge_two_pass(merged, res2, sub, B)
             if self.splice_db is None or \
                     self.splice_db.n_sites == ver0:
                 break   # no new sites -> the needs-set cannot grow
+            ver0 = self.splice_db.n_sites
+            sub = self._route_two_pass(st)
+            h2 = None
+            if sub.size:
+                processed[sub] = True
+                h2 = self._dispatch_sub(codes, quals, lens, rdids, sub)
         return merged
 
     def _merge_two_pass(self, res1, res2, sub, B):
