@@ -22,6 +22,70 @@ from .typing import (call_diploid, compatibility_classes,
                      em_abundance, pair_loglikelihood)
 
 
+def _fm_range(fm, sub):
+    """Backward FM search of an exact substring -> SA range [top, bot)."""
+    top, bot = 0, int(fm.meta.rows)
+    for c in sub[::-1]:
+        c = int(c)
+        if c > 3:
+            return 0, 0
+        top, bot = fm.lf_range(top, bot, c)
+        if bot <= top:
+            return 0, 0
+    return top, bot
+
+
+def _equal_best_alleles(fm, index, names, ref_codes, a, L):
+    """The full equal-best allele set of one best placement, via SA-range
+    resolution: every occurrence of the placement's matched reference
+    substring is an equally-scoring placement (identical chars =>
+    identical penalties), so the compatibility class is the set of
+    alleles containing it — collected WITHOUT per-placement device
+    slots (the reference's cmpt class over thousands of IMGT alleles,
+    hisatgenotype_locus.py).  Gapped placements anchor on their longest
+    segment and verify the remaining segments char-for-char at the
+    shifted diagonals."""
+    import numpy as np
+
+    segs, _ = a.segments(L)
+    lo, hi, diag = max(segs, key=lambda s: s[1] - s[0])
+    if hi <= lo:
+        return {names[a.ref_id]}
+    sub = np.asarray(ref_codes[diag + lo:diag + hi])
+    top, bot = _fm_range(fm, sub)
+    if bot <= top:
+        return {names[a.ref_id]}
+    if index.meta.off_rate == 0:
+        offs = np.asarray(fm.sa_marked[top:bot], np.int64)
+    else:
+        offs = np.array([fm.resolve_row(r) for r in range(top, bot)],
+                        np.int64)
+    # candidate shift of the whole placement per occurrence
+    deltas = (offs - lo) - diag
+    out = set()
+    fj = np.asarray(index.frag_joined, np.int64)
+    for d in np.unique(deltas):
+        ok = True
+        f0 = None
+        for (slo, shi, sdiag) in segs:
+            p = sdiag + d
+            if p + slo < 0 or p + shi > len(ref_codes):
+                ok = False
+                break
+            if not np.array_equal(ref_codes[p + slo:p + shi],
+                                  ref_codes[sdiag + slo:sdiag + shi]):
+                ok = False
+                break
+            fi = int(np.searchsorted(fj, p + slo, "right")) - 1
+            if p + shi > fj[fi + 1] or (f0 is not None and fi != f0):
+                ok = False       # crosses fragment / split across alleles
+                break
+            f0 = fi
+        if ok and f0 is not None:
+            out.add(names[int(index.frag_ref[f0])])
+    return out or {names[a.ref_id]}
+
+
 def run_genotype(args) -> int:
     from ..align.pipeline import TPUAligner
     from ..index.builder import build_fm_index
@@ -42,12 +106,21 @@ def run_genotype(args) -> int:
     index = build_fm_index(alleles)
     names = index.meta.ref_names
     lengths = {nm: ln for nm, ln in zip(names, index.meta.ref_lens)}
-    # -k must cover the allele count so every equally-best placement of a
-    # read reports (the compatibility class is the full equal-best set)
-    aligner = TPUAligner(index, k=max(len(alleles), 16), spliced=False)
+    # fixed small -k: the equal-best ALLELE SET (compatibility class) is
+    # collected by SA-range resolution of the best placement's matched
+    # reference substring, not by reporting one placement slot per
+    # allele — thousands-allele IMGT loci no longer scale the device
+    # slot pipeline (round-2 VERDICT item 6)
+    # max_seeds high so arbitrarily-wide hits (a read matching most of
+    # the locus's alleles) still resolve a representative placement —
+    # device slots stay capped at 64 regardless
+    aligner = TPUAligner(index, k=16, max_seeds=10 ** 6, spliced=False)
+    from ..align.hostfm import HostFM
+    fm = HostFM(index)
 
     read_alleles = {}
     n_reads = 0
+    cls_cache = {}      # matched-substring key -> allele set
     for b in read_batches(args.reads, 4096):
         res = aligner.align_batch(b.codes, b.quals, b.lens)
         for i, name in enumerate(b.names):
@@ -56,8 +129,25 @@ def run_genotype(args) -> int:
             if not alns:
                 continue
             best = max(a.score for a in alns)
-            read_alleles[name] = {names[a.ref_id] for a in alns
-                                  if a.score == best}
+            cls = set()
+            for a in alns:
+                if a.score != best:
+                    continue
+                L = int(b.lens[i])
+                segs, _ = a.segments(L)
+                key = (bytes(np.asarray(
+                    aligner.ref_codes[a.aln_start:a.aln_start
+                                      + a.aln_span], np.int8)),
+                       tuple((s[0], s[1], s[2] - a.joined_pos)
+                             for s in segs))
+                got = cls_cache.get(key)
+                if got is None:
+                    got = _equal_best_alleles(fm, index, names,
+                                              aligner.ref_codes, a, L)
+                    cls_cache[key] = got
+                cls |= got
+            if cls:
+                read_alleles[name] = cls
     cmpt = compatibility_classes(read_alleles)
 
     # group by gene (prefix before '*'; single group when absent)
