@@ -283,6 +283,7 @@ def run_align(args) -> int:
             nonlocal n_bases
             res = aligner.collect(pend[0])
             b = pend[1]
+            b_rdids = pend[2]
             n_bases += int(b.lens.sum())
             seeds = rng_mod.gen_rand_seeds(b.codes, b.lens, b.quals,
                                            b.names,
@@ -311,7 +312,8 @@ def run_align(args) -> int:
             overrides = hybrid_mod.substitute_batch(
                 aligner, res, b.codes, b.quals, b.lens, seeds,
                 secondary=getattr(args, "secondary", False),
-                exact=getattr(args, "exact_replay", False))
+                exact=getattr(args, "exact_replay", False),
+                rdids=b_rdids)
 
             def finalize(i, raw=res.raw):
                 if i in overrides:
@@ -351,13 +353,13 @@ def run_align(args) -> int:
             if not owned:
                 continue        # block-cyclic read sharding (SURVEY 2.6)
             pend.append((aligner.dispatch(b.codes, b.quals, b.lens,
-                                          rdids), b))
+                                          rdids), b, rdids))
             if len(pend) >= 2:
                 # advance the mid-queue two-pass handle: its pass-2
                 # bucket dispatches NOW and overlaps the newer batches'
                 # pass-1 compute (no-op for single-pass aligners)
-                h, bb = pend[-2]
-                pend[-2] = (aligner.advance(h), bb)
+                h, bb, rr = pend[-2]
+                pend[-2] = (aligner.advance(h), bb, rr)
             if len(pend) >= 3:
                 emit(pend.popleft())
                 if shard is not None:

@@ -22,8 +22,15 @@ the HGFM local-index geometry emulated by windowed occurrence scans
 
 It runs OFF the hot path: the driver applies it only to reads whose
 device result is search-path-sensitive (gaps, clips, multimaps, or no
-alignment).  DNA mode (--no-spliced-alignment semantics) only; splice
-branches are structurally present but gated off.
+alignment).  Covers DNA mode (--no-spliced-alignment semantics) and
+spliced (RNA) mode: novel-junction discovery in combineWith's diagonal
+scan (hi_aligner.h:1432-1692: canonical/semi-canonical motif preference,
+PWM probscore tie-break, anchor/intron-length-probability gates) and the
+splice-site-DB-guided branches of hybridSearch_recur
+(spliced_aligner.h:301-560, 1209-1330: known/temp-site anchored combines
+with readid gating).  Splice ALTs baked into a graph index
+(--ss at build time) are NOT modeled here — the device path covers them,
+and such runs stay on the device result (see substitute_batch).
 """
 
 from __future__ import annotations
@@ -34,32 +41,91 @@ from . import hostfm
 from .scoring import Scoring
 
 NEG = -(1 << 62)
+MIN_I32 = -(1 << 31)
 
 # Edit types (edit.h)
 MM = 0
 RDGAP = 1      # deletion: read gap (ref char, no read char)
 RFGAP = 2      # insertion: ref gap (read char, no ref char)
+SPL = 3        # splice: intron skip of splen ref chars (edit.h EDIT_TYPE_SPL)
+
+# splice directions (splice_site.h:36-43)
+SPL_UNKNOWN, SPL_FW, SPL_RC, SPL_SEMI_FW, SPL_SEMI_RC = 0, 1, 2, 3, 4
+
+# donor/acceptor PWM geometry (splice_site.h:49-63)
+DONOR_EXONIC, DONOR_INTRONIC = 3, 6
+ACC_INTRONIC, ACC_EXONIC = 14, 1
+INTRONIC_LEN = max(DONOR_INTRONIC, ACC_INTRONIC)   # splice_site.h:76
+
+
+def _max_intron_len(anchor: int, min_anchor: int) -> int:
+    """MaxIntronLen (hi_aligner.h:48-57), scalar host form."""
+    if anchor < min_anchor:
+        return 0
+    a = max(anchor, 2)
+    return 1 << min(max(2 * a - 4, 13), 30)
+
+
+def _max_intron_len_noncan(anchor: int, min_anchor: int) -> int:
+    """MaxIntronLen_noncan (hi_aligner.h:70-79)."""
+    if anchor < min_anchor:
+        return 0
+    a = max(anchor, 5)
+    return 1 << min(2 * a - 10, 30)
+
+
+def _intron_len_prob(anchor: int, intron_len: int,
+                     max_intron: int) -> float:
+    """intronLen_prob (hi_aligner.h:59-67)."""
+    exp_len = max_intron
+    if anchor < 14:
+        exp_len = 1 << ((anchor << 1) + 4)
+    exp_len = min(exp_len, max_intron)
+    return min(float(intron_len) / float(exp_len), 1.0)
+
+
+def _intron_len_prob_noncan(anchor: int, intron_len: int,
+                            max_intron: int) -> float:
+    """intronLen_prob_noncan (hi_aligner.h:81-89)."""
+    exp_len = max_intron
+    if anchor < 16:
+        exp_len = 1 << (anchor << 1)
+    exp_len = min(exp_len, max_intron)
+    return min(float(intron_len) / float(exp_len), 1.0)
 
 CANDIDATE_HIT, PSEUDOGENE_HIT, ANCHOR_HIT = 1, 2, 3
 
 
 class Edit:
-    __slots__ = ("pos", "typ", "rf", "rd", "snp")
+    __slots__ = ("pos", "typ", "rf", "rd", "snp", "splen", "sdir",
+                 "known", "dseq", "aseq")
 
-    def __init__(self, pos, typ, rf, rd, snp=-1):
+    def __init__(self, pos, typ, rf, rd, snp=-1, splen=0, sdir=0,
+                 known=False, dseq=0, aseq=0):
         self.pos = int(pos)       # relative to hit.rdoff
         self.typ = typ
         self.rf = int(rf)         # ref char code (0-4)
         self.rd = int(rd)         # read char code (0-4)
         self.snp = int(snp)       # ALT id when forgiven (-1 = none)
+        self.splen = int(splen)   # SPL: intron length (skipped ref chars)
+        self.sdir = int(sdir)     # SPL: splice direction (SPL_*)
+        self.known = bool(known)  # SPL: from the splice-site DB
+        self.dseq = int(dseq)     # SPL canonical: packed 9-mer donor seq
+        self.aseq = int(aseq)     # SPL canonical: packed 15-mer acceptor
 
     def key(self):
-        return (self.pos, self.typ, self.rf, self.rd)
+        return (self.pos, self.typ, self.rf, self.rd, self.splen,
+                self.sdir)
 
     def clone(self):
-        return Edit(self.pos, self.typ, self.rf, self.rd, self.snp)
+        return Edit(self.pos, self.typ, self.rf, self.rd, self.snp,
+                    self.splen, self.sdir, self.known, self.dseq,
+                    self.aseq)
 
     def __repr__(self):
+        if self.typ == SPL:
+            return f"{self.pos}N{self.splen}d{self.sdir}" + (
+                "k" if self.known else "")
         t = "M-+"[self.typ]
         return f"{self.pos}{t}{'ACGTN'[self.rf]}>{'ACGTN'[self.rd]}" + (
             f"@{self.snp}" if self.snp >= 0 else "")
@@ -112,6 +178,19 @@ class SC:
             num += 1
         return num - 1
 
+    # splice penalties (scoring.h:473-489)
+    def can_spl(self, intronlen: int = 0) -> int:
+        pen = int(self.s.pen_can_intron_len(float(intronlen))) \
+            if intronlen > 0 else 0
+        return max(pen, 0) + self.s.pen_can_splice
+
+    def noncan_spl(self, intronlen: int = 0) -> int:
+        pen = int(self.s.pen_noncan_intron_len(float(intronlen))) \
+            if intronlen > 0 else 0
+        return max(pen, 0) + self.s.pen_noncan_splice
+
+    conflict_spl = 24            # csp default (scoring.h:159)
+
 
 class Hit:
     """GenomeHit (hi_aligner.h:560+): a partial alignment."""
@@ -149,13 +228,16 @@ class Hit:
                 toff += 1
             elif e.typ == RFGAP:
                 toff -= 1
+            elif e.typ == SPL:
+                toff += e.splen
         return toff
 
     def get_left(self, want_score=False, seq=None, qual=None, sc=None):
         """Left gapless/unforgiven chunk (hi_aligner.h:888)."""
         ln, score = self.ln, 0
         for e in self.edits:
-            if e.typ in (RDGAP, RFGAP) or (e.typ == MM and e.snp >= 0):
+            if e.typ in (RDGAP, RFGAP, SPL) or (e.typ == MM
+                                                and e.snp >= 0):
                 ln = e.pos
                 break
             if want_score and e.typ == MM:
@@ -167,7 +249,8 @@ class Hit:
         """Right gapless/unforgiven chunk (hi_aligner.h:930)."""
         rdoff, ln, toff, score = self.rdoff, self.ln, self.toff, 0
         for e in reversed(self.edits):
-            if e.typ in (RDGAP, RFGAP) or (e.typ == MM and e.snp >= 0):
+            if e.typ in (RDGAP, RFGAP, SPL) or (e.typ == MM
+                                                and e.snp >= 0):
                 rdoff = self.rdoff + e.pos
                 ln = self.ln - e.pos
                 if e.typ in (RFGAP, MM):
@@ -180,8 +263,30 @@ class Hit:
         out = (rdoff, ln, toff)
         return out + ((score,) if want_score else ())
 
-    def compatible_with(self, other: "Hit") -> bool:
-        """compatibleWith, no_spliced variant (hi_aligner.h:1241)."""
+    def left_anchor(self):
+        """getLeftAnchor (hi_aligner.h:1010): (anchor len, # edits)."""
+        anchor, nedits = self.ln, 0
+        for e in self.edits:
+            if e.typ == SPL:
+                anchor = e.pos
+                break
+            nedits += 1
+        return anchor, nedits
+
+    def right_anchor(self):
+        """getRightAnchor (hi_aligner.h:1033)."""
+        anchor, nedits = self.ln, 0
+        for e in reversed(self.edits):
+            if e.typ == SPL:
+                anchor = self.ln - e.pos - 1
+                break
+            nedits += 1
+        return anchor, nedits
+
+    def compatible_with(self, other: "Hit", spliced: bool = False,
+                        max_intron: int = 0) -> bool:
+        """compatibleWith (hi_aligner.h:1241); spliced relaxes the ref
+        gap up to maxIntronLen."""
         if self is other:
             return False
         if self.fw != other.fw or self.tidx != other.tidx:
@@ -200,6 +305,11 @@ class Hit:
             return False
         if t_toff > o_toff:
             return False
+        if spliced:
+            refdif = o_toff - t_toff
+            rddif = o_rdoff - t_rdoff
+            if refdif > rddif + max_intron:
+                return False
         return True
 
     def identity(self):
@@ -212,13 +322,22 @@ class HybridAligner:
     """Reference-faithful per-read aligner over a host FM index."""
 
     def __init__(self, index, variants=None, scoring: Scoring | None = None,
-                 k: int = 5, anchor_stop: bool = True):
+                 k: int = 5, anchor_stop: bool = True,
+                 spliced: bool = False, splice_db=None,
+                 secondary: bool = False):
         self.fm = hostfm.HostFM(index)
         self.s = scoring or Scoring()
         self.sc = SC(self.s)
         self.khits = int(k)
         self.kseeds = max(5, 2 * self.khits)
         self.anchor_stop = anchor_stop
+        self.spliced = bool(spliced)
+        self.ssdb = splice_db
+        self.secondary = bool(secondary)
+        self._sites_ver = -1
+        self._site_by_right = {}      # ref -> sorted [(right, left, ...)]
+        self._site_by_left = {}       # ref -> sorted [(left, right, ...)]
+        self._prob_tables = None
         g = self.fm.meta.n
         mk = 0
         while g > 0:
@@ -227,6 +346,8 @@ class HybridAligner:
         self.minK = mk                    # hi_aligner.h:3807
         self.minK_local = 8
         self.min_anchor = self.s.min_anchor           # tp.h:43 (7)
+        self.min_anchor_noncan = self.s.min_anchor_noncan
+        self.min_intron = self.s.min_intron_len
         self.max_intron = self.s.max_intron_len       # candidate merge
         # SNV ALT planes (joined pos -> alt code) for forgiveness; known
         # indel/splice ALTs are not modeled here (device path covers them)
@@ -257,18 +378,158 @@ class HybridAligner:
             i += 1
         return -1
 
+    # ---- splice-site DB lookups (splice_site.cpp:370-399) ------------
+
+    def _refresh_sites(self):
+        db = self.ssdb
+        ver = len(db.sites) if db is not None else 0
+        if ver == self._sites_ver:
+            return
+        self._sites_ver = ver
+        by_r, by_l = {}, {}
+        if db is not None:
+            for (ref, left, right), (sdir, srd, ff, nr) in \
+                    db.sites.items():
+                by_r.setdefault(ref, []).append(
+                    (right, left, sdir, srd, ff))
+                by_l.setdefault(ref, []).append(
+                    (left, right, sdir, srd, ff))
+            for ref in by_r:
+                by_r[ref].sort()
+                by_l[ref].sort()
+        self._site_by_right = by_r
+        self._site_by_left = by_l
+
+    def left_sites(self, ref_id: int, left: int, range_: int, rdid: int):
+        """getLeftSpliceSites: sites with ss.right in [left+1-range, left]
+        in ascending (right, left) order; temp sites readid-gated
+        (spliced_aligner.h:303-305, -p 1 mindist = 0)."""
+        self._refresh_sites()
+        import bisect
+        lst = self._site_by_right.get(int(ref_id))
+        if not lst:
+            return []
+        lo = bisect.bisect_left(lst, (left + 1 - range_, -1))
+        out = []
+        for i in range(lo, len(lst)):
+            right, sleft, sdir, srd, ff = lst[i]
+            if right > left:
+                break
+            # strict: a temp site enters the DB at its discoverer's
+            # finishRead, so it is invisible to the discoverer itself
+            if not ff and srd >= rdid:
+                continue
+            out.append((sleft, right, sdir, ff))
+        return out
+
+    def right_sites(self, ref_id: int, right: int, range_: int,
+                    rdid: int):
+        """getRightSpliceSites: sites with ss.left in
+        [right, right+range-1] in ascending (left, right) order."""
+        self._refresh_sites()
+        import bisect
+        lst = self._site_by_left.get(int(ref_id))
+        if not lst:
+            return []
+        lo = bisect.bisect_left(lst, (right, -1))
+        out = []
+        for i in range(lo, len(lst)):
+            sleft, sright, sdir, srd, ff = lst[i]
+            if sleft > right + range_ - 1:
+                break
+            if not ff and srd >= rdid:
+                continue
+            out.append((sleft, sright, sdir, ff))
+        return out
+
+    def probscore(self, donor_seq: int, acc_seq: int) -> float:
+        """SpliceSiteDB::probscore (splice_site.cpp:788-850)."""
+        from ..ops.splice import junction_prob_tables, probscore_host
+        if self._prob_tables is None:
+            self._prob_tables = junction_prob_tables()
+        return float(probscore_host(donor_seq, acc_seq,
+                                    self._prob_tables))
+
     # ---- scoring -----------------------------------------------------
 
     def calculate_score(self, hit: Hit, seq, qual):
-        """calculateScore, DNA subset (hi_aligner.h:3535)."""
+        """calculateScore (hi_aligner.h:3535), incl. the spliced terms:
+        novel-junction intron-length/probscore/anchor-purity gates (as
+        MIN_I32 accumulations, exactly like the reference) and the
+        can/noncan splice penalties; known-site junctions are free."""
         sc, s = self.sc, self.s
+        L = len(seq)
         score = 0
+        mm = 0
+        conflict = False
+        whichsense = SPL_UNKNOWN
         prev = None
         for i, e in enumerate(hit.edits):
             if e.typ == MM:
                 if e.snp < 0:
                     score -= sc.pen(e.rd, e.rf,
                                     qual[hit.rdoff + e.pos] - 33)
+                    mm += 1
+            elif e.typ == SPL:
+                if not e.known:
+                    left_anchor = hit.rdoff + e.pos
+                    right_anchor = L - left_anchor
+                    mm2 = 0
+                    for e2 in hit.edits[i + 1:]:
+                        if e2.typ in (MM, RDGAP, RFGAP):
+                            mm2 += 1
+                    left_anchor -= mm * 2
+                    right_anchor -= mm2 * 2
+                    shorter = min(left_anchor, right_anchor)
+                    if shorter <= 0:
+                        shorter = 1
+                    can = e.sdir in (SPL_FW, SPL_RC)
+                    thresh = (_max_intron_len(shorter, self.min_anchor)
+                              if can else _max_intron_len_noncan(
+                                  shorter, self.min_anchor_noncan))
+                    if thresh < self.max_intron:
+                        if e.splen > thresh:
+                            score += MIN_I32
+                        if can:
+                            p = self.probscore(e.dseq, e.aseq)
+                            pt = 0.8
+                            if e.splen >> 16:
+                                pt = 0.99
+                            elif e.splen >> 15:
+                                pt = 0.97
+                            elif e.splen >> 14:
+                                pt = 0.94
+                            elif e.splen >> 13:
+                                pt = 0.91
+                            elif e.splen >> 12:
+                                pt = 0.88
+                            if p < pt:
+                                score += MIN_I32
+                        if shorter == left_anchor:
+                            if hit.trim5 > 0:
+                                score += MIN_I32
+                            for e2 in hit.edits[:i]:
+                                if e2.typ in (MM, RDGAP, RFGAP):
+                                    score += MIN_I32
+                        else:
+                            if hit.trim3 > 0:
+                                score += MIN_I32
+                            for e2 in hit.edits[i + 1:]:
+                                if e2.typ in (MM, RDGAP, RFGAP):
+                                    score += MIN_I32
+                    if e.snp < 0:
+                        score -= (sc.can_spl(e.splen) if can
+                                  else sc.noncan_spl(e.splen))
+                if not conflict:
+                    if whichsense == SPL_UNKNOWN:
+                        whichsense = e.sdir
+                    elif e.sdir != SPL_UNKNOWN:
+                        if e.sdir in (SPL_FW, SPL_SEMI_FW) and \
+                                whichsense not in (SPL_FW, SPL_SEMI_FW):
+                            conflict = True
+                        if e.sdir in (SPL_RC, SPL_SEMI_RC) and \
+                                whichsense not in (SPL_RC, SPL_SEMI_RC):
+                            conflict = True
             elif e.typ == RDGAP:
                 open_ = not (prev is not None and prev.typ == RDGAP
                              and prev.pos == e.pos)
@@ -282,9 +543,12 @@ class HybridAligner:
             prev = e
         for i in range(hit.trim5):
             score -= sc.clip(qual[i])
-        L = len(seq)
         for i in range(hit.trim3):
-            score -= sc.clip(qual[L - 1 - i])
+            # the reference indexes trim3 clips from the FRONT quals too
+            # (hi_aligner.h:3700-3706) — a quirk, replicated for parity
+            score -= sc.clip(qual[i])
+        if conflict:
+            score -= sc.conflict_spl
         hit.score = score
         return score
 
@@ -337,6 +601,8 @@ class HybridAligner:
                 ref_ext -= 1
             elif e.typ == RDGAP:
                 ref_ext += 1
+            elif e.typ == SPL:
+                ref_ext += e.splen
         pos = hit.rdoff + hit.ln
         toff = hit.toff + ref_ext
         joined = hit.joined + ref_ext
@@ -375,10 +641,14 @@ class HybridAligner:
 
     # ---- combineWith (DNA: mismatches + one indel) --------------------
 
-    def combine(self, left: "Hit", right: "Hit", seq, qual, minsc):
-        """combineWith no-splice path (hi_aligner.h:1286): mutate `left`
-        into the combination; returns False if impossible."""
-        if not left.compatible_with(right):
+    def combine(self, left: "Hit", right: "Hit", seq, qual, minsc,
+                splice_site=None):
+        """combineWith (hi_aligner.h:1286): mutate `left` into the
+        combination (mismatches + one indel, or — in spliced mode — one
+        intron with motif/PWM splice-point choice); returns False if
+        impossible.  splice_site = (ss_left, ss_right) pins the splice
+        point to a known/temp DB site (spliceSite != NULL semantics)."""
+        if not left.compatible_with(right, self.spliced, self.max_intron):
             return False
         sc, s, fm = self.sc, self.s, self.fm
         t_rdoff, t_len, t_toff, t_score = left.get_right(
@@ -395,15 +665,19 @@ class HybridAligner:
             return False
         refdif = o_toff - t_toff
         rddif = o_rdoff - t_rdoff
-        ins = del_ = False
+        spliced = ins = del_ = False
         if refdif != rddif:
             if refdif > rddif:
-                del_ = True
+                if self.spliced and refdif - rddif >= self.min_intron:
+                    spliced = True
+                else:
+                    del_ = True
             else:
                 ins = True
 
         # gapless same-diagonal merge
-        if not ins and not del_ and t_rdoff + t_len == o_rdoff:
+        if not spliced and not ins and not del_ \
+                and t_rdoff + t_len == o_rdoff:
             addoff = right.rdoff - left.rdoff
             for e in right.edits:
                 ne = e.clone()
@@ -418,102 +692,290 @@ class HybridAligner:
         if remainsc > 0:
             remainsc = 0
         rdlen = len(seq)
-        read_gaps = sc.max_read_gaps(remainsc, rdlen)
-        ref_gaps = sc.max_ref_gaps(remainsc, rdlen)
+        read_gaps = ref_gaps = 0
+        if not spliced:
+            read_gaps = sc.max_read_gaps(remainsc + sc.can_spl(), rdlen)
+            ref_gaps = sc.max_ref_gaps(remainsc + sc.can_spl(), rdlen)
         if ins and refdif + ref_gaps < rddif:
             return False
         if del_ and rddif + read_gaps < refdif:
             return False
-        refbuf = fm.stretch(left.tidx, t_toff, length)
-        refbuf2 = fm.stretch(left.tidx, o_toff + o_len - length, length)
+        # left-diagonal buffer with intronic margin (hi_aligner.h:1419)
+        text = read_gaps + (INTRONIC_LEN if spliced else 0)
+        if t_toff + length + text > reflen:
+            text = reflen - (t_toff + length)
+        refbuf = fm.stretch(left.tidx, t_toff, length + text)
+        # right-diagonal buffer, with a left margin for the acceptor
+        # intronic window (refbuf2[i] valid for i in [-oext, length))
+        oext = min(read_gaps + INTRONIC_LEN,
+                   o_toff + o_len - length)
+        oext = max(oext, 0)
+        buf2 = fm.stretch(left.tidx, o_toff + o_len - length - oext,
+                          length + oext)
 
-        inslen = (rddif - refdif) if ins else 0
-        dellen = (refdif - rddif) if del_ else 0
-        if ins:
-            gap_penalty = -(sc.rf_open + s.rf_gap_ext * (inslen - 1))
-        else:
-            gap_penalty = -(sc.rd_open + s.rd_gap_ext * (dellen - 1))
-        if gap_penalty < remainsc:
-            return False
-        # prefix penalties on the left diagonal (raw, no forgiveness)
-        temp = [0] * length
-        i = 0
-        while i < length:
-            rdc = int(seq[t_rdoff + i])
-            rfc = int(refbuf[i])
-            temp[i] = temp[i - 1] if i > 0 else 0
-            if rdc != rfc:
-                temp[i] -= sc.pen(rdc, rfc, qual[t_rdoff + i] - 33)
-            if temp[i] + gap_penalty < remainsc:
-                break
-            i += 1
-        i_limit = min(i, length)
-        # suffix penalties on the right diagonal
-        temp2 = [0] * (length + 1)
-        i2 = length - 1
-        while i2 >= 0:
-            rdc = int(seq[t_rdoff + i2])
-            rfc = int(refbuf2[i2])
-            temp2[i2] = temp2[i2 + 1] if i2 + 1 < length else 0
-            if rdc != rfc:
-                temp2[i2] -= sc.pen(rdc, rfc, qual[t_rdoff + i2] - 33)
-            if temp2[i2] + gap_penalty < remainsc:
-                break
-            i2 -= 1
-        i2_limit = 0 if i2 < inslen else i2 - inslen
+        def rb2(i):
+            return int(buf2[i + oext])
+
         maxscore, maxscorei = NEG, None
-        i, i2 = i2_limit, i2_limit + 1 + inslen
-        while i < i_limit and i2 < length:
-            t = temp[i] + temp2[i2] + gap_penalty
-            if t > maxscore:
-                maxscore, maxscorei = t, i
-            i += 1
-            i2 += 1
-        if maxscorei is None or maxscore < remainsc:
-            return False
+        maxspldir = SPL_UNKNOWN
+        maxsplscore = 0.0
+        donor_seq = acc_seq = 0
+        if spliced:
+            # ---- splice-point scan (hi_aligner.h:1446-1612) ----------
+            temp = [0] * length
+            i = 0
+            while i < length:
+                rdc = int(seq[t_rdoff + i])
+                rfc = int(refbuf[i])
+                temp[i] = temp[i - 1] if i > 0 else 0
+                if rdc != rfc:
+                    temp[i] -= sc.pen(rdc, rfc, qual[t_rdoff + i] - 33)
+                if temp[i] < remainsc:
+                    break
+                i += 1
+            i_limit = min(i, length)
+            temp2 = [0] * (length + 1)
+            i2 = length - 1
+            while i2 >= 0:
+                rdc = int(seq[t_rdoff + i2])
+                rfc = rb2(i2)
+                temp2[i2] = temp2[i2 + 1] if i2 + 1 < length else 0
+                if rdc != rfc:
+                    temp2[i2] -= sc.pen(rdc, rfc, qual[t_rdoff + i2] - 33)
+                if temp2[i2] < remainsc:
+                    break
+                i2 -= 1
+            i2_limit = max(i2, 0)
+            if splice_site is not None:
+                sl = splice_site[0] - t_toff
+                if i2_limit <= sl:
+                    i2_limit = sl
+                    i_limit = sl + 1
+                else:
+                    i_limit = i2_limit
+            i, i2 = i2_limit, i2_limit + 1
+            while i < i_limit and i2 < length:
+                tempscore = temp[i] + temp2[i2]
+                donor = acceptor = None
+                if i + 2 < length + text:
+                    donor = (int(refbuf[i + 1]), int(refbuf[i + 2]))
+                if i2 - 2 >= -oext:
+                    acceptor = (rb2(i2 - 2), rb2(i2 - 1))
+                canonical = semi = False
+                spldir = SPL_UNKNOWN
+                if donor == (2, 3) and acceptor == (0, 2):      # GT..AG
+                    spldir, canonical = SPL_FW, True
+                elif donor == (1, 3) and acceptor == (0, 1):    # CT..AC
+                    spldir, canonical = SPL_RC, True
+                elif (donor == (2, 1) and acceptor == (0, 2)) \
+                        or (donor == (0, 3) and acceptor == (0, 1)):
+                    spldir, semi = SPL_SEMI_FW, True            # GC..AG/AT..AC
+                elif (donor == (1, 3) and acceptor == (2, 1)) \
+                        or (donor == (2, 0) and acceptor == (0, 3)):
+                    spldir, semi = SPL_SEMI_RC, True
+                tempscore -= (sc.can_spl() if canonical
+                              else sc.noncan_spl())
+                t_dseq = t_aseq = 0
+                splscore = 0.0
+                if canonical:
+                    if spldir == SPL_FW:
+                        if (i + 1 >= DONOR_EXONIC
+                                and length + text > i + DONOR_INTRONIC
+                                and i2 + oext >= ACC_INTRONIC
+                                and length > i2 + ACC_EXONIC - 1):
+                            for j in range(i + 1 - DONOR_EXONIC,
+                                           i + DONOR_INTRONIC + 1):
+                                b = int(refbuf[j])
+                                if b > 3:
+                                    b = 0
+                                t_dseq = (t_dseq << 2) | b
+                            for j in range(i2 - ACC_INTRONIC,
+                                           i2 + ACC_EXONIC):
+                                b = rb2(j)
+                                if b > 3:
+                                    b = 0
+                                t_aseq = (t_aseq << 2) | b
+                    elif spldir == SPL_RC:
+                        if (i + 1 >= ACC_EXONIC
+                                and length + text > i + ACC_INTRONIC
+                                and i2 + oext >= DONOR_INTRONIC
+                                and length > i2 + DONOR_EXONIC - 1):
+                            for j in range(i + ACC_INTRONIC,
+                                           i - ACC_EXONIC, -1):
+                                b = int(refbuf[j])
+                                if b > 3:
+                                    b = 0
+                                t_aseq = (t_aseq << 2) | (b ^ 3)
+                            for j in range(i2 + DONOR_EXONIC - 1,
+                                           i2 - DONOR_INTRONIC - 1, -1):
+                                b = rb2(j)
+                                if b > 3:
+                                    b = 0
+                                t_dseq = (t_dseq << 2) | (b ^ 3)
+                    splscore = self.probscore(t_dseq, t_aseq)
+                # splice-point preference (hi_aligner.h:1589-1608)
+                if ((maxspldir == SPL_UNKNOWN and spldir == SPL_UNKNOWN
+                     and maxscore < tempscore)
+                        or (maxspldir == SPL_UNKNOWN
+                            and spldir == SPL_UNKNOWN
+                            and maxscore == tempscore and semi)
+                        or (maxspldir != SPL_UNKNOWN
+                            and spldir != SPL_UNKNOWN
+                            and (maxscore < tempscore
+                                 or (maxscore == tempscore
+                                     and maxsplscore < splscore)))
+                        or (maxspldir == SPL_UNKNOWN
+                            and spldir != SPL_UNKNOWN)):
+                    maxscore, maxscorei = tempscore, i
+                    maxspldir = spldir
+                    maxsplscore = splscore
+                    if maxspldir != SPL_UNKNOWN:
+                        donor_seq, acc_seq = t_dseq, t_aseq
+                    else:
+                        donor_seq = acc_seq = 0
+                i += 1
+                i2 += 1
+            if maxscorei is None:
+                return False
+            if splice_site is None:
+                # novel-junction anchor gate (hi_aligner.h:1656-1678)
+                shorter = min(maxscorei + 1, length - maxscorei - 1)
+                if maxspldir in (SPL_SEMI_FW, SPL_SEMI_RC, SPL_UNKNOWN):
+                    if shorter < self.min_anchor_noncan:
+                        if _intron_len_prob_noncan(
+                                shorter, o_toff - t_toff,
+                                self.max_intron) > 0.01:
+                            return False
+                else:
+                    if shorter < self.min_anchor:
+                        if _intron_len_prob(
+                                shorter, o_toff - t_toff,
+                                self.max_intron) > 0.01:
+                            return False
+            if maxscore < remainsc:
+                return False
+            inslen = dellen = 0
+        else:
+            inslen = (rddif - refdif) if ins else 0
+            dellen = (refdif - rddif) if del_ else 0
+            if ins:
+                gap_penalty = -(sc.rf_open + s.rf_gap_ext * (inslen - 1))
+            else:
+                gap_penalty = -(sc.rd_open + s.rd_gap_ext * (dellen - 1))
+            if gap_penalty < remainsc:
+                return False
+            # prefix penalties on the left diagonal (raw, no forgiveness)
+            temp = [0] * length
+            i = 0
+            while i < length:
+                rdc = int(seq[t_rdoff + i])
+                rfc = int(refbuf[i])
+                temp[i] = temp[i - 1] if i > 0 else 0
+                if rdc != rfc:
+                    temp[i] -= sc.pen(rdc, rfc, qual[t_rdoff + i] - 33)
+                if temp[i] + gap_penalty < remainsc:
+                    break
+                i += 1
+            i_limit = min(i, length)
+            # suffix penalties on the right diagonal
+            temp2 = [0] * (length + 1)
+            i2 = length - 1
+            while i2 >= 0:
+                rdc = int(seq[t_rdoff + i2])
+                rfc = rb2(i2)
+                temp2[i2] = temp2[i2 + 1] if i2 + 1 < length else 0
+                if rdc != rfc:
+                    temp2[i2] -= sc.pen(rdc, rfc, qual[t_rdoff + i2] - 33)
+                if temp2[i2] + gap_penalty < remainsc:
+                    break
+                i2 -= 1
+            i2_limit = 0 if i2 < inslen else i2 - inslen
+            maxscore, maxscorei = NEG, None
+            i, i2 = i2_limit, i2_limit + 1 + inslen
+            while i < i_limit and i2 < length:
+                t = temp[i] + temp2[i2] + gap_penalty
+                if t > maxscore:
+                    maxscore, maxscorei = t, i
+                i += 1
+                i2 += 1
+            if maxscorei is None or maxscore < remainsc:
+                return False
 
-        # rebuild edits: keep left's edits up to its last gap/forgiven
+        # rebuild edits: keep left's edits up to its last gap/spl/forgiven
         keep = 0
         for j in range(len(left.edits) - 1, -1, -1):
             e = left.edits[j]
-            if e.typ in (RDGAP, RFGAP) or (e.typ == MM and e.snp >= 0):
+            if e.typ in (RDGAP, RFGAP, SPL) or (e.typ == MM
+                                                and e.snp >= 0):
                 keep = j + 1
                 break
         left.edits = left.edits[:keep]
         addoff = t_rdoff - left.rdoff
-        i = 0
-        while i < length:
-            rdc = int(seq[t_rdoff + i])
-            rfc = int(refbuf[i]) if i <= maxscorei else int(refbuf2[i])
-            if rdc != rfc:
-                jo = left.joined + i + (t_toff - left.toff)
-                if i > maxscorei:
-                    # right diagonal: joined shifts by the gap
-                    jo += (dellen - inslen)
-                snp = (self.snv_at(jo, rdc)
-                       if rdc < 4 and rfc < 4 else -1)
-                left.edits.append(Edit(i + addoff, MM, rfc, rdc, snp))
-            if i == maxscorei:
-                lpos = t_toff + i + 1
-                rpos = o_toff + o_len - (length - i - 1)
-                if del_:
-                    skip = rpos - lpos
-                    for j in range(skip):
-                        rfc2 = (int(refbuf[i + 1 + j])
-                                if i + 1 + j < length
-                                else int(fm.stretch(
-                                    left.tidx, t_toff + i + 1 + j, 1)[0]))
-                        left.edits.append(
-                            Edit(i + 1 + addoff, RDGAP, rfc2, 4))
-                else:
-                    skip = lpos - rpos
-                    for j in range(skip):
-                        rdc2 = int(seq[t_rdoff + i + 1 + j])
-                        left.edits.append(
-                            Edit(i + 1 + j + addoff, RFGAP, 4, rdc2))
-                    i += skip
-            i += 1
-        left.ln = (o_rdoff + o_len) - left.rdoff
+        if spliced:
+            # spliced rebuild (hi_aligner.h:1692-1773; no forgiveness
+            # on the rebuilt mismatches, matching the reference)
+            for i in range(length):
+                rdc = int(seq[t_rdoff + i])
+                rfc = int(refbuf[i]) if i <= maxscorei else rb2(i)
+                if rdc != rfc:
+                    left.edits.append(Edit(i + addoff, MM, rfc, rdc))
+                if i == maxscorei:
+                    lpos = t_toff + i + 1
+                    rpos = o_toff + o_len - (length - i - 1)
+                    left.edits.append(Edit(
+                        i + 1 + addoff, SPL, 0, 0,
+                        splen=rpos - lpos, sdir=maxspldir,
+                        known=splice_site is not None,
+                        dseq=donor_seq, aseq=acc_seq))
+        else:
+            i = 0
+            while i < length:
+                rdc = int(seq[t_rdoff + i])
+                rfc = int(refbuf[i]) if i <= maxscorei else rb2(i)
+                if rdc != rfc:
+                    jo = left.joined + i + (t_toff - left.toff)
+                    if i > maxscorei:
+                        # right diagonal: joined shifts by the gap
+                        jo += (dellen - inslen)
+                    snp = (self.snv_at(jo, rdc)
+                           if rdc < 4 and rfc < 4 else -1)
+                    left.edits.append(Edit(i + addoff, MM, rfc, rdc, snp))
+                if i == maxscorei:
+                    lpos = t_toff + i + 1
+                    rpos = o_toff + o_len - (length - i - 1)
+                    if del_:
+                        skip = rpos - lpos
+                        for j in range(skip):
+                            rfc2 = (int(refbuf[i + 1 + j])
+                                    if i + 1 + j < length + text
+                                    else int(fm.stretch(
+                                        left.tidx, t_toff + i + 1 + j,
+                                        1)[0]))
+                            left.edits.append(
+                                Edit(i + 1 + addoff, RDGAP, rfc2, 4))
+                    else:
+                        skip = lpos - rpos
+                        for j in range(skip):
+                            rdc2 = int(seq[t_rdoff + i + 1 + j])
+                            left.edits.append(
+                                Edit(i + 1 + j + addoff, RFGAP, 4, rdc2))
+                        i += skip
+                i += 1
+        # append the right hit's own structured tail (its edits from the
+        # first gap/splice/forgiven onward, hi_aligner.h:1831-1846)
+        fsi = len(right.edits)
+        for j, e in enumerate(right.edits):
+            if e.typ in (RDGAP, RFGAP, SPL) or (e.typ == MM
+                                                and e.snp >= 0):
+                fsi = j
+                break
+        addoff2 = right.rdoff - left.rdoff
+        for e in right.edits[fsi:]:
+            ne = e.clone()
+            ne.pos += addoff2
+            left.edits.append(ne)
+        left.ln = right.rdoff + right.ln - left.rdoff
+        left.trim3 += right.trim3
         self.calculate_score(left, seq, qual)
         return True
 
@@ -690,7 +1152,105 @@ class HybridAligner:
             return
         sink.report(hit)
 
-    # ---- hybridSearch_recur (spliced_aligner.h:214, DNA subset) --------
+    # ---- splice-site-guided report variants (spliced_aligner.h:283-547)
+
+    def _report_spliced_variants(self, hit: "Hit", seq, qual, minsc,
+                                 sink: "Sink") -> int:
+        """At full coverage, try re-expressing the alignment through
+        known/temp splice sites near its ends (the reference's
+        another_spliced block): a site-anchored left exon piece combined
+        into the hit, then site-anchored right extensions of every
+        variant; report the best-scoring set."""
+        maxsc = NEG
+        L = len(seq)
+        fm, sc = self.fm, self.sc
+        rdid = self._rdid
+        best_score = hit.score
+        lst = [hit]
+        mml = self.minK
+        fragoff, fraglen, left_toff = hit.get_left()
+        if fraglen >= mml and left_toff >= mml and hit.trim5 == 0:
+            for ss_left, ss_right, sdir, ff in self.left_sites(
+                    hit.tidx, left_toff + mml, mml, rdid):
+                if left_toff + fraglen - 1 < ss_right:
+                    continue
+                if fragoff + ss_right < left_toff + 1:
+                    continue
+                readoff = fragoff + ss_right - left_toff - 1
+                joined = fm.text_to_joined(hit.tidx, ss_left)
+                if joined < 0:
+                    continue
+                t = Hit(hit.fw, readoff + 1, 0, hit.tidx, ss_left + 1,
+                        joined + 1)
+                self.extend(t, seq, qual, 1 << 30, 0, 0)
+                if t.ln <= 0:
+                    continue
+                if not t.compatible_with(hit, True, self.max_intron):
+                    continue
+                ms = max(minsc, best_score)
+                combined = self.combine(t, hit, seq, qual, ms,
+                                        splice_site=(ss_left, ss_right))
+                ms = max(ms, sink.best)
+                la, ned = t.left_anchor()
+                if combined and t.score >= ms and ned <= la // 4:
+                    if t.identity() in self._searched:
+                        continue
+                    if not self._redundant(sink, t):
+                        if t.score > best_score:
+                            best_score = t.score
+                        lst.append(t)
+        num = len(lst)
+        for i in range(num):
+            h = lst[i]
+            fragoff, fraglen, right_toff = h.get_right()
+            if h.score < best_score:
+                continue
+            if fraglen >= mml and h.trim3 == 0:
+                for ss_left, ss_right, sdir, ff in self.right_sites(
+                        h.tidx, right_toff + fraglen - mml, mml, rdid):
+                    if right_toff > ss_left:
+                        continue
+                    readoff = fragoff + ss_left - right_toff + 1
+                    if readoff >= L:
+                        continue
+                    joined = fm.text_to_joined(h.tidx, ss_right)
+                    if joined < 0:
+                        continue
+                    t = Hit(h.fw, readoff, 0, h.tidx, ss_right, joined)
+                    self.extend(t, seq, qual, 0, 1 << 30, 0)
+                    if t.ln <= 0:
+                        continue
+                    if not h.compatible_with(t, True, self.max_intron):
+                        continue
+                    ch = h.clone()
+                    ms = max(minsc, best_score)
+                    combined = self.combine(
+                        ch, t, seq, qual, ms,
+                        splice_site=(ss_left, ss_right))
+                    ms = max(ms, sink.best)
+                    ra, ned = ch.right_anchor()
+                    if combined and ch.score >= ms and ned <= ra // 4:
+                        if ch.identity() in self._searched:
+                            continue
+                        if not self._redundant(sink, ch):
+                            if ch.score > best_score:
+                                # reference quirk: the threshold compares
+                                # the COMBINED score but records the
+                                # right-extension piece's score
+                                # (spliced_aligner.h:508-509)
+                                best_score = t.score
+                            lst.append(ch)
+        for i, h in enumerate(lst):
+            if not self.secondary and h.score < best_score:
+                continue
+            if i > 0:
+                self._searched.add(h.identity())
+            if not self._redundant(sink, h):
+                self._report(sink, h, L, minsc)
+                maxsc = max(maxsc, h.score)
+        return maxsc
+
+    # ---- hybridSearch_recur (spliced_aligner.h:214) --------------------
 
     def _recur(self, hit: Hit, hitoff: int, hitlen: int, seq, qual,
                minsc: int, sink: "Sink", dep: int = 0) -> int:
@@ -710,13 +1270,55 @@ class HybridAligner:
 
         if hitoff == 0 and hitlen == L:
             if not self._redundant(sink, hit):
-                self._report(sink, hit, L, minsc)
-                maxsc = max(maxsc, hit.score)
+                if self.spliced and self.ssdb is not None \
+                        and len(self.ssdb.sites):
+                    maxsc = max(maxsc, self._report_spliced_variants(
+                        hit, seq, qual, minsc, sink))
+                else:
+                    self._report(sink, hit, L, minsc)
+                    maxsc = max(maxsc, hit.score)
             return maxsc
 
         if hitoff > 0 and (hitoff + hitlen == L
                            or hitoff + hitoff < L - hitlen):
             # ---- extend LEFT (spliced_aligner.h:560-1200) --------------
+            if self.spliced and self.ssdb is not None \
+                    and len(self.ssdb.sites):
+                # splice-site-guided left combine (spliced_aligner.h:551)
+                fragoff, fraglen, left_toff = hit.get_left()
+                mml = self.minK_local
+                if fraglen >= mml and left_toff >= mml:
+                    for ss_left, ss_right, sdir, ff in self.left_sites(
+                            hit.tidx, left_toff + mml,
+                            mml + min(mml, fragoff), self._rdid):
+                        if left_toff + fraglen - 1 < ss_right:
+                            continue
+                        if fragoff + ss_right < left_toff + 1:
+                            continue
+                        readoff = fragoff + ss_right - left_toff - 1
+                        joined = fm.text_to_joined(hit.tidx, ss_left)
+                        if joined < 0:
+                            continue
+                        t = Hit(hit.fw, readoff + 1, 0, hit.tidx,
+                                ss_left + 1, joined + 1)
+                        self.extend(t, seq, qual, 1 << 30, 0, 0)
+                        if t.ln <= 0:
+                            continue
+                        if not t.compatible_with(hit, True,
+                                                 self.max_intron):
+                            continue
+                        ms = minsc
+                        combined = self.combine(
+                            t, hit, seq, qual, ms,
+                            splice_site=(ss_left, ss_right))
+                        if not self.secondary:
+                            ms = max(ms, sink.best)
+                        if combined and t.score >= ms and \
+                                t.score + sc.clip(0) * hit.rdoff \
+                                >= hit.score:
+                            maxsc = max(maxsc, self._recur(
+                                t, t.rdoff, t.ln + t.trim3, seq, qual,
+                                minsc, sink, dep + 1))
             use_local = True
             if hitoff == hit.rdoff and hitoff <= self.minK:
                 t = hit.clone()
@@ -770,7 +1372,8 @@ class HybridAligner:
                             continue      # straddles an N gap: rejected
                         t = Hit(hit.fw, extoff + 1 - extlen, extlen,
                                 hit.tidx, toff, j)
-                        if not t.compatible_with(hit):
+                        if not t.compatible_with(hit, self.spliced,
+                                                 self.max_intron):
                             if count == 1:
                                 continue
                             break
@@ -835,6 +1438,47 @@ class HybridAligner:
                             seq, qual, minsc, sink, dep + 1))
         else:
             # ---- extend RIGHT (spliced_aligner.h:1260-1892) ------------
+            if self.spliced and self.ssdb is not None \
+                    and len(self.ssdb.sites):
+                # splice-site-guided right combine (spliced_aligner.h:1203)
+                fragoff, fraglen, right_toff = hit.get_right()
+                mml = self.minK_local
+                if fraglen >= mml:
+                    right_unmapped = L - fragoff - fraglen
+                    for ss_left, ss_right, sdir, ff in self.right_sites(
+                            hit.tidx, right_toff + fraglen - mml,
+                            mml + min(mml, right_unmapped), self._rdid):
+                        if right_toff > ss_left:
+                            continue
+                        readoff = fragoff + ss_left - right_toff + 1
+                        if readoff >= L:
+                            continue
+                        joined = fm.text_to_joined(hit.tidx, ss_right)
+                        if joined < 0:
+                            continue
+                        t = Hit(hit.fw, readoff, 0, hit.tidx, ss_right,
+                                joined)
+                        self.extend(t, seq, qual, 0, 1 << 30, 0)
+                        if t.ln <= 0:
+                            continue
+                        if not hit.compatible_with(t, True,
+                                                   self.max_intron):
+                            continue
+                        ch = hit.clone()
+                        ms = minsc
+                        combined = self.combine(
+                            ch, t, seq, qual, ms,
+                            splice_site=(ss_left, ss_right))
+                        if not self.secondary:
+                            ms = max(ms, sink.best)
+                        if combined and ch.score >= ms and \
+                                ch.score + sc.clip(0) * (
+                                    L - hit.rdoff - hit.ln - hit.trim5) \
+                                >= hit.score:
+                            maxsc = max(maxsc, self._recur(
+                                ch, ch.rdoff - ch.trim5,
+                                ch.ln + ch.trim5, seq, qual,
+                                minsc, sink, dep + 1))
             use_local = True
             if hit.ln == hitlen and hitoff + hitlen + self.minK > L:
                 t = hit.clone()
@@ -895,7 +1539,8 @@ class HybridAligner:
                             continue
                         t = Hit(hit.fw, extoff + 1 - extlen, extlen,
                                 hit.tidx, toff, j)
-                        if not hit.compatible_with(t):
+                        if not hit.compatible_with(t, self.spliced,
+                                                   self.max_intron):
                             if count == 1:
                                 continue
                             break
@@ -1018,7 +1663,8 @@ class HybridAligner:
         for tid, toff, j in order:
             t = Hit(hit.fw, extoff + 1 - extlen, extlen, tid, toff, j)
             if left_side:
-                if not t.compatible_with(hit):
+                if not t.compatible_with(hit, self.spliced,
+                                         self.max_intron):
                     continue
                 if ustop:
                     self.extend(t, seq, qual, 1 << 30, 0, 0)
@@ -1026,7 +1672,8 @@ class HybridAligner:
                 combined = self.combine(t, hit, seq, qual, ms)
                 newhit = t
             else:
-                if not hit.compatible_with(t):
+                if not hit.compatible_with(t, self.spliced,
+                                           self.max_intron):
                     continue
                 self.extend(t, seq, qual, 0, 1 << 30, 0)
                 ch = hit.clone()
@@ -1066,9 +1713,14 @@ class HybridAligner:
 
     # ---- go()/nextBWT loop (hi_aligner.h:3874) -------------------------
 
-    def align_read(self, codes, quals, L: int, nofw=False, norc=False):
+    def align_read(self, codes, quals, L: int, nofw=False, norc=False,
+                   rdid: int = None):
         """Run the full per-read search; returns (Sink, minsc)."""
         L = int(L)
+        # temp-splice-site visibility: sites discovered by reads with
+        # rdid' <= rdid are usable (-p 1 mindist=0 semantics); default
+        # sees everything (a late read)
+        self._rdid = int(rdid) if rdid is not None else (1 << 62)
         seq_fw = np.asarray(codes[:L], np.int8)
         seq_rc = np.where(seq_fw < 4, 3 - seq_fw, seq_fw)[::-1].copy()
         q = np.asarray(quals[:L], np.int64)
@@ -1272,6 +1924,7 @@ def render_fields(hit: Hit):
     (sam.h field semantics; forgiven-SNV columns render as MD matches
     and are excluded from XM/NM, like the reference's snpID edits)."""
     dels: dict[int, list[int]] = {}
+    spls: dict[int, int] = {}
     ins_pos = set()
     mms = {}
     for e in hit.edits:
@@ -1279,6 +1932,8 @@ def render_fields(hit: Hit):
             dels.setdefault(e.pos, []).append(e.rf)
         elif e.typ == RFGAP:
             ins_pos.add(e.pos)
+        elif e.typ == SPL:
+            spls[e.pos] = e.splen
         else:
             mms[e.pos] = e
     ops = []
@@ -1286,6 +1941,11 @@ def render_fields(hit: Hit):
         ops.append((hit.trim5, "S"))
     run, run_op = 0, None
     for p in range(hit.ln):
+        if p in spls:
+            if run:
+                ops.append((run, run_op))
+                run, run_op = 0, None
+            ops.append((spls[p], "N"))
         if p in dels:
             if run:
                 ops.append((run, run_op))
@@ -1347,27 +2007,32 @@ def render_fields(hit: Hit):
 # ---------------------------------------------------------------------------
 
 def _hit_junctions(hit: Hit):
-    """Group a Hit's gap edits into pipeline junction descriptors:
-    [(x_abs, kind, ref_len)] with x = read offset of the split point
-    (KIND_DEL: right segment start; KIND_INS: insertion start)."""
+    """Group a Hit's gap/splice edits into pipeline junction descriptors:
+    [(x_abs, kind, ref_len, dir, known)] with x = read offset of the
+    split point (KIND_SPL/KIND_DEL: right segment start; KIND_INS:
+    insertion start)."""
     juncs = []
     i = 0
     es = hit.edits
     while i < len(es):
         e = es[i]
-        if e.typ == RDGAP:
+        if e.typ == SPL:
+            juncs.append((hit.rdoff + e.pos, 1, e.splen, e.sdir,
+                          e.known))
+            i += 1
+        elif e.typ == RDGAP:
             k = 1
             while i + k < len(es) and es[i + k].typ == RDGAP \
                     and es[i + k].pos == e.pos:
                 k += 1
-            juncs.append((hit.rdoff + e.pos, 2, k))
+            juncs.append((hit.rdoff + e.pos, 2, k, 0, False))
             i += k
         elif e.typ == RFGAP:
             k = 1
             while i + k < len(es) and es[i + k].typ == RFGAP \
                     and es[i + k].pos == e.pos + k:
                 k += 1
-            juncs.append((hit.rdoff + e.pos, 3, -k))
+            juncs.append((hit.rdoff + e.pos, 3, -k, 0, False))
             i += k
         else:
             i += 1
@@ -1381,17 +2046,20 @@ def hit_to_alignment(hit: Hit, read_idx: int, L: int, nh: int,
     from .pipeline import Alignment
     juncs = _hit_junctions(hit)
     jp = hit.joined - hit.rdoff
-    n_del = sum(j[2] for j in juncs if j[1] == 2)
+    n_del = sum(j[2] for j in juncs if j[1] in (1, 2))   # N + D skips
     n_ins = sum(-j[2] for j in juncs if j[1] == 3)
     kw = {}
     diag = jp
-    for n, (x, kind, ln) in enumerate(juncs):
+    for n, (x, kind, ln, jdir, known) in enumerate(juncs):
         diag += ln
         pfx = ("junc_", "junc2_", "junc3_")[n]
         kw[pfx + "kind"] = kind
         kw[pfx + "x"] = x
         kw[pfx + "len"] = ln
         kw[pfx + ("d2" if n == 0 else ("d3" if n == 1 else "d4"))] = diag
+        kw["spl_dir" if n == 0 else pfx + "dir"] = jdir
+        if n == 0:
+            kw["junc_known"] = known
     n_mm = sum(1 for e in hit.edits if e.typ == MM and e.snp < 0
                and e.rd < 4 and e.rf < 4)
     n_n = sum(1 for e in hit.edits if e.typ == MM
@@ -1406,23 +2074,32 @@ def hit_to_alignment(hit: Hit, read_idx: int, L: int, nh: int,
 
 
 def substitute_batch(aligner, res, codes, quals, lens, seeds,
-                     secondary: bool = False, exact: bool = False):
+                     secondary: bool = False, exact: bool = False,
+                     rdids=None):
     """Replace search-path-sensitive reads' results with the per-read
-    hybridSearch replay (unpaired DNA mode only).
+    hybridSearch replay (unpaired mode; DNA and spliced).
 
     Default scope = the batched sweeps' known divergence surface: a
-    NOVEL gap join in any kept candidate (gap-vs-clip and record-set
-    choices are path-dependent), a soft clip >= 5 (local-search ZS
-    band), a multimap pool containing a gap, or no alignment at all
-    (budgeted give-ups the sweeps over/under-run).  `exact` widens the
-    scope to EVERY imperfect read (any edit/clip/multimap) — full
-    byte-parity mode (--exact-replay), at per-read host cost.
+    NOVEL gap or splice join in any kept candidate (join-vs-clip and
+    record-set choices are path-dependent), a soft clip >= 5
+    (local-search ZS band), a multimap pool containing a novel join, or
+    no alignment at all (budgeted give-ups the sweeps over/under-run).
+    `exact` widens the scope to EVERY imperfect read (any
+    edit/clip/junction/multimap) — full byte-parity mode
+    (--exact-replay), at per-read host cost.
+    Out of scope entirely (returns {}): -a, sharded indexes,
+    --nofw/--norc, and spliced runs over an index with baked-in splice
+    ALTs (--ss at build time) — the replay does not model ALT-splice
+    extension; the device path covers those.
     Returns {read_idx: [Alignment...]} and patches res.raw in place so
     the vectorized SAM renderer and metrics see the substituted rows."""
     from .mapq import mapq_selected
     from .pipeline import RAW_COLS
-    if aligner.spliced or aligner.all_hits or len(aligner.shards) != 1 \
+    if aligner.all_hits or len(aligner.shards) != 1 \
             or aligner.no_fw or aligner.no_rc:
+        return {}
+    if aligner.spliced and aligner.variants is not None \
+            and len(aligner.variants.ss_ref):
         return {}
     raw = res.raw
     B = res.n_reads
@@ -1437,25 +2114,34 @@ def substitute_batch(aligner, res, codes, quals, lens, seeds,
         gap = np.isin(jk1, (2, 3)) | np.isin(jk2, (2, 3)) \
             | np.isin(jk3, (2, 3))
         spl = (jk1 == 1) | (jk2 == 1) | (jk3 == 1)
-        risky_rows = (gap & ~known) \
+        novel = (gap | spl) & ~known if aligner.spliced \
+            else (gap & ~known)
+        risky_rows = novel \
             | (cols[ci["clip_l"]] >= 5) | (cols[ci["clip_r"]] >= 5)
         if exact:
             risky_rows |= (cols[ci["clip_l"]] > 0) \
                 | (cols[ci["clip_r"]] > 0) | (cols[ci["n_mm"]] > 0) \
-                | (cols[ci["has_sec"]] > 0)
+                | (cols[ci["has_sec"]] > 0) \
+                | (spl if aligner.spliced else np.zeros(len(rd), bool))
         risk = np.zeros(B, bool)
         np.logical_or.at(risk, rd[risky_rows], True)
-        # multimap pools: order/record-set divergence needs a gap in the
-        # pool (or any pool, under exact)
+        # multimap pools: order/record-set divergence needs a novel join
+        # in the pool (or any pool, under exact)
         pool = np.bincount(rd, minlength=B)
         hasgap = np.zeros(B, bool)
-        np.logical_or.at(hasgap, rd[gap & ~known], True)
+        np.logical_or.at(hasgap, rd[novel], True)
         risk |= (pool >= 2) & (hasgap if not exact
                                else np.ones(B, bool))
-        # known-ALT junctions and spliced forms are outside the DNA
-        # replay's model: keep the device result for those reads
+        # forms outside the replay's model keep the device result: for
+        # DNA, known-ALT joins and spliced forms; for spliced runs,
+        # known-ALT indel injections
+        if aligner.spliced:
+            out_model = (cols[ci["junc_snp"]] >= 0) \
+                | (gap & cols[ci["junc_known"]].astype(bool))
+        else:
+            out_model = known | spl
         block = np.zeros(B, bool)
-        np.logical_or.at(block, rd[known | spl], True)
+        np.logical_or.at(block, rd[out_model], True)
         aligned = np.zeros(B, bool)
         aligned[rd] = True
         risk = (risk | ~aligned) & ~block
@@ -1469,14 +2155,19 @@ def substitute_batch(aligner, res, codes, quals, lens, seeds,
     if hy is None:
         hy = HybridAligner(aligner.shards[0], variants=aligner.variants,
                            scoring=aligner.scoring, k=aligner.k,
-                           anchor_stop=aligner.anchor_stop)
+                           anchor_stop=aligner.anchor_stop,
+                           spliced=aligner.spliced,
+                           splice_db=aligner.splice_db,
+                           secondary=secondary)
         aligner._hybrid = hy
     overrides = {}
     minsc_v = np.zeros(len(idxs), np.int64)
     for t, i in enumerate(idxs):
         L = int(lens[i])
         q_ascii = np.asarray(quals[i, :L], np.int64) + 33
-        sink, minsc = hy.align_read(codes[i, :L], q_ascii, L)
+        sink, minsc = hy.align_read(
+            codes[i, :L], q_ascii, L,
+            rdid=int(rdids[i]) if rdids is not None else None)
         minsc_v[t] = minsc
         hits, nh, zs = finalize(sink, int(seeds[i]), aligner.k,
                                 secondary=secondary)

@@ -171,6 +171,74 @@ def mk_spltest():
     oracle_align(d, "spl", "-f -1 sim_1.fa -2 sim_2.fa", "ref_rna_pe.sam")
 
 
+def mk_rnafuzz():
+    """RNA fuzz corpus (the spliced analog of mk_dnaparity's 1500-read
+    variant fuzz): a 600 kbp genome with 30 planted introns (20 GT..AG,
+    4 GC..AG, 3 AT..AC, 3 motif-less), 1500 100 bp reads — junction
+    reads with anchors 8..92 (some with an extra mismatch), plain
+    mismatch reads, both strands — oracle-aligned in default spliced
+    mode."""
+    d = "/tmp/rnafuzz"
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(20260820)
+    n = 600000
+    g = rng.integers(0, 4, n).astype(np.uint8)
+    kinds = ["can"] * 20 + ["gc"] * 4 + ["atac"] * 3 + ["none"] * 3
+    rng.shuffle(kinds)
+    ilens = rng.integers(80, 12000, len(kinds))
+    introns = []
+    pos = 15000
+    for kind, ln in zip(kinds, ilens):
+        ln = int(ln)
+        s0 = pos
+        if kind == "can":
+            dn, ac = (2, 3), (0, 2)       # GT..AG
+        elif kind == "gc":
+            dn, ac = (2, 1), (0, 2)       # GC..AG
+        elif kind == "atac":
+            dn, ac = (0, 3), (0, 1)       # AT..AC
+        else:
+            dn = ac = None
+        if dn is not None:
+            g[s0], g[s0 + 1] = dn
+            g[s0 + ln - 2], g[s0 + ln - 1] = ac
+        introns.append((s0, ln, kind))
+        pos += ln + 4000
+        if pos > n - 20000:
+            break
+    write_fa(f"{d}/g.fa", [("chrR", g)])
+    comp = np.array([3, 2, 1, 0, 4], np.uint8)
+    with open(f"{d}/fuzz.fa", "w") as f:
+        for i in range(1500):
+            r = rng.random()
+            if r < 0.65:
+                s0, ln, kind = introns[int(rng.integers(len(introns)))]
+                a = int(rng.integers(8, 93))
+                read = np.concatenate(
+                    [g[s0 - a:s0], g[s0 + ln:s0 + ln + 100 - a]])
+                tag = f"j{kind}_a{a}_{s0}"
+                if rng.random() < 0.25:
+                    p = int(rng.integers(0, 100))
+                    read = read.copy()
+                    read[p] = (read[p] + 1 + int(rng.integers(3))) % 4
+                    tag += f"_mm{p}"
+            else:
+                o = int(rng.integers(1000, n - 1200))
+                read = g[o:o + 100].copy()
+                tag = f"p_{o + 1}"
+                for _ in range(int(rng.integers(0, 3))):
+                    p = int(rng.integers(0, 100))
+                    read[p] = (read[p] + 1 + int(rng.integers(3))) % 4
+                    tag += f"_mm{p}"
+            if rng.random() < 0.3:
+                read = comp[read][::-1]
+                tag += "_rc"
+            f.write(f">rf{i}_{tag}\n" + "".join(ACGT[read]) + "\n")
+    oracle_build(f"{d}/g.fa", "rf")
+    tpu_build(d, "g.fa", "tpu")
+    oracle_align(d, "rf", "-f -U fuzz.fa", "ref.sam")
+
+
 def mk_mjtest():
     d = "/tmp/mjtest"
     os.makedirs(d, exist_ok=True)
@@ -255,7 +323,8 @@ def mk_shardtest():
     tpu_build(d, "g.fa", "sharded", "--shard-bp 450000")
 
 
-ALL = {"dnaparity": mk_dnaparity, "spltest": mk_spltest,
+ALL = {"dnaparity": mk_dnaparity, "rnafuzz": mk_rnafuzz,
+       "spltest": mk_spltest,
        "mjtest": mk_mjtest, "petest": mk_petest,
        "rngtest": mk_rngtest, "shardtest": mk_shardtest}
 
