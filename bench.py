@@ -83,13 +83,9 @@ def main(config: int = 1):
         f"aligned {res.n_aligned}/{B}")
 
     # timed: full pipeline including SAM rendering to an in-memory sink,
-    # with the production one-deep dispatch pipeline (device crunches batch
-    # i+1 while the host renders batch i)
+    # with the production DEPTH-deep dispatch pipeline (device crunches
+    # later batches while the host renders earlier ones)
     K = 48
-    t0 = time.time()
-    total = 0
-    ref_fn = lambda p, s: aligner.ref_codes[p:p + s]  # noqa: E731
-
     names = [batch.names[i % len(batch.names)] for i in range(B)]
 
     from hisat2_tpu.align.pipeline import read_alignments
@@ -108,17 +104,26 @@ def main(config: int = 1):
     # hides it behind device compute + host rendering
     from collections import deque
     DEPTH = 8
-    pend = deque()
-    for _ in range(K):
-        pend.append(aligner.dispatch(codes, quals, lens))
-        if len(pend) >= DEPTH:
+
+    def one_trial():
+        t0 = time.time()
+        total = 0
+        pend = deque()
+        for _ in range(K):
+            pend.append(aligner.dispatch(codes, quals, lens))
+            if len(pend) >= DEPTH:
+                emit(pend.popleft())
+            total += B
+        while pend:
             emit(pend.popleft())
-        total += B
-    while pend:
-        emit(pend.popleft())
-    dt = time.time() - t0
-    value = total / dt
-    log(f"[bench] {total} reads in {dt:.2f}s")
+        return total / (time.time() - t0)
+
+    # tunnel round-trip variance is +-30% on single trials (observed
+    # 54.9k/80.7k/98.6k on identical code); report the median of 3
+    vals = sorted(one_trial() for _ in range(3))
+    value = vals[1]
+    log(f"[bench] trials: {[round(v, 1) for v in vals]} reads/s "
+        f"(median {value:.1f})")
     print(json.dumps({
         "metric": "aligned_reads_per_sec_per_chip_example_linear",
         "value": round(value, 1),
@@ -135,6 +140,10 @@ def bench_config(config: int):
       4: chr22 slice + splice sites (tran-style index), spliced RNA
       5: HLA-like genotype locus (3 kb backbone MSA, 200 alleles),
          variant-set typing throughput (the hisatgenotype path)
+      6: north star — GRCh38-scale (3.12 Gbp, 24 chrom) synthetic
+         snp_tran graph index (sharded), 100 bp spliced RNA reads with
+         junctions drawn from the baked .ss set.  Needs the fixture from
+         evaluation/make_northstar.py + `python -m hisat2_tpu build`.
     """
     import jax
     import numpy as np
@@ -144,11 +153,17 @@ def bench_config(config: int):
     from hisat2_tpu.index.variants import attach_variants
     from hisat2_tpu.io.fasta import iter_fasta
 
+    # same repo-local persistent compile cache as config 1
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     os.makedirs(CACHE, exist_ok=True)
     rng = np.random.default_rng(7)
     B = int(os.environ.get("HISAT2_TPU_BENCH_B", 4096))
     if config == 5:
         return bench_genotype(rng)
+    ss_pairs = None
     if config == 2:
         g = rng.integers(0, 4, 40_000_000).astype(np.uint8)
         index = build_fm_index([("c2", g)])
@@ -174,6 +189,36 @@ def bench_config(config: int):
         src = [s for _, s in seqs]
         name = "chr22slice_spliced_rna"
         paired, spliced = False, True
+    elif config == 6:
+        from hisat2_tpu.index.format import FMIndex
+        from hisat2_tpu.index.variants import VariantDB
+        ns = os.environ.get("HISAT2_TPU_NORTHSTAR", "/tmp/northstar")
+        base = os.path.join(ns, "bigidx")
+        if not os.path.exists(base + ".npz"):
+            raise SystemExit(
+                f"config 6 needs the north-star index at {base}: run\n"
+                f"  python evaluation/make_northstar.py --dir {ns}\n"
+                f"  python -m hisat2_tpu build {ns}/big.fa {base} "
+                f"--snp {ns}/big.snp --ss {ns}/big.ss")
+        log("[bench:6] loading 3.12 Gbp sharded snp_tran index ...")
+        index = FMIndex.load(base)
+        variants = VariantDB.load(base)
+        aligner = TPUAligner(index, variants=variants, lane_meta=True,
+                             k=10, spliced=True)
+        log("[bench:6] loading genome for read generation ...")
+        seqs = list(iter_fasta(os.path.join(ns, "big.fa")))
+        # junction pool: the baked splice sites of chromosome 1 (ss
+        # left/right = last exonic positions flanking the intron)
+        ss_pairs = []
+        with open(os.path.join(ns, "big.ss")) as f:
+            for line in f:
+                c, lo, hi, _ = line.split()
+                if c != seqs[0][0]:
+                    break
+                ss_pairs.append((int(lo), int(hi)))
+        src = [s for _, s in seqs]
+        name = "northstar_grch38scale_snp_tran_rna"
+        paired, spliced = False, True
     else:
         raise SystemExit(f"unknown config {config}")
     L = 100
@@ -187,17 +232,27 @@ def bench_config(config: int):
         # ~200-400k sites total, and most reads hit already-seen ones —
         # per-read unique junctions would grow the site table without
         # bound and measure table-rebuild cost, not alignment)
-        n_j = 400
-        jpos = np.sort(rng.choice(
-            np.arange(1000, len(g) - 1000, 700), n_j, replace=False))
-        jlen = rng.integers(80, 400, n_j)
         jr = np.flatnonzero(np.arange(B) % 3 == 0)
-        pick = rng.integers(0, n_j, jr.size)
-        for i, jidx in zip(jr, pick):
-            p, il = int(jpos[jidx]), int(jlen[jidx])
-            lexon = 50
-            codes[i, :lexon] = np.minimum(g[p - lexon:p], 3)
-            codes[i, lexon:] = np.minimum(g[p + il:p + il + L - lexon], 3)
+        lexon = 50
+        if ss_pairs is not None:
+            # config 6: junctions from the baked .ss set (left/right =
+            # last exonic positions flanking the intron)
+            pick = rng.integers(0, min(400, len(ss_pairs)), jr.size)
+            for i, jidx in zip(jr, pick):
+                lo, hi = ss_pairs[jidx]
+                codes[i, :lexon] = np.minimum(g[lo - lexon + 1:lo + 1], 3)
+                codes[i, lexon:] = np.minimum(g[hi:hi + L - lexon], 3)
+        else:
+            n_j = 400
+            jpos = np.sort(rng.choice(
+                np.arange(1000, len(g) - 1000, 700), n_j, replace=False))
+            jlen = rng.integers(80, 400, n_j)
+            pick = rng.integers(0, n_j, jr.size)
+            for i, jidx in zip(jr, pick):
+                p, il = int(jpos[jidx]), int(jlen[jidx])
+                codes[i, :lexon] = np.minimum(g[p - lexon:p], 3)
+                codes[i, lexon:] = np.minimum(
+                    g[p + il:p + il + L - lexon], 3)
     quals = np.full((B, L), 40, np.int64)
     lens = np.full(B, L, np.int64)
     if paired:
@@ -234,26 +289,32 @@ def bench_config(config: int):
         aligner.collect(pend.popleft(), paired=paired)
     log(f"[bench:{config}] warmup {time.time() - t0:.1f}s")
     K = 16
-    rd0 = 7 * nb
-    t0 = time.time()
+    n = B * K * (2 if paired else 1)
+
     # 8-deep dispatch pipeline (same shape as config 1 / the CLI driver);
     # advancing rdids so temp-splice-site injection reflects steady state.
     # Two-pass handles are advance()d mid-queue: pass 2 of batch i is
     # DISPATCHED while batches i+1..i+3 are still in flight, so it rides
     # the pipeline instead of serializing a device round trip in collect.
-    pend = deque()
-    for i in range(K):
-        rdids = rd0 + i * nb + np.arange(nb, dtype=np.int64)
-        pend.append(aligner.dispatch(codes, quals, lens, rdids))
-        if len(pend) >= 4:
-            pend[-4] = aligner.advance(pend[-4], paired=paired)
-        while len(pend) >= 8:
+    def one_trial(rd0):
+        t0 = time.time()
+        pend = deque()
+        for i in range(K):
+            rdids = rd0 + i * nb + np.arange(nb, dtype=np.int64)
+            pend.append(aligner.dispatch(codes, quals, lens, rdids))
+            if len(pend) >= 4:
+                pend[-4] = aligner.advance(pend[-4], paired=paired)
+            while len(pend) >= 8:
+                aligner.collect(pend.popleft(), paired=paired)
+        while pend:
             aligner.collect(pend.popleft(), paired=paired)
-    while pend:
-        aligner.collect(pend.popleft(), paired=paired)
-    dt = time.time() - t0
-    n = B * K * (2 if paired else 1)
-    value = n / dt
+        return n / (time.time() - t0)
+
+    # median of 3 trials (tunnel variance; see config-1 note)
+    vals = sorted(one_trial((7 + t * K) * nb) for t in range(3))
+    value = vals[1]
+    log(f"[bench:{config}] trials: {[round(v, 1) for v in vals]} reads/s "
+        f"(median {value:.1f})")
     print(json.dumps({
         "metric": f"aligned_reads_per_sec_per_chip_{name}",
         "value": round(value, 1), "unit": "reads/sec/chip",

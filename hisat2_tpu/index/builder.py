@@ -19,8 +19,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..utils import bitops
-from .format import (BLOCK_BASES, DEFAULT_FTAB_K, DEFAULT_OFF_RATE, FMIndex,
-                     FMMeta, WORDS_PER_BLOCK)
+from .format import BLOCK_BASES, DEFAULT_FTAB_K, FMIndex, FMMeta
 
 
 def suffix_array(text: np.ndarray) -> np.ndarray:
@@ -104,28 +103,37 @@ def _fragments_from_seqs(seqs):
             tuple(ref_names), tuple(int(x) for x in ref_lens))
 
 
-def _build_ftab(text: np.ndarray, sa: np.ndarray, k: int):
-    """[top,bot) for every k-mer, straight from the suffix array.
+def _build_ftab(text: np.ndarray, k: int):
+    """[top,bot) for every k-mer (GFM ftab, gfm.h:3280 ftabLoHi).
 
-    Equivalent to GFM's ftab (gfm.h:3280 ftabLoHi) but computed by binary
-    search: encode each suffix's first k chars in base 5 with sentinel 0
-    (so short suffixes sort strictly below every full k-mer), then
-    ftab_top/bot are searchsorted bounds over the SA-ordered key array.
-    """
+    Encode each suffix's first k chars in base 5 with sentinel 0 (so
+    short suffixes sort strictly below every full k-mer).  The SA-sorted
+    key array is just the multiset of suffix keys in sorted order, so
+    top[m] = #{keys < key(m)} and bot[m] = top[m] + #{keys == key(m)} —
+    a chunked histogram + prefix sum, with no per-suffix int64 array
+    materialized (the old searchsorted path held three 8n-byte
+    temporaries: >70 GB at genome scale)."""
     n = len(text)
-    t5 = np.zeros(n + k, dtype=np.int64)
-    t5[:n] = text.astype(np.int64) + 1
     pows = 5 ** np.arange(k - 1, -1, -1)
-    win = np.lib.stride_tricks.sliding_window_view(t5, k)[: n + 1]
-    keys = win @ pows                     # key of suffix starting at p
-    keys_sa = keys[sa]                    # non-decreasing
+    hist = np.zeros(5 ** k, dtype=np.int64)
+    CH = CHUNK_ROWS
+    for p0 in range(0, n + 1, CH):
+        p1 = min(n + 1, p0 + CH)
+        t5 = np.zeros(p1 - p0 + k, dtype=np.int64)
+        src = text[p0:min(n, p1 + k - 1)]
+        t5[:len(src)] = src
+        t5[:len(src)] += 1
+        win = np.lib.stride_tricks.sliding_window_view(t5, k)[: p1 - p0]
+        hist += np.bincount(win @ pows, minlength=5 ** k)
+    cum = np.zeros(5 ** k + 1, dtype=np.int64)
+    np.cumsum(hist, out=cum[1:])
     # key of kmer m: digits (base-4) + 1, in base 5
     m = np.arange(4 ** k, dtype=np.int64)
     km = np.zeros(4 ** k, dtype=np.int64)
     for j in range(k):
         km += (((m >> (2 * (k - 1 - j))) & 3) + 1) * pows[j]
-    top = np.searchsorted(keys_sa, km, side="left")
-    bot = np.searchsorted(keys_sa, km, side="right")
+    top = cum[km]
+    bot = top + hist[km]
     return top.astype(np.int32), bot.astype(np.int32)
 
 
@@ -136,6 +144,11 @@ def _build_ftab(text: np.ndarray, sa: np.ndarray, k: int):
 # margins) inside int32 — whole genomes shard across sub-indexes, the
 # reference's 64-bit -l flavor territory (hisat2:444-457)
 SHARD_LIMIT_BP = 1_900_000_000
+
+# rows per streamed derivation chunk (_build_single/_build_ftab); a
+# multiple of BLOCK_BASES and 32 so block/mark-word boundaries never
+# straddle chunks.  Patchable in tests to force multi-chunk coverage.
+CHUNK_ROWS = 1 << 26
 
 
 def build_fm_index(seqs, off_rate: int = None,
@@ -191,81 +204,102 @@ def build_fm_index(seqs, off_rate: int = None,
 
 def _build_single(joined, frag_joined, frag_ref, frag_off,
                   ref_names, ref_lens, off_rate, ftab_k) -> FMIndex:
+    """Derive the packed TPU layout from the suffix array.
+
+    Every per-row derivation (BWT chars, bigram plane, occ checkpoints,
+    SA-sample marks) streams over the SA in 64 M-row chunks: the old
+    one-shot vectorization materialized (rows, 16) int32 one-hots and
+    int64 gather temporaries — >150 GB of peak RSS on a 1.9 Gbp shard,
+    which OOM-killed genome-scale builds (the reference bounds build
+    memory the same way via blockwise suffix sorting + --passMemExc,
+    blockwise_sa.h, gfm.h:1890-1996)."""
     n = len(joined)
     if off_rate is None:
         off_rate = 0 if n < (1 << 27) else 4
     rows = n + 1
     sa = suffix_array(joined)
-    # BWT: L[i] = joined[sa[i]-1]; '$' where sa[i]==0
-    prev = sa.astype(np.int64) - 1
-    zrow = int(np.flatnonzero(sa == 0)[0])
-    bwt_codes = np.where(prev >= 0, joined[np.maximum(prev, 0)], 0).astype(np.uint8)
-    bwt_codes[zrow] = 0  # '$' slot packs as 0; rank corrects via zrow
-
-    # pad rows to a whole number of blocks
     nblocks = (rows + BLOCK_BASES - 1) // BLOCK_BASES
-    padded = np.zeros(nblocks * BLOCK_BASES, dtype=np.uint8)
-    padded[:rows] = bwt_codes
-    bwt_words = bitops.pack_2bit(padded)
+    pad_rows = nblocks * BLOCK_BASES
 
-    # occ checkpoints: counts of each char in bwt[0 : 128*b), '$' excluded
-    onehot = np.zeros((nblocks * BLOCK_BASES, 4), dtype=np.int32)
-    r_idx = np.arange(rows)
-    onehot[r_idx, bwt_codes[:rows]] = 1
-    onehot[zrow, 0] = 0          # '$' contributes nothing
-    per_block = onehot.reshape(nblocks, BLOCK_BASES, 4).sum(axis=1)
+    # chunk-streamed derivation of BWT chars (L[i] = joined[sa[i]-1]),
+    # bigram symbols (T[SA[i]-2], T[SA[i]-1]), occ/occ2 block counts,
+    # SA-sample marks.  CH is a multiple of BLOCK_BASES and 32 so block
+    # and mark-word boundaries never straddle chunks.
+    bwt_codes = np.zeros(pad_rows, dtype=np.uint8)
+    sym2 = np.zeros(pad_rows, dtype=np.uint8)
     occ = np.zeros((nblocks + 1, 4), dtype=np.int32)
-    np.cumsum(per_block, axis=0, out=occ[1:])
+    occ2 = np.zeros((nblocks + 1, 16), dtype=np.int32)
+    mark_chk = np.zeros(nblocks + 1, dtype=np.int32)
+    mark_words = np.zeros(pad_rows // 32, dtype=np.uint32)
+    sa_marked_parts = []
+    zrow = zrow2 = -1
+    mask = (1 << off_rate) - 1
+    CH = CHUNK_ROWS
+    mark_shifts = np.arange(32, dtype=np.uint32)[None, :]
+    for i0 in range(0, rows, CH):
+        s = sa[i0:i0 + CH].astype(np.int64)
+        m = len(s)
+        prev = s - 1
+        b = joined[np.maximum(prev, 0, out=prev)]
+        # restore prev's sign info via s (prev was clobbered in place)
+        b = np.where(s > 0, b, 0).astype(np.uint8)
+        z = np.flatnonzero(s == 0)
+        if z.size:
+            zrow = i0 + int(z[0])
+        prev2 = s - 2
+        b2 = (joined[np.maximum(prev2, 0)] * np.uint8(4) + b)
+        b2 = np.where(prev2 >= 0, b2, 0).astype(np.uint8)
+        z2 = np.flatnonzero(s == 1)
+        if z2.size:
+            zrow2 = i0 + int(z2[0])
+            b2[z2[0]] = 0
+        bwt_codes[i0:i0 + m] = b
+        sym2[i0:i0 + m] = b2
+        # per-block histograms via composite-key bincount
+        b0, b1 = i0 // BLOCK_BASES, (i0 + m + BLOCK_BASES - 1) // BLOCK_BASES
+        local_block = (np.arange(m, dtype=np.int64) // BLOCK_BASES)
+        cnt = np.bincount(local_block * 4 + b,
+                          minlength=(b1 - b0) * 4).reshape(-1, 4)
+        occ[b0 + 1:b1 + 1] += cnt.astype(np.int32)
+        cnt2 = np.bincount(local_block * 16 + b2,
+                           minlength=(b1 - b0) * 16).reshape(-1, 16)
+        occ2[b0 + 1:b1 + 1] += cnt2.astype(np.int32)
+        # SA-sample marks (rows whose SA value is a multiple of 2^off_rate)
+        marked = (s & mask) == 0
+        sa_marked_parts.append(sa[i0:i0 + m][marked])
+        mcnt = np.bincount(local_block[marked], minlength=b1 - b0)
+        mark_chk[b0 + 1:b1 + 1] += mcnt.astype(np.int32)
+        mbits = np.zeros(((m + 31) // 32) * 32, dtype=np.uint32)
+        mbits[:m] = marked
+        mark_words[i0 // 32:i0 // 32 + len(mbits) // 32] = (
+            mbits.reshape(-1, 32) << mark_shifts).sum(axis=1, dtype=np.uint32)
+        del s, prev, b, prev2, b2, local_block, marked, mbits
+    # '$' packs as 0 and contributes nothing to rank ('$'-corrections via
+    # zrow/zrow2 at query time); exclude it (and the SA==1 bigram row)
+    # from the checkpoint counts
+    occ[zrow // BLOCK_BASES + 1, 0] -= 1
+    occ2[zrow // BLOCK_BASES + 1, 0] -= 1
+    if zrow2 >= 0:
+        occ2[zrow2 // BLOCK_BASES + 1, 0] -= 1
+    np.cumsum(occ, axis=0, out=occ)
+    np.cumsum(occ2, axis=0, out=occ2)
+    np.cumsum(mark_chk, out=mark_chk)
+    sa_marked = np.concatenate(sa_marked_parts).astype(np.int32)
+    del sa_marked_parts, sa
 
     # cumulative char counts C[]: fchr[c] = 1 + #{chars < c}  (the 1 is '$')
-    counts = onehot.sum(axis=0)
     fchr = np.zeros(5, dtype=np.int32)
     fchr[0] = 1
-    np.cumsum(counts, out=fchr[1:])
+    np.cumsum(occ[-1], out=fchr[1:])
     fchr[1:] += 1
 
-    # SA sample by *text position*: mark rows whose SA value is a multiple of
-    # 2^off_rate (bounds the LF resolve-walk at 2^off_rate steps — see
-    # format.py).  sa_marked lists marked rows' SA values in row order.
-    marked = (sa & ((1 << off_rate) - 1)) == 0
-    sa_marked = sa[marked].astype(np.int32)
-    mark_bits = np.zeros(nblocks * BLOCK_BASES, dtype=np.uint32)
-    mark_bits[:rows] = marked.astype(np.uint32)
-    mb = mark_bits.reshape(-1, 32)
-    mark_words = (mb << np.arange(32, dtype=np.uint32)[None, :]).sum(
-        axis=1, dtype=np.uint32)
-    per_block_marks = mark_bits.reshape(nblocks, BLOCK_BASES).sum(axis=1)
-    mark_chk = np.zeros(nblocks + 1, dtype=np.int32)
-    np.cumsum(per_block_marks, out=mark_chk[1:])
+    bwt_words = bitops.pack_2bit(bwt_codes)
+    del bwt_codes
+    bwt2_words = bitops.pack_4bit(sym2)
+    del sym2
 
-    ftab_top, ftab_bot = _build_ftab(joined, sa, ftab_k)
-
-    # bigram planes: the double-step backward search consumes TWO chars
-    # per gathered row (ops/search.py partial_search2; PERF.md — gathers
-    # are latency-flat in row size, so halving the scan's steps is free).
-    # bwt2[i] = (T[SA[i]-2], T[SA[i]-1]) packed 4-bit; the <=2 rows with
-    # SA[i] < 2 pack 0 and rank2 corrects for them like zrow.  fchr2 =
-    # first row of each 2-gram prefix block (the k=2 ftab top).
-    prev2 = sa.astype(np.int64) - 2
-    zrow2 = int(np.flatnonzero(sa == 1)[0]) if rows > 1 else -1
-    sym2 = (joined[np.maximum(prev2, 0)].astype(np.uint8) * 4
-            + joined[np.maximum(prev, 0)].astype(np.uint8))
-    sym2 = np.where(prev2 >= 0, sym2, 0).astype(np.uint8)
-    sym2[zrow] = 0
-    if zrow2 >= 0:
-        sym2[zrow2] = 0
-    padded2 = np.zeros(nblocks * BLOCK_BASES, dtype=np.uint8)
-    padded2[:rows] = sym2
-    bwt2_words = bitops.pack_4bit(padded2)
-    onehot2 = np.zeros((nblocks * BLOCK_BASES, 16), dtype=np.int32)
-    onehot2[r_idx, sym2[:rows]] = 1
-    onehot2[zrow, 0] = 0
-    if zrow2 >= 0:
-        onehot2[zrow2, 0] = 0
-    per_block2 = onehot2.reshape(nblocks, BLOCK_BASES, 16).sum(axis=1)
-    occ2 = np.zeros((nblocks + 1, 16), dtype=np.int32)
-    np.cumsum(per_block2, axis=0, out=occ2[1:])
-    ftab2_top, _ = _build_ftab(joined, sa, 2)
+    ftab_top, ftab_bot = _build_ftab(joined, ftab_k)
+    ftab2_top, _ = _build_ftab(joined, 2)
 
     ref_words = bitops.pack_2bit(joined)
     meta = FMMeta(n=n, rows=rows, zrow=zrow, off_rate=off_rate,

@@ -52,14 +52,23 @@ def revcomp_codes(codes: np.ndarray) -> np.ndarray:
 
 def pack_2bit(codes: np.ndarray) -> np.ndarray:
     """Pack base codes (values 0-3; callers must pre-substitute N) into
-    uint32 words, 16 bases per word, low bits first."""
+    uint32 words, 16 bases per word, low bits first.  Chunked: the naive
+    [nwords, 16] uint32 intermediate is 64 bytes per base (a >100 GB
+    temporary at genome scale)."""
     n = len(codes)
     nwords = (n + BASES_PER_WORD - 1) // BASES_PER_WORD
-    padded = np.zeros(nwords * BASES_PER_WORD, dtype=np.uint32)
-    padded[:n] = codes.astype(np.uint32) & 3
-    padded = padded.reshape(nwords, BASES_PER_WORD)
+    out = np.empty(nwords, dtype=np.uint32)
     shifts = (2 * np.arange(BASES_PER_WORD, dtype=np.uint32))[None, :]
-    return (padded << shifts).sum(axis=1, dtype=np.uint32)
+    CH = 1 << 22                      # words per chunk (64 Mbases)
+    for w0 in range(0, nwords, CH):
+        w1 = min(nwords, w0 + CH)
+        lo, hi = w0 * BASES_PER_WORD, min(n, w1 * BASES_PER_WORD)
+        blk = np.zeros((w1 - w0) * BASES_PER_WORD, dtype=np.uint32)
+        blk[:hi - lo] = codes[lo:hi]
+        blk &= 3
+        out[w0:w1] = (blk.reshape(-1, BASES_PER_WORD) << shifts).sum(
+            axis=1, dtype=np.uint32)
+    return out
 
 
 def unpack_2bit(words: np.ndarray, n: int) -> np.ndarray:
@@ -78,11 +87,16 @@ def unpack_2bit(words: np.ndarray, n: int) -> np.ndarray:
 
 def pack_4bit(codes: np.ndarray) -> np.ndarray:
     """Pack 4-bit symbols (0-15) into uint32 words, 8 per word
-    (the bigram-BWT plane; ops/rank.rank2)."""
-    codes = np.asarray(codes, np.uint32)
-    if len(codes) % 8:
-        codes = np.concatenate(
-            [codes, np.zeros(8 - len(codes) % 8, np.uint32)])
-    c = codes.reshape(-1, 8)
-    sh = np.arange(8, dtype=np.uint32) * 4
-    return (c << sh[None, :]).sum(axis=1, dtype=np.uint32)
+    (the bigram-BWT plane; ops/rank.rank2).  Chunked like pack_2bit."""
+    n = len(codes)
+    nwords = (n + 7) // 8
+    out = np.empty(nwords, dtype=np.uint32)
+    sh = (np.arange(8, dtype=np.uint32) * 4)[None, :]
+    CH = 1 << 23                      # words per chunk (64 M symbols)
+    for w0 in range(0, nwords, CH):
+        w1 = min(nwords, w0 + CH)
+        lo, hi = w0 * 8, min(n, w1 * 8)
+        blk = np.zeros((w1 - w0) * 8, dtype=np.uint32)
+        blk[:hi - lo] = codes[lo:hi]
+        out[w0:w1] = (blk.reshape(-1, 8) << sh).sum(axis=1, dtype=np.uint32)
+    return out

@@ -142,3 +142,24 @@ def test_sharded_index_matches_single():
     for a, b in zip(r1.alignments, r2.alignments):
         assert [(x.ref_id, x.ref_pos, x.score, x.rc, x.nh) for x in a] \
             == [(x.ref_id, x.ref_pos, x.score, x.rc, x.nh) for x in b]
+
+
+def test_chunked_build_matches_single_chunk(monkeypatch):
+    # the streamed builder (CHUNK_ROWS-row derivation chunks; the memory
+    # envelope for genome-scale builds) must produce arrays identical to
+    # a single-chunk build
+    import numpy as np
+    from hisat2_tpu.index import builder
+    rng = np.random.default_rng(99)
+    g = rng.integers(0, 4, 30000).astype(np.uint8)
+    g[1234:1240] = 4                       # an N run -> fragment split
+    seqs = [("cx", g)]
+    big = builder.build_fm_index(seqs, off_rate=4)
+    monkeypatch.setattr(builder, "CHUNK_ROWS", 1024)
+    small = builder.build_fm_index(seqs, off_rate=4)
+    for name in ("bwt_words", "occ", "mark_words", "mark_chk", "sa_marked",
+                 "bwt2_words", "occ2", "ftab2_top", "ftab_top", "ftab_bot",
+                 "fchr", "ref_words", "frag_joined", "frag_ref", "frag_off"):
+        a, b = getattr(big, name), getattr(small, name)
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+    assert big.meta == small.meta
