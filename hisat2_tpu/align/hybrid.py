@@ -855,6 +855,15 @@ class HybridAligner:
             if maxscore < remainsc:
                 return False
             inslen = dellen = 0
+        elif not ins and not del_:
+            # same-diagonal interior gap (pieces apart on the read but on
+            # one diagonal): the reference never enters the split-point
+            # scan — maxscorei stays INDEX_MAX, there is no gap penalty
+            # and no score gate — so every interior mismatch is simply
+            # filled from the left diagonal (hi_aligner.h:1385-1418
+            # skipped, fill loop 1775-1800); the caller gates on score.
+            inslen = dellen = 0
+            maxscore, maxscorei = 0, length
         else:
             inslen = (rddif - refdif) if ins else 0
             dellen = (refdif - rddif) if del_ else 0

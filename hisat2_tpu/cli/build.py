@@ -37,6 +37,10 @@ def main(argv=None):
                    action="store_true",
                    help="on out-of-memory, retry with smaller shards "
                         "(gfm.h:1890-1996 --passMemExc semantics)")
+    p.add_argument("--export-ht2", action="store_true",
+                   help="ALSO write <base>.{1..8}.ht2 byte-compatible "
+                        "with hisat2-build-s (linear/no-ALT only), so "
+                        "the reference aligner can use this build")
     args = p.parse_args(argv)
 
     from ..index.builder import build_fm_index
@@ -76,6 +80,16 @@ def main(argv=None):
                               ss_file=args.ss, exon_file=args.exon)
         idx._variants.save(args.base)
     idx.save(args.base)
+    if args.export_ht2:
+        if args.snp or args.ss or args.exon or args.haplotype:
+            print("[build] --export-ht2 supports linear (no-ALT) "
+                  "indexes only; skipping .ht2 export", file=sys.stderr)
+        else:
+            from ..index.ht2_write import export_ht2
+            export_ht2(seqs, args.base)
+            if not args.quiet:
+                print(f"[build] wrote {args.base}.1-8.ht2 "
+                      f"(hisat2-build-s byte-compatible)", file=sys.stderr)
     if not args.quiet:
         print(f"[build] wrote {args.base}.npz in {time.time() - t0:.1f}s",
               file=sys.stderr)
