@@ -234,7 +234,7 @@ class TPUAligner:
                  tmo: bool = False, require_xs: bool = False,
                  anchor_stop: bool = True, lite: bool = False,
                  inject_ss: bool = False,
-                 _devs=None, _ref_codes=None):
+                 _devs=None, _ref_codes=None, _graph_bundle=None):
         self.meta = index.meta
         self.scoring = scoring or Scoring()
         # lite: the tier-A fast path of the two-pass pipeline — ungapped
@@ -368,7 +368,14 @@ class TPUAligner:
         self.has_indels = False
         self.shard_params = [dict() for _ in self.shards]
         self.shard_row_db = [None] * len(self.shards)
-        if variants is not None and variants.n_snps:
+        if _graph_bundle is not None:
+            # share the parent's DEVICE graph tables (SNV planes, indel
+            # tables) — the two-tier twin otherwise re-uploads multi-GB
+            # planes per shard and exhausts HBM on genome-scale indexes
+            (self.graph, self.has_indels, shard_dev,
+             self.shard_row_db) = _graph_bundle
+            self.shard_params = [dict(d) for d in shard_dev]
+        elif variants is not None and variants.n_snps:
             from ..index.graph import (build_graph_arrays,
                                        indel_device_tables,
                                        shard_graph_arrays)
@@ -398,6 +405,10 @@ class TPUAligner:
             for sp_i in self.shard_params:
                 sp_i["snv1"] = jnp.zeros(1, jnp.uint32)
                 sp_i["snv2"] = jnp.zeros(1, jnp.uint32)
+        # snapshot (pre-fold) for two-tier twins to share device tables
+        self._graph_bundle = (self.graph, self.has_indels,
+                              [dict(d) for d in self.shard_params],
+                              self.shard_row_db)
         if len(self.shards) == 1:
             # single-shard (the common case): fold into the main param
             # dict so mesh/rescue/dryrun consumers see one bundle
@@ -465,7 +476,8 @@ class TPUAligner:
                 require_xs=require_xs, anchor_stop=anchor_stop,
                 lite=not all_hits, inject_ss=not all_hits,
                 splice_db=self.splice_db,
-                _devs=self.devs, _ref_codes=self.ref_codes)
+                _devs=self.devs, _ref_codes=self.ref_codes,
+                _graph_bundle=self._graph_bundle)
         elif (not lite and not all_hits and variants is not None
               and variants.n_snps):
             # DNA mode on a graph index: the same two-pass structure —
@@ -478,7 +490,8 @@ class TPUAligner:
                 variants=variants, spliced=False, lane_meta=lane_meta,
                 max_seeds=max_seeds, tmo=tmo,
                 require_xs=require_xs, anchor_stop=anchor_stop,
-                lite=True, _devs=self.devs, _ref_codes=self.ref_codes)
+                lite=True, _devs=self.devs, _ref_codes=self.ref_codes,
+                _graph_bundle=self._graph_bundle)
         # host-side routing table for the DNA two-pass: reads overlapping
         # a known ALT indel could carry an equal-or-better free ALT form
         # the lite pass cannot represent — route them to the full pass
@@ -1089,21 +1102,28 @@ class TPUAligner:
                 [zero3, jnp.cumsum(planes.pen_raw, axis=2)], axis=2)
             tot_raw = jnp.take_along_axis(P_raw, al3, axis=2)[:, :, 0]
         if self.use_ss:
-            # known/temp splice-site injection
+            # known/temp splice-site injection (SNV-forgiving source
+            # prefixes: a catalog SNV inside the source exon piece is a
+            # zero-cost snpID edit in the reference's combine)
             rd2 = jnp.concatenate([rdids, rdids]).astype(jnp.int32)
             Pm = jnp.concatenate(
                 [zero3, jnp.cumsum(planes.mm_raw.astype(jnp.int32), axis=2)],
                 axis=2)
             tot_m = jnp.take_along_axis(Pm, al3, axis=2)[:, :, 0]
+            P_fg = jnp.concatenate(
+                [zero3, jnp.cumsum(planes.pen, axis=2)], axis=2)
+            tot_fg = jnp.take_along_axis(P_fg, al3, axis=2)[:, :, 0]
             inj = splice_ops.inject_known(
                 d.ref_words, meta.n, ar, aq, al, rd2,
-                cstart, cvalid, P_raw, tot_raw, Pm, tot_m,
+                cstart, cvalid, P_fg, tot_fg, Pm, tot_m,
                 ss["ss_kd"], ss["ss_ka"], ss["ss_rdid"],
                 ss["ss_ka_s"], ss["ss_kd_s"], ss["ss_rdid_a"],
                 params["mm_pen"], self.scoring.n_pen, am,
                 slots=self.ss_slots,
                 src_clip_l=ext.clip_l, src_clip_r=ext.clip_r,
-                clip_pen=params["clip_pen"])
+                clip_pen=params["clip_pen"],
+                snv_delta1=params.get("snv1"),
+                snv_delta2=params.get("snv2"))
             J = inj["score"].shape[1]
             src_i = inj.pop("src")
             inj["ab"] = compact_ops.take_cols(cab, src_i)
@@ -2619,6 +2639,8 @@ class TPUAligner:
                             np.int64(-2 ** 40))
             jkm = junc_kind.reshape(2 * B, Km)[rsel2]
             jk_r = np.concatenate([jkm[:R], jkm[R:]], axis=1)
+            jxm = junc_x.reshape(2 * B, Km)[rsel2]
+            jx_r = np.concatenate([jxm[:R], jxm[R:]], axis=1)
             # known-site junction forms outrank novel ones at equal
             # (score, start): the reference's combineWith tries known
             # sites first and keeps the first perfect form, so an
@@ -2635,9 +2657,11 @@ class TPUAligner:
             full_r = np.concatenate([crm[:R], crm[R:]], axis=1) == 0
             full_s = np.take_along_axis(full_r, ordm, axis=1)
             sc_s = np.take_along_axis(sc_r, ordm, axis=1)
+            jx_s = np.take_along_axis(jx_r, ordm, axis=1)
             kept = np.zeros((R, K2), bool)
             kept_s = np.full((R, K2), -2 ** 60, np.int64)
             kept_e = np.full((R, K2), -2 ** 60, np.int64)
+            kept_jx = np.full((R, K2), -1, np.int64)
             # redundancy-suppressed candidates still count as secondary-best
             # evidence (the reference's sink saw them; they feed ZS but
             # neither NH nor MAPQ - observed: spliced primary with ZS:i:0
@@ -2654,10 +2678,17 @@ class TPUAligner:
                 kept_s[:, r] = np.where(keep_r, cand, np.int64(-2 ** 60))
                 kept_e[:, r] = np.where(keep_r, e_s[:, r],
                                         np.int64(-2 ** 60))
-                # an exact same-start suppression is a duplicate
-                # representation of the kept alignment, not secondary
-                # evidence
-                same_start = (cand[:, None] == kept_s).any(axis=1)
+                kept_jx[:, r] = np.where(keep_r, jx_s[:, r], -1)
+                # an exact same-start suppression with the SAME junction
+                # shape is a duplicate representation of the kept
+                # alignment, not secondary evidence; a same-start form
+                # with a DIFFERENT junction (e.g. a shifted motif-less
+                # splice point from a neighboring temp site) is a
+                # distinct alignment the reference reports, so its score
+                # still feeds ZS
+                same_start = ((cand[:, None] == kept_s)
+                              & (jx_s[:, r][:, None] == kept_jx)) \
+                    .any(axis=1)
                 supp = v_s[:, r] & inside & full_s[:, r] & ~same_start
                 shadow_sub = np.where(
                     supp, np.maximum(shadow_sub, sc_s[:, r]), shadow_sub)
@@ -2741,6 +2772,142 @@ class TPUAligner:
             alt = np.where(alt >= best_before[lane[ge]], alt,
                            np.int64(-2 ** 40))
             alt_of_best[el] = alt
+        # spliced trimmed-representation ZS: for a single-junction best
+        # with raw mismatch(es) in a terminal flank, the reference's
+        # recursion REPORTS the intermediate soft-clipped form before the
+        # 1-mm-per-level direct extension completes the alignment
+        # (spliced_aligner.h:1065-1105 trim branch, then :1770-1830) —
+        # each such intermediate scores best + pen(trimmed mms) -
+        # clip(k) and feeds secbest/ZS (oracle-verified closed form on
+        # the RNA fuzz: ZS = AS + 6 - 2k at q40 for every flank mm)
+        # (the raw n_mm column is 0 for spliced candidates — flank
+        # mismatches are only recovered at render time — so eligibility
+        # is by score and the mismatch scan below decides)
+        elj = np.flatnonzero((junc_kind[gb] == 1)
+                             & (junc2_kind[gb] == 0)
+                             & (clip_l[gb] == 0) & (clip_r[gb] == 0)
+                             & (best < 0))
+        if elj.size:
+            mmtab = self.scoring.mm_pen_table()
+            cliptab = self.scoring.clip_pen_table()
+            ref = self.ref_codes
+            snv_pos = snv_alt = None
+            if self.variants is not None and \
+                    len(getattr(self.variants, "snp_pos", ())):
+                kind = np.asarray(self.variants.snp_kind)
+                sgl = np.flatnonzero(kind == 0)
+                jo = np.asarray(self.variants.snp_joined)[sgl]
+                so_v = np.argsort(jo, kind="stable")
+                snv_pos = jo[so_v].astype(np.int64)
+                snv_alt = np.asarray(
+                    self.variants.snp_seq)[sgl][so_v].astype(np.int64)
+
+            def forgiven(jpos, rdc):
+                if snv_pos is None:
+                    return False
+                i = int(np.searchsorted(snv_pos, jpos, side="left"))
+                while i < len(snv_pos) and snv_pos[i] == jpos:
+                    if snv_alt[i] == rdc:
+                        return True
+                    i += 1
+                return False
+
+            for e in elj:
+                g = int(gb[e])
+                rd = int(seg_read[e])
+                L = int(lens[rd])
+                rc_f = bool(o[bnd[e]])
+                seq_or = codes[rd, :L].astype(np.int64)
+                qual_or = quals[rd, :L].astype(np.int64)
+                if rc_f:
+                    seq_or = np.where(seq_or < 4, 3 - seq_or,
+                                      seq_or)[::-1]
+                    qual_or = qual_or[::-1]
+                # batch quals are PHRED (io.fasta decode_quals)
+                ph = np.clip(qual_or, 0, 40)
+                s0 = int(s[bnd[e]])
+                jx = int(junc_x[g])
+                jl = int(junc_len[g])
+                if jx <= 0 or jx >= L or jl <= 0 \
+                        or s0 + jl + L > len(ref):
+                    continue
+                exp = np.empty(L, np.int64)
+                exp[:jx] = ref[s0:s0 + jx]
+                exp[jx:] = ref[s0 + jx + jl:s0 + jl + L]
+                diff = np.flatnonzero((exp != seq_or) & (seq_or < 4)
+                                      & (exp < 4))
+                raw_mm = [int(p) for p in diff
+                          if not forgiven(s0 + p + (jl if p >= jx
+                                                    else 0),
+                                          int(seq_or[p]))]
+                if not raw_mm:
+                    continue
+                best_e = int(best[e])
+                gate = max(int(minsc[rd]), int(best_before[lane[g]]))
+                pen = {p: int(mmtab[ph[p]]) for p in raw_mm}
+                zs_cand = -2 ** 40
+                win = None                   # (side, k) of best trim
+                # trimMax = (stage - gate) // sc(0), sc(0) = sp_min
+                # flank-length caps (oracle-fitted on the RNA fuzz,
+                # consistent with the round-2 ungapped probe bounds
+                # 5' <= 10 / 3' <= 9): whether the trimmed intermediate
+                # completes its own junction re-combine depends on the
+                # motif class — right flanks complete for canonical
+                # k <= 9, semi-canonical k <= 5, never for motif-less;
+                # left flanks for k <= 10 regardless of motif
+                sdir = int(spl_dir[g])
+                r_cap = 9 if sdir in (1, 2) else (
+                    5 if sdir in (3, 4) else 0)
+                sp_min = int(cliptab[0])
+                # stage walk, innermost flank mm outward: at stage t the
+                # recursion is stuck at mm p_t and reports the trim; it
+                # advances past p_t only when the direct extension gate
+                # holds — rext = gap to the next stop >= min(minK_local,
+                # remaining) (spliced_aligner.h:1801: rightext >=
+                # min(_minK_local, rdlen - len - rdoff))
+                mkl = 8
+                # trims may not consume a whole exon segment
+                right = sorted(p for p in raw_mm if p > jx)
+                for t, p in enumerate(right):
+                    k = L - p
+                    stage = best_e + sum(pen[q2] for q2 in right[t:])
+                    clip = int(cliptab[ph[p:]].sum())
+                    cand = stage - clip
+                    if k <= r_cap and k < (stage - gate) // sp_min \
+                            and cand >= int(minsc[rd]) and cand > zs_cand:
+                        zs_cand, win = cand, ("r", k)
+                    nxt = right[t + 1] if t + 1 < len(right) else L
+                    if nxt - p < min(mkl, k):
+                        break          # direct-ext gate fails: no deeper
+                left_f = sorted((p for p in raw_mm if p < jx - 1),
+                                reverse=True)
+                for t, p in enumerate(left_f):
+                    k = p + 1
+                    stage = best_e + sum(pen[q2] for q2 in left_f[t:])
+                    clip = int(cliptab[ph[:p + 1]].sum())
+                    cand = stage - clip
+                    if k <= 10 and k < (stage - gate) // sp_min and \
+                            cand >= int(minsc[rd]) and cand > zs_cand:
+                        zs_cand, win = cand, ("l", k)
+                    nxt = left_f[t + 1] if t + 1 < len(left_f) else -1
+                    if p - nxt < min(mkl, k):
+                        break
+                if win is None:
+                    continue
+                if zs_cand > best_e:
+                    # the trimmed form outranks the full one: the
+                    # reference reports the trim FIRST, then the direct
+                    # extension's full form fails the sink-best gate and
+                    # is never reported — so the soft-clipped variant IS
+                    # the alignment, with no ZS (oracle rf182 shape)
+                    if win[0] == "r":
+                        clip_r[g] = win[1]
+                    else:
+                        clip_l[g] = win[1]
+                    sc[bnd[e]] = zs_cand
+                    best[e] = zs_cand
+                elif zs_cand > alt_of_best[e]:
+                    alt_of_best[e] = zs_cand
         tick("zsalt")
         alt_valid = alt_of_best >= minsc[seg_read]
         sec_cand = np.where(seg_len > 1,

@@ -600,7 +600,8 @@ def inject_known(ref_words, n_text: int, reads, quals, lens, rdids,
                  starts, valid, P_raw, tot_raw, Pm, tot_m,
                  kd, ka, krdid, ka_s, kd_s, krdid_a,
                  mm_pen, n_pen: int, minsc, slots: int = 2,
-                 src_clip_l=None, src_clip_r=None, clip_pen=None):
+                 src_clip_l=None, src_clip_r=None, clip_pen=None,
+                 snv_delta1=None, snv_delta2=None):
     """Known/temp splice-site directed candidates (the TPU-native equivalent
     of the reference's splice-site-driven re-alignment,
     spliced_aligner.h:296-407 getLeftSpliceSites / :409-500,1213-1338
@@ -668,9 +669,13 @@ def inject_known(ref_words, n_text: int, reads, quals, lens, rdids,
 
     planes = extend_ops.pen_planes(
         ref_words, n_text, reads, quals, lens,
-        jnp.where(ok_all, fresh, -1), mm_pen, n_pen)
+        jnp.where(ok_all, fresh, -1), mm_pen, n_pen,
+        snv_delta1=snv_delta1, snv_delta2=snv_delta2)
     zero3 = jnp.zeros((N, J, 1), jnp.int32)
-    Pf = jnp.concatenate([zero3, jnp.cumsum(planes.pen_raw, axis=2)], axis=2)
+    # SNV-forgiving penalties: the reference's site-guided extend/combine
+    # runs with ALT forgiveness (tempHit.extend -> alignWithALTs), so a
+    # catalog SNV inside either exon piece costs nothing
+    Pf = jnp.concatenate([zero3, jnp.cumsum(planes.pen, axis=2)], axis=2)
     Pfm = jnp.concatenate(
         [zero3, jnp.cumsum(planes.mm_raw.astype(jnp.int32), axis=2)], axis=2)
     lens3 = jnp.broadcast_to(lens[:, None, None], (N, J, 1))
