@@ -187,22 +187,36 @@ def run_genotype_msa(args) -> int:
     from .msa import parse_msa
     from .typing import variant_compatibility
 
+    from ..index.variants import pack_allele
+
     backbone, allele_vars, var_ids, spans = parse_msa(args.msa)
     index = build_fm_index([("backbone", backbone)])
-    # union SNVs -> forgiving extension planes (reads from any allele
-    # anchor on the backbone even across their private variants)
-    snvs = sorted({v for v in var_ids if v[0] == "S"},
-                  key=lambda v: (v[1], v[2]))
+    # union variants -> forgiving extension planes + known indel ALTs
+    # (reads from any allele anchor on the backbone even across their
+    # private variants; STR/CODIS alleles differ ONLY by repeat-length
+    # indels, so deletions/insertions must be zero-cost catalog events)
+    uvars = sorted(var_ids, key=lambda v: (v[1], v[0], str(v[2])))
+    kinds, poss, lens_v, seqs_v = [], [], [], []
+    for v in uvars:
+        if v[0] == "S":
+            kinds.append(0); lens_v.append(1)
+            seqs_v.append("ACGT".index(v[2]))
+        elif v[0] == "D":
+            kinds.append(1); lens_v.append(int(v[2])); seqs_v.append(0)
+        else:
+            kinds.append(2); lens_v.append(len(v[2]))
+            seqs_v.append(pack_allele(v[2]))
+        poss.append(v[1])
     empty32 = np.zeros(0, np.int32)
     empty8 = np.zeros(0, np.int8)
     db = VariantDB(
-        snp_names=[f"hv{i}" for i in range(len(snvs))],
-        snp_kind=np.zeros(len(snvs), np.int8),
-        snp_ref=np.zeros(len(snvs), np.int32),
-        snp_pos=np.array([v[1] for v in snvs], np.int32),
-        snp_joined=np.array([v[1] for v in snvs], np.int64),
-        snp_len=np.ones(len(snvs), np.int32),
-        snp_seq=np.array(["ACGT".index(v[2]) for v in snvs], np.int64),
+        snp_names=[f"hv{i}" for i in range(len(uvars))],
+        snp_kind=np.array(kinds, np.int8),
+        snp_ref=np.zeros(len(uvars), np.int32),
+        snp_pos=np.array(poss, np.int32),
+        snp_joined=np.array(poss, np.int64),
+        snp_len=np.array(lens_v, np.int32),
+        snp_seq=np.array(seqs_v, np.int64),
         ss_ref=empty32, ss_left=empty32, ss_right=empty32,
         ss_strand=empty8, exon_ref=empty32, exon_left=empty32,
         exon_right=empty32, exon_strand=empty8,
@@ -224,8 +238,38 @@ def run_genotype_msa(args) -> int:
             codes = b.codes[i, :L].astype(np.int8)
             if a.rc:
                 codes = np.where(codes < 4, 3 - codes, codes)[::-1]
-            codes = codes[a.clip_l:L - a.clip_r]
-            aligned.append((name, int(a.joined_pos + a.clip_l), codes))
+            # segment/indel observations from the junction structure:
+            # catalog indels (STR repeat-length differences) are the
+            # discriminating variants, SNVs come from per-base compare
+            segs_j, juncs = a.segments(L)
+            segs, indels = [], []
+            for lo, hi, diag in segs_j:
+                if hi > lo:
+                    segs.append((int(diag + lo), codes[lo:hi]))
+            for jn, (x, kind, jlen, _) in enumerate(juncs):
+                # catalog event: the injection carries the variant id
+                # (uvars row) — exact, placement-ambiguity-free
+                sid = int(getattr(a, "junc_snp", -1)) if jn == 0 else -1
+                if sid >= 0:
+                    indels.append(uvars[sid])
+                    continue
+                d1 = next(d for lo, hi, d in segs_j if hi >= x)
+                if kind == 2:          # deletion of jlen backbone bases
+                    indels.append(("D", int(d1 + x), int(jlen)))
+                elif kind == 3:        # insertion of read bases
+                    seq = "".join("ACGTN"[c] for c in
+                                  codes[x:x - jlen])
+                    indels.append(("I", int(d1 + x), seq))
+            aligned.append((name, segs, indels))
+            # a FREE catalog indel inside a repeat run is placement-
+            # ambiguous: the clean shifted diagonal is an equal-score
+            # interpretation the report suppressed as contained — offer
+            # it too (the compatibility keeps whichever fits better)
+            if (indels and len(juncs) == 1 and a.junc_snp >= 0
+                    and a.junc2_kind == 0):
+                alt_start = int(a.junc_d2 + a.clip_l)
+                body = codes[a.clip_l:L - a.clip_r]
+                aligned.append((name, [(alt_start, body)], []))
     read_alleles = variant_compatibility(
         backbone, allele_vars, var_ids, spans, aligned,
         editdist=args.num_editdist)
@@ -255,10 +299,15 @@ def run_genotype_msa(args) -> int:
         # sample's two haplotype sequences from the phased reads
         from ..utils.bitops import decode_dna
         from .assembly import assemble
+        snvs = [v for v in uvars if v[0] == "S"]
         snv_pos = np.array([v[1] for v in snvs], np.int32)
         snv_alt = np.array(["ACGT".index(v[2]) for v in snvs], np.int8)
+        # assembly phases SNVs over gapless stretches: flatten the
+        # segment records (one entry per aligned segment)
+        flat = [(nm, st, cd) for nm, segs, _ in aligned
+                for st, cd in segs]
         haps, assign, cov = assemble(
-            np.asarray(backbone, np.int8), snv_pos, snv_alt, aligned)
+            np.asarray(backbone, np.int8), snv_pos, snv_alt, flat)
         fa = f"{args.out_base}.assembly.fa"
         with open(fa, "w") as f:
             for g, h in enumerate(haps):
@@ -335,6 +384,15 @@ def build_parser():
                      help="splice --database-list backbones into "
                           "GENOME_FA and rebase their variant DBs "
                           "(hisatgenotype_build_genome equivalent)")
+    sub.add_argument("--convert-str", dest="convert_str",
+                     metavar="SPEC",
+                     help="CODIS-style STR repeat-structure TSV -> "
+                          "per-locus allele MSAs (convert_codis "
+                          "equivalent)")
+    sub.add_argument("--extract-cyp", dest="extract_cyp",
+                     metavar="VAR,FASTA",
+                     help="CYP star-allele variant table + gene FASTA "
+                          "-> allele MSA (extract_cyp_data equivalent)")
     sub.add_argument("--extract-vars", dest="extract_vars", metavar="DB",
                      help="IMGT-style DB dir (msf/<gene>_gen.msf [+ "
                           "fasta/, hla.dat]) -> backbone + "
@@ -376,6 +434,15 @@ def build_parser():
                    action="store_true",
                    help="also rank diploid allele PAIRS by "
                         "log-likelihood (li_hla/main.cpp model)")
+    p.add_argument("--flanks", default=None,
+                   help="with --convert-str: FASTA of <locus>_left/"
+                        "_right flanking sequences")
+    p.add_argument("--cyp-offset-pos", type=int, default=-1,
+                   help="with --extract-cyp: string index of gene "
+                        "position +1, minus 1")
+    p.add_argument("--cyp-offset-neg", type=int, default=0,
+                   help="with --extract-cyp: string index of gene "
+                        "position -1, plus 1")
     p.add_argument("--top", type=int, default=5,
                    help="ranked alleles to print per gene")
     return p
@@ -392,6 +459,18 @@ def main(argv=None):
         print(f"{nv} variants, {nh} haplotypes rebased",
               file=sys.stderr)
         return 0
+    if getattr(args, "convert_str", None):
+        from .strloci import main_convert
+        return main_convert([args.convert_str] +
+                            (["--flanks", args.flanks]
+                             if args.flanks else []) +
+                            ["-o", args.out_base])
+    if getattr(args, "extract_cyp", None):
+        from .cypvar import main_extract
+        return main_extract(args.extract_cyp.split(",") + [
+            "-o", args.out_base + ".msa.fa",
+            "--offset-pos", str(args.cyp_offset_pos),
+            "--offset-neg", str(args.cyp_offset_neg)])
     if getattr(args, "extract_vars", None):
         from .vars import extract_vars
         nv, nh = extract_vars(

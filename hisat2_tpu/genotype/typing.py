@@ -144,12 +144,15 @@ def variant_compatibility(backbone, allele_vars, var_ids, allele_spans,
                           aligned_reads, editdist: int = 2):
     """Variant-set compatibility (hisatgenotype_locus.py typing: a read
     is compatible with the alleles whose variant set it matches over the
-    covered span; distance = symmetric difference of SNV sets, bounded
-    by --num-editdist).
+    covered span; distance = symmetric difference of the read's observed
+    variant set vs each allele's, bounded by --num-editdist).
 
-    aligned_reads: [(name, start, codes_on_bb)] — backbone start + the
-    read's bases in backbone orientation (clips removed).
-    Returns {read_name: set(allele)}.
+    aligned_reads entries are either the legacy (name, start,
+    codes_on_bb) — one gapless segment — or (name, segments, indels)
+    with segments = [(start, codes_on_bb)] and indels = observed
+    catalog-indel keys [('D', pos, len) | ('I', pos, seq)] from the
+    alignment's junction structure (STR/CODIS alleles differ only by
+    such indels).  Returns {read_name: set(allele)}.
     """
     alleles = sorted(allele_vars)
     ai = {a: i for i, a in enumerate(alleles)}
@@ -166,33 +169,81 @@ def variant_compatibility(backbone, allele_vars, var_ids, allele_spans,
         for v in vs:
             if v[0] == "S":
                 memb[key_to_row[(v[1], "ACGT".index(v[2]))], ai[a]] = True
+    # indel variants: membership + position index for span counting
+    ind = sorted({v for v in var_ids if v[0] != "S"},
+                 key=lambda v: (v[1], v[0], str(v[2])))
+    ind_row = {v: r for r, v in enumerate(ind)}
+    ipos = np.array([v[1] for v in ind], np.int64)
+    imemb = np.zeros((len(ind), A), bool)
+    for a, vs in allele_vars.items():
+        for v in vs:
+            if v[0] != "S":
+                imemb[ind_row[v], ai[a]] = True
     span_lo = np.array([allele_spans[a][0] for a in alleles], np.int64)
     span_hi = np.array([allele_spans[a][1] for a in alleles], np.int64)
 
-    out = {}
+    dists = {}
     bb = np.asarray(backbone)
-    for name, start, codes in aligned_reads:
-        e = start + len(codes)
-        if e > len(bb) or start < 0:
-            continue
-        ref = bb[start:e]
-        mmpos = np.flatnonzero(codes != ref)
+    for rec in aligned_reads:
+        if len(rec) == 3 and isinstance(rec[1], (int, np.integer)):
+            name, start, codes = rec
+            segs, indels = [(start, codes)], []
+        else:
+            name, segs, indels = rec
         known_rows, unknown = [], 0
-        for p in mmpos:
-            r = key_to_row.get((start + int(p), int(codes[p])))
-            if r is None:
-                unknown += 1
-            else:
-                known_rows.append(r)
-        lo = np.searchsorted(vpos, start)
-        hi = np.searchsorted(vpos, e)
-        in_span = memb[lo:hi].sum(axis=0).astype(np.int64)
+        in_span = np.zeros(A, np.int64)
+        lo_all, hi_all = None, None
+        bad = False
+        for start, codes in segs:
+            e = start + len(codes)
+            if e > len(bb) or start < 0:
+                bad = True
+                break
+            ref = bb[start:e]
+            for p in np.flatnonzero(codes != ref):
+                r = key_to_row.get((start + int(p), int(codes[p])))
+                if r is None:
+                    unknown += 1
+                else:
+                    known_rows.append(r)
+            lo = np.searchsorted(vpos, start)
+            hi = np.searchsorted(vpos, e)
+            in_span += memb[lo:hi].sum(axis=0).astype(np.int64)
+            lo_all = start if lo_all is None else min(lo_all, start)
+            hi_all = e if hi_all is None else max(hi_all, e)
+        if bad or lo_all is None:
+            continue
         match = (memb[known_rows].sum(axis=0).astype(np.int64)
                  if known_rows else np.zeros(A, np.int64))
         dist = len(known_rows) + unknown + in_span - 2 * match
-        # an allele must cover the read's span (IMGT partial sequences)
-        covered = (span_lo <= start) & (span_hi >= e)
+        # indel symmetric difference over the read's span
+        if len(ind):
+            ilo = np.searchsorted(ipos, lo_all)
+            ihi = np.searchsorted(ipos, hi_all)
+            ind_in_span = imemb[ilo:ihi].sum(axis=0).astype(np.int64)
+            obs_rows, obs_unknown = [], 0
+            for k in indels:
+                r = ind_row.get(k)
+                if r is None:
+                    obs_unknown += 1
+                else:
+                    obs_rows.append(r)
+            imatch = (imemb[obs_rows].sum(axis=0).astype(np.int64)
+                      if obs_rows else np.zeros(A, np.int64))
+            dist += len(obs_rows) + obs_unknown + ind_in_span - 2 * imatch
+        elif indels:
+            dist += len(indels)
+        covered = (span_lo <= lo_all) & (span_hi >= hi_all)
         dist = np.where(covered, dist, np.int64(10 ** 6))
+        # multiple records per read = alternative placements of the
+        # same read (e.g. a free catalog indel inside a repeat vs the
+        # clean shifted diagonal): keep the elementwise-min distance
+        if name in dists:
+            dists[name] = np.minimum(dists[name], dist)
+        else:
+            dists[name] = dist
+    out = {}
+    for name, dist in dists.items():
         dmin = dist.min()
         if dmin > editdist:
             continue
