@@ -36,8 +36,11 @@ class SpliceSiteDB:
         self.min_anchor = min_anchor
         # site dict: (ref, left, right) -> [dir, rdid(min), fromfile, nreads]
         self.sites = {}
-        self._tables = None         # cached device tables
-        self._tables_key = None
+        self._tables = {}           # cached device tables per shard
+                                    # window (multi-shard dispatches
+                                    # alternate windows; a single-slot
+                                    # cache re-sorted and re-uploaded
+                                    # the tables on every dispatch)
         self._by_ref = None         # cached host lookup (ref coords)
         self._capacity = 0
 
@@ -65,7 +68,7 @@ class SpliceSiteDB:
         key = (int(ref_id), int(left), int(right))
         if key not in self.sites:
             self.sites[key] = [SPL_UNKNOWN, -1, True, 0]
-            self._tables = None
+            self._tables = {}
             self._by_ref = None
         else:
             self.sites[key][2] = True
@@ -95,13 +98,13 @@ class SpliceSiteDB:
         cur = self.sites.get(key)
         if cur is None:
             self.sites[key] = [int(spl_dir), int(rdid), False, 1]
-            self._tables = None
+            self._tables = {}
             self._by_ref = None
             return True
         cur[3] += 1
         if not cur[2] and rdid < cur[1]:
             cur[1] = int(rdid)
-            self._tables = None
+            self._tables = {}
             self._by_ref = None
         return False
 
@@ -229,8 +232,9 @@ class SpliceSiteDB:
         [base, base+n) rebase to shard-local, sites outside drop (the
         shard's device pass only sees its own slice of the genome)."""
         import jax.numpy as jnp
-        if self._tables is not None and self._tables_key == (base, n):
-            return self._tables
+        cached = self._tables.get((base, n))
+        if cached is not None:
+            return cached
         kd, ka, rdid = [], [], []
         for (ref, left, right), (sdir, srd, ff, nr) in self.sites.items():
             jl = self._to_joined(ref, left)
@@ -269,14 +273,14 @@ class SpliceSiteDB:
             aka2[:n], akd2[:n], ard2[:n] = ka[o2], kd[o2], rdid[o2]
         else:
             akd2, aka2, ard2 = akd.copy(), aka.copy(), ard.copy()
-        self._tables = {
+        tabs = {
             "ss_kd": jnp.asarray(akd), "ss_ka": jnp.asarray(aka),
             "ss_rdid": jnp.asarray(ard),
             "ss_ka_s": jnp.asarray(aka2), "ss_kd_s": jnp.asarray(akd2),
             "ss_rdid_a": jnp.asarray(ard2),
         }
-        self._tables_key = (base, n)
-        return self._tables
+        self._tables[(base, n)] = tabs
+        return tabs
 
     # ------------------------------------------------------------------
     def write_novel(self, path: str) -> None:
