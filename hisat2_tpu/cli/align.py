@@ -75,7 +75,8 @@ def build_parser():
                    help="strip leading 'chr' from reference names")
     p.add_argument("--add-chrname", action="store_true",
                    help="prepend 'chr' to reference names")
-    p.add_argument("--omit-sec-seq", action="store_true",
+    p.add_argument("--omit-sec-seq", "--sam-omit-sec-seq",
+                   action="store_true",
                    help="print * for SEQ/QUAL of secondary alignments")
     p.add_argument("--reorder", action="store_true",
                    help="accepted; output is already in input order")
@@ -92,7 +93,8 @@ def build_parser():
                    help="inputs are FASTQ (default: sniffed)")
     p.add_argument("-f", dest="fasta", action="store_true",
                    help="inputs are FASTA")
-    p.add_argument("-k", dest="khits", type=int, default=None,
+    p.add_argument("-k", "--khits", dest="khits", type=int,
+                   default=None,
                    help="max # distinct alignments to report "
                         "(default 5 linear / 10 graph, hisat2.cpp:3701)")
     p.add_argument("-a", "--all", dest="all_hits", action="store_true",
@@ -197,12 +199,15 @@ def build_parser():
     p.add_argument("--no-unal", action="store_true",
                    help="suppress SAM records for unaligned reads")
     p.add_argument("--no-hd", "--sam-no-hd", "--sam-nohead", "--no-head",
+                   "--sam-no-head", "--sam-noHD", "--no-HD",
                    dest="no_hd", action="store_true",
                    help="suppress header")
-    p.add_argument("--no-sq", "--sam-no-sq", "--sam-nosq", dest="no_sq",
+    p.add_argument("--no-sq", "--sam-no-sq", "--sam-nosq",
+                   "--sam-noSQ", "--no-SQ", dest="no_sq",
                    action="store_true", help="suppress @SQ header lines")
     p.add_argument("--rg-id", "--sam-rg-id", dest="rg_id", default=None)
-    p.add_argument("--rg", "--sam-rg", dest="rg", action="append",
+    p.add_argument("--rg", "--sam-rg", "--sam-RG", "--RG",
+                   dest="rg", action="append",
                    default=[])
     p.add_argument("-I", "--minins", type=int, default=0)
     p.add_argument("-X", "--maxins", type=int, default=500)
@@ -211,6 +216,10 @@ def build_parser():
     p.add_argument("--rf", dest="orient", action="store_const", const="rf")
     p.add_argument("--ff", dest="orient", action="store_const", const="ff")
     p.add_argument("--no-mixed", action="store_true")
+    p.add_argument("--no-dovetail", dest="no_dovetail",
+                   action="store_true",
+                   help="accepted alias: dovetailing already rejected "
+                        "by default (pe.h default)")
     p.add_argument("--dovetail", action="store_true",
                    help="concordant when mates extend past each other")
     p.add_argument("--no-contain", action="store_true",

@@ -145,20 +145,27 @@ def ref_chars_block(ref_words, n_text: int, start, L: int):
         r0 = w0 >> 3
         roff = jnp.arange(NR, dtype=jnp.int32)
         ridx = jnp.clip(r0[..., None] + roff, 0, nr - 1)
-        # gather 8-word SLICES straight from the flat array: a reshape
-        # to [nr, 8] would re-tile the operand with the minor dim padded
-        # 8 -> 128 — a 16x O(genome) TEMP copy per executable (7.7 GB on
-        # a 1.9 Gbp shard, the genome-scale OOM)
-        words = jax.lax.gather(
-            ref_words,
-            (ridx * 8)[..., None].astype(jnp.int32),
-            jax.lax.GatherDimensionNumbers(
-                offset_dims=(ridx.ndim,),
-                collapsed_slice_dims=(),
-                start_index_map=(0,)),
-            slice_sizes=(8,),
-            mode=jax.lax.GatherScatterMode.CLIP,
-        ).reshape(w0.shape + (NR * 8,))                   # [..., C, NR*8]
+        if nw <= (8 << 20):
+            # row-gather over a [nr, 8] view: fastest lowering, but the
+            # re-tiled operand pads the minor dim 8 -> 128 — a 16x
+            # O(genome) scratch copy per executable.  Fine up to 512 MB
+            # of scratch (8M words = 128 Mbp); prohibitive at genome
+            # scale (7.7 GB on a 1.9 Gbp shard = the config-6 OOM)
+            rows = ref_words.reshape(nr, 8)
+            words = rows[ridx].reshape(w0.shape + (NR * 8,))
+        else:
+            # genome-scale: gather 8-word SLICES straight from the flat
+            # array — zero scratch, same two descriptors per diagonal
+            words = jax.lax.gather(
+                ref_words,
+                (ridx * 8)[..., None].astype(jnp.int32),
+                jax.lax.GatherDimensionNumbers(
+                    offset_dims=(ridx.ndim,),
+                    collapsed_slice_dims=(),
+                    start_index_map=(0,)),
+                slice_sizes=(8,),
+                mode=jax.lax.GatherScatterMode.CLIP,
+            ).reshape(w0.shape + (NR * 8,))               # [..., C, NR*8]
         wsel = (w0 & 7)[..., None] + (bitpos >> 4)        # in [0, NR*8)
         NW = NR * 8
     else:
