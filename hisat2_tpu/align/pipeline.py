@@ -37,7 +37,7 @@ from ..ops import splice as splice_ops
 from ..utils import bitops
 from ..utils.trace import section_timer
 from . import mapq as mapq_mod
-from .scoring import Scoring
+from .scoring import Scoring, SimpleFunc
 
 
 class SpillOverflow(Exception):
@@ -2783,10 +2783,23 @@ class TPUAligner:
         # (the raw n_mm column is 0 for spliced candidates — flank
         # mismatches are only recovered at render time — so eligibility
         # is by score and the mismatch scan below decides)
+        # the stage-walk caps below (r_cap 9/5/0, left 10, mkl=8) were
+        # oracle-fitted AT DEFAULT SCORING (--mp 6,2 --sp 2,1
+        # --score-min L,0,-0.2); under other penalty settings the
+        # trimmed-intermediate geometry changes and the zs_cand > best_e
+        # branch could silently rewrite the primary — gate the whole
+        # model to default scoring and fall back to no-ZS otherwise
+        sc_def = self.scoring
+        default_scoring = (
+            sc_def.mm_max == 6 and sc_def.mm_min == 2
+            and sc_def.sp_max == 2 and sc_def.sp_min == 1
+            and not sc_def.no_softclip
+            and sc_def.score_min == SimpleFunc("L", 0.0, -0.2))
         elj = np.flatnonzero((junc_kind[gb] == 1)
                              & (junc2_kind[gb] == 0)
                              & (clip_l[gb] == 0) & (clip_r[gb] == 0)
-                             & (best < 0))
+                             & (best < 0)) if default_scoring else \
+            np.empty(0, np.int64)
         if elj.size:
             mmtab = self.scoring.mm_pen_table()
             cliptab = self.scoring.clip_pen_table()

@@ -45,8 +45,18 @@ def parse_var(tok: str):
         return ("D", lo, seq)
     m = _INS.match(tok)
     if m:
-        # `a_b insXX` inserts between a and b (b = a+1)
-        return ("I", int(m.group(1)), m.group(3))
+        # `a_b insXX` inserts between a and b; build_msa's convention is
+        # insert-BEFORE-index, so the position is b (the second
+        # coordinate).  The reference's makeIns inserts after index(a),
+        # i.e. the same between-a-and-b slot
+        # (hisatgenotype_extract_cyp_data.py makeMSF).  Gene numbering
+        # has no zero: after -1 comes +1.
+        if m.group(2) is not None:
+            pos = int(m.group(2))
+        else:
+            a = int(m.group(1))
+            pos = 1 if a == -1 else a + 1
+        return ("I", pos, m.group(3))
     raise ValueError(f"unrecognized variant notation: {tok!r}")
 
 

@@ -55,7 +55,11 @@ def test_cyp_parse_var():
     assert cypvar.parse_var("7G>T") == ("S", 7, "G", "T")
     assert cypvar.parse_var("3_4delTA") == ("D", 3, "TA")
     assert cypvar.parse_var("9delC") == ("D", 9, "C")
-    assert cypvar.parse_var("2_3insGG") == ("I", 2, "GG")
+    # insertion position is the SECOND coordinate (build_msa inserts
+    # before it; the reference makeIns inserts between a and b)
+    assert cypvar.parse_var("2_3insGG") == ("I", 3, "GG")
+    assert cypvar.parse_var("5insT") == ("I", 6, "T")
+    assert cypvar.parse_var("-1_1insC") == ("I", 1, "C")
     assert cypvar.parse_var("None") is None
     with pytest.raises(ValueError):
         cypvar.parse_var("whatever")
@@ -81,6 +85,15 @@ def test_cyp_build_msa_ops():
     assert by["*5"].replace("-", "") == CYP_REF[:7] + "AA" + CYP_REF[7:]
     # insertion-augmented columns: every row same length
     assert len(set(len(r) for r in rows)) == 1
+
+
+def test_cyp_parse_to_msa_insertion_position():
+    # regression (round-5 advice): parsed `2_3insAA` must land between
+    # +2 and +3 in the built MSA, not between +1 and +2
+    table = cypvar.parse_var_table(["*9\t2_3insAA"])
+    names, rows = cypvar.build_msa(CYP_REF, table, OFF_POS, OFF_NEG)
+    by = dict(zip(names, rows))
+    assert by["*9"].replace("-", "") == CYP_REF[:7] + "AA" + CYP_REF[7:]
 
 
 def test_cyp_reference_base_check():

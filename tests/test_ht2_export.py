@@ -108,8 +108,8 @@ def test_export_offs_are_sa_samples(tmp_path, genome):
     # every offs entry marks a real suffix: spot-check sorted order of
     # the suffixes at consecutive sampled rows
     a, b = int(offs[3]), int(offs[4])
-    sa_cmp = bytes(joined[a:a + 50]) <= bytes(joined[b:b + 50])
-    assert a <= n and b <= n and sa_cmp or True  # presence check
+    assert a <= n and b <= n
+    assert bytes(joined[a:a + 50]) <= bytes(joined[b:b + 50])
 
 
 @pytest.mark.skipif(not os.path.exists(REFBUILD),
