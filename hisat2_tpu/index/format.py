@@ -131,13 +131,15 @@ class FMIndex:
         # the raw ones
         arrs.pop("occ2", None)
         arrs.pop("bwt2_words", None)
-        # pad ref_words to a multiple of 8: ref_chars_block then gathers
-        # 8-word ROWS (2 descriptors per diagonal) instead of 8 scalar
-        # words — the TPU gather path is descriptor-bound (ops/rank.py)
+        # pad ref_words to a multiple of 128: ref_chars_block gathers
+        # word ROWS (2 descriptors per diagonal) instead of scalar words
+        # — the TPU gather path is descriptor-bound, and genome-scale
+        # operands additionally need the 128-word-row reshape to hit the
+        # fast gather lowering without a re-tiling scratch (ops/rank.py)
         rw = np.asarray(arrs["ref_words"])
-        if len(rw) % 8:
+        if len(rw) % 128:
             arrs["ref_words"] = np.concatenate(
-                [rw, np.zeros(8 - len(rw) % 8, rw.dtype)])
+                [rw, np.zeros(128 - len(rw) % 128, rw.dtype)])
         # same for the full SA (off_rate == 0): resolve_consecutive
         # gathers 8-entry rows of consecutive SA values
         sm = np.asarray(arrs["sa_marked"])

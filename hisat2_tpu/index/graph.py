@@ -56,7 +56,10 @@ def build_graph_arrays(index, db: VariantDB, ref_codes=None,
     n = index.meta.n
     if ref_codes is None:
         ref_codes = bitops.unpack_2bit(np.asarray(index.ref_words), n)
-    nwords = (n + 15) // 16 if with_planes else 1
+    # pad the packed planes to a multiple of 128 words, matching the
+    # ref_words padding: ref_chars_block's genome-scale fast path
+    # gathers 128-word rows (ops/rank.py)
+    nwords = (((n + 15) // 16 + 127) // 128) * 128 if with_planes else 1
 
     sgl = np.flatnonzero((db.snp_kind == SNP_SGL) & (db.snp_joined >= 0))
     pos = db.snp_joined[sgl].astype(np.int64)

@@ -120,6 +120,15 @@ def ref_char(ref_words, pos):
             ).astype(jnp.int32)
 
 
+# row-gather scratch gate: gathering rows of a reshape(nw//8, 8) view
+# re-tiles the operand minor-dim 8 -> 128, a 16x O(genome) scratch copy
+# per executable — fine up to 512 MB of scratch (8M words = 128 Mbp),
+# prohibitive at genome scale (7.7 GB on a 1.9 Gbp shard).  Above the
+# gate, genome-scale operands use the 128-word-row path below (module
+# constant so tests can force the big path on small fixtures).
+_ROW8_MAX_WORDS = 8 << 20
+
+
 def ref_chars_block(ref_words, n_text: int, start, L: int):
     """Chars ref[start + t] for t in [0, L): [..., L] int32, 4 where the
     position leaves the text.
@@ -139,23 +148,45 @@ def ref_chars_block(ref_words, n_text: int, start, L: int):
     t = jnp.arange(L, dtype=jnp.int32)
     bitpos = rel + t                                      # broadcast [..., L]
     sh = (2 * (bitpos & 15)).astype(jnp.uint32)
-    if nw % 8 == 0:
+    if nw % 128 == 0 and nw > _ROW8_MAX_WORDS:
+        # genome-scale: reshape to 128-word rows — minor dim exactly one
+        # (8, 128) tile lane row, so the reshape is layout-compatible
+        # (NO re-tiling scratch; verified via memory_analysis, round 5)
+        # and the row gather takes the TPU's fast gather path (~11 ns/
+        # row vs ~1.6 us/descriptor for a flat lax.gather slice — the
+        # slice lowering is effectively serial and was 78% of config-6
+        # device time).  The W-word span at any 128-word phase needs
+        # ceil((127 + W)/128) = 2 rows for W <= 129 (reads + margin up
+        # to ~2000 chars); the span is then extracted with one
+        # take_along_axis over the 256 gathered words.
+        nr = nw // 128
+        NRR = (126 + W) // 128 + 1
+        r0 = w0 >> 7
+        roff = jnp.arange(NRR, dtype=jnp.int32)
+        ridx = jnp.clip(r0[..., None] + roff, 0, nr - 1)
+        rows = ref_words.reshape(nr, 128)
+        wide = rows[ridx].reshape(w0.shape + (NRR * 128,))
+        base = (w0 & 127)[..., None]                      # [..., C, 1]
+        words = jnp.take_along_axis(
+            wide, base + jnp.arange(W, dtype=jnp.int32), axis=-1)
+        wsel = bitpos >> 4                                # in [0, W)
+        NW = W
+    elif nw % 8 == 0:
         nr = nw // 8
         NR = (W + 7) // 8 + 1       # rows covering W words at any offset
         r0 = w0 >> 3
         roff = jnp.arange(NR, dtype=jnp.int32)
         ridx = jnp.clip(r0[..., None] + roff, 0, nr - 1)
-        if nw <= (8 << 20):
-            # row-gather over a [nr, 8] view: fastest lowering, but the
-            # re-tiled operand pads the minor dim 8 -> 128 — a 16x
-            # O(genome) scratch copy per executable.  Fine up to 512 MB
-            # of scratch (8M words = 128 Mbp); prohibitive at genome
-            # scale (7.7 GB on a 1.9 Gbp shard = the config-6 OOM)
+        if nw <= _ROW8_MAX_WORDS:
+            # row-gather over a [nr, 8] view (fast lowering; scratch
+            # acceptable below the gate — see _ROW8_MAX_WORDS)
             rows = ref_words.reshape(nr, 8)
             words = rows[ridx].reshape(w0.shape + (NR * 8,))
         else:
-            # genome-scale: gather 8-word SLICES straight from the flat
-            # array — zero scratch, same two descriptors per diagonal
+            # not 128-padded (legacy upload): gather 8-word SLICES from
+            # the flat array — zero scratch, but the slice lowering is
+            # ~100x slower per descriptor; FMIndex.to_device pads to 128
+            # words precisely so the branch above runs instead
             words = jax.lax.gather(
                 ref_words,
                 (ridx * 8)[..., None].astype(jnp.int32),

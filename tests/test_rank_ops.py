@@ -169,3 +169,37 @@ def test_partial_search2_equivalence():
                                jnp.asarray(reads), jnp.asarray(lens))
         for x, y in zip(a, b):
             assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_ref_chars_block_branch_equivalence(monkeypatch):
+    """The three ref_chars_block lowerings (8-word-row view, flat-slice
+    gather, 128-word-row genome-scale path) produce identical chars —
+    including negative/OOB starts and window margins."""
+    rng = np.random.default_rng(9)
+    n = 128 * 16 * 37 + 5                   # not 16- or 128-word aligned
+    g = rng.integers(0, 4, n).astype(np.uint32)
+    words = np.zeros(((n + 15) // 16), np.uint32)
+    sh = 2 * (np.arange(n) % 16)
+    np.bitwise_or.at(words, np.arange(n) // 16, g << sh)
+    pad8 = np.concatenate(
+        [words, np.zeros((-len(words)) % 8, np.uint32)])
+    pad128 = np.concatenate(
+        [words, np.zeros((-len(words)) % 128, np.uint32)])
+    starts = np.concatenate([
+        rng.integers(-30, n + 30, 200),
+        [0, -1, n - 1, n - 150, 5]]).astype(np.int32)[None, :]
+    for L in (100, 132, 57):
+        base = None
+        for arr, gate in ((pad8, 1 << 30), (pad8, 0), (pad128, 0)):
+            monkeypatch.setattr(rk, "_ROW8_MAX_WORDS", gate)
+            out = np.asarray(rk.ref_chars_block(
+                jnp.asarray(arr), n, jnp.asarray(starts), L))
+            if base is None:
+                base = out
+            else:
+                assert np.array_equal(out, base)
+        # and against the direct definition
+        pos = starts[..., None] + np.arange(L)
+        exp = np.where((pos < 0) | (pos >= n), 4,
+                       g[np.clip(pos, 0, n - 1)].astype(np.int64))
+        assert np.array_equal(base, exp)
