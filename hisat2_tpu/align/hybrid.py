@@ -388,7 +388,7 @@ class HybridAligner:
         self._sites_ver = ver
         by_r, by_l = {}, {}
         if db is not None:
-            for (ref, left, right), (sdir, srd, ff, nr) in \
+            for (ref, left, right), (sdir, srd, ff, nr, *_) in \
                     db.sites.items():
                 by_r.setdefault(ref, []).append(
                     (right, left, sdir, srd, ff))

@@ -45,22 +45,30 @@ import numpy as np
 BLOCK_BASES = 128           # rank checkpoint interval (rows per occ block)
 
 
-def fuse_blocked(occ, bwt_words, occ2=None, bwt2_words=None):
-    """uint32 [nblocks+1, 12 or 44]: per 128-row block, [occ c0..c3 |
-    8 BWT words | occ2 s0..s15 | 16 bigram words] — the rank kernel's
-    whole working set for a row, one gather.  Row width stays
-    latency-flat on the gather path (PERF.md), so fusing the bigram
-    planes is free; rank() reads only cols 0..11."""
+def fuse_blocked(occ, bwt_words, occ2=None, bwt2_words=None,
+                 mark_words=None, mark_chk=None):
+    """uint32 [nblocks+1, 12/44 (+5)]: per 128-row block, [occ c0..c3 |
+    8 BWT words | occ2 s0..s15 | 16 bigram words | 4 mark words +
+    mark-rank checkpoint] — the rank kernel's whole working set for a
+    row, one gather.  Row width stays latency-flat on the gather path
+    (PERF.md), so fusing the bigram planes is free; rank() reads only
+    cols 0..11.  The mark columns (widths 17 and 49) let the resolve
+    walk (ops/resolve.py) derive the mark bit AND the mark rank from
+    the block row it already fetched — 2 fewer gathers per LF step."""
     occ = np.asarray(occ)
     bw = np.asarray(bwt_words).reshape(-1, 8)
     nblk = bw.shape[0]
     W = 12 if occ2 is None else 44
-    out = np.zeros((nblk + 1, W), np.uint32)
+    Wm = W + (5 if mark_words is not None else 0)
+    out = np.zeros((nblk + 1, Wm), np.uint32)
     out[:, :4] = occ.astype(np.uint32)
     out[:nblk, 4:12] = bw
     if occ2 is not None:
         out[:, 12:28] = np.asarray(occ2).astype(np.uint32)
         out[:nblk, 28:44] = np.asarray(bwt2_words).reshape(-1, 16)
+    if mark_words is not None:
+        out[:nblk, W:W + 4] = np.asarray(mark_words).reshape(-1, 4)
+        out[:, W + 4] = np.asarray(mark_chk).astype(np.uint32)
     return out
 WORDS_PER_BLOCK = BLOCK_BASES // 16
 DEFAULT_OFF_RATE = 5        # SA sampled every 32 rows   (gfm.h:3909)
@@ -125,12 +133,19 @@ class FMIndex:
         import jax
         import jax.numpy as jnp
         arrs = self.arrays()
-        arrs["blocked"] = fuse_blocked(self.occ, self.bwt_words,
-                                       self.occ2, self.bwt2_words)
-        # the fused table carries the bigram planes; don't also upload
-        # the raw ones
+        sampled = self.meta.off_rate > 0
+        arrs["blocked"] = fuse_blocked(
+            self.occ, self.bwt_words, self.occ2, self.bwt2_words,
+            mark_words=self.mark_words if sampled else None,
+            mark_chk=self.mark_chk if sampled else None)
+        # the fused table carries the bigram planes (and, on sampled-SA
+        # indexes, the mark words + checkpoints the resolve walk needs);
+        # don't also upload the raw ones
         arrs.pop("occ2", None)
         arrs.pop("bwt2_words", None)
+        if sampled:
+            arrs["mark_words"] = np.zeros(1, np.uint32)
+            arrs["mark_chk"] = np.zeros(1, np.int32)
         # pad ref_words to a multiple of 128: ref_chars_block gathers
         # word ROWS (2 descriptors per diagonal) instead of scalar words
         # — the TPU gather path is descriptor-bound, and genome-scale

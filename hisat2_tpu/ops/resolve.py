@@ -33,16 +33,26 @@ def resolve_rows(blocked, fchr, mark_words, mark_chk, sa_marked,
         # every row marked: sa_marked IS the suffix array in row order
         return sa_marked[jnp.minimum(row, sa_marked.shape[0] - 1)]
     M = row.shape[0]
-    w8 = jnp.arange(8, dtype=jnp.int32)[None, :]
     w4 = jnp.arange(4, dtype=jnp.int32)[None, :]
+    # mark words + checkpoint fused into the blocked row (widths 17/49,
+    # index.format.fuse_blocked): ONE gather per step serves BWT char,
+    # LF rank, mark bit and mark rank.  Legacy 12/44-col tables fall
+    # back to separate mark gathers.
+    fused_marks = blocked.shape[1] in (17, 49)
+    Wm = blocked.shape[1] - 5
 
     def body(_, st):
-        r, steps, done, off = st
+        r, steps, done, mr_hit, st_hit = st
         blk = r >> 7
         within = r & 127
-        brow = blocked[blk]                                        # [M, 12]
+        brow = blocked[blk]                                 # [M, 12..49]
         bw = brow[:, 4:12]
-        mw = mark_words[(blk << 2)[:, None] + w4]                  # [M, 4]
+        if fused_marks:
+            mw = brow[:, Wm:Wm + 4]
+            chk = brow[:, Wm + 4].astype(jnp.int32)
+        else:
+            mw = mark_words[(blk << 2)[:, None] + w4]              # [M, 4]
+            chk = mark_chk[blk]
         # mark bit + mark rank from the same 4 words
         mword = jnp.take_along_axis(mw, ((r >> 5) & 3)[:, None],
                                     axis=1)[:, 0]
@@ -50,11 +60,13 @@ def resolve_rows(blocked, fchr, mark_words, mark_chk, sa_marked,
         nv_m = jnp.clip(within[:, None] - 32 * w4, 0, 32)
         sh_m = jnp.minimum(nv_m, 31).astype(jnp.uint32)
         msk_m = jnp.where(nv_m >= 32, _FULL, (_ONE << sh_m) - _ONE)
-        mrank = mark_chk[blk] + jax.lax.population_count(
+        mrank = chk + jax.lax.population_count(
             mw & msk_m).astype(jnp.int32).sum(axis=1)
         m = marked & ~done
-        off = jnp.where(m, sa_marked[jnp.minimum(
-            mrank, sa_marked.shape[0] - 1)] + steps, off)
+        # defer the sa_marked lookup: record (mrank, steps) at the mark
+        # and gather ONCE after the loop (16 fewer gathers per walk)
+        mr_hit = jnp.where(m, mrank, mr_hit)
+        st_hit = jnp.where(m, steps, st_hit)
         done = done | m
         # BWT char from the fetched block
         word = jnp.take_along_axis(bw, ((r >> 4) & 7)[:, None],
@@ -79,12 +91,17 @@ def resolve_rows(blocked, fchr, mark_words, mark_chk, sa_marked,
         r2 = fchr[c] + base + cnt - corr
         r = jnp.where(done, r, r2)
         steps = steps + (~done).astype(jnp.int32)
-        return r, steps, done, off
+        return r, steps, done, mr_hit, st_hit
 
     st = (row.astype(jnp.int32), jnp.zeros((M,), jnp.int32),
-          jnp.zeros((M,), bool), jnp.zeros((M,), jnp.int32))
-    _, _, done, off = jax.lax.fori_loop(0, (1 << off_rate) + 1, body, st)
-    return off
+          jnp.zeros((M,), bool), jnp.zeros((M,), jnp.int32),
+          jnp.zeros((M,), jnp.int32))
+    _, _, done, mr_hit, st_hit = jax.lax.fori_loop(
+        0, (1 << off_rate) + 1, body, st)
+    return jnp.where(
+        done,
+        sa_marked[jnp.minimum(mr_hit, sa_marked.shape[0] - 1)] + st_hit,
+        0)
 
 
 def resolve_consecutive(blocked, fchr, mark_words, mark_chk, sa_marked,
