@@ -43,6 +43,8 @@ def make_scoring(args) -> Scoring:
                    ignore_quals=args.ignore_quals,
                    pen_can_splice=args.pen_cansplice,
                    pen_noncan_splice=args.pen_noncansplice,
+                   pen_conflict_splice=getattr(args, "pen_conflictsplice",
+                                               1_000_000),
                    pen_can_intron_len=(SimpleFunc.parse(canlen)
                                        if canlen else
                                        SimpleFunc("G", -8.0, 1.0)),

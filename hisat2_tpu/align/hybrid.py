@@ -189,7 +189,10 @@ class SC:
             if intronlen > 0 else 0
         return max(pen, 0) + self.s.pen_noncan_splice
 
-    conflict_spl = 24            # csp default (scoring.h:159)
+    @property
+    def conflict_spl(self) -> int:
+        # driver default 1,000,000 (hisat2.cpp:483), --pen-conflictsplice
+        return self.s.pen_conflict_splice
 
 
 class Hit:

@@ -2302,6 +2302,20 @@ class TPUAligner:
             valid = valid & is_rc
         if self.no_rc:
             valid = valid & ~is_rc
+        # conflicting splice-strand evidence across one read's junctions
+        # (hi_aligner.h:3644-3705): penConflictSplice, driver default
+        # 1,000,000 (hisat2.cpp:483) — with the default this simply
+        # drops multi-junction composites whose classified dirs disagree
+        if self.scoring.pen_conflict_splice:
+            dd = np.stack([
+                np.where(junc_kind == splice_ops.KIND_SPL, spl_dir, 0),
+                np.where(junc2_kind == splice_ops.KIND_SPL, junc2_dir, 0),
+                np.where(junc3_kind == splice_ops.KIND_SPL, junc3_dir, 0)])
+            fwish = ((dd == 1) | (dd == 3)).any(axis=0)
+            rcish = ((dd == 2) | (dd == 4)).any(axis=0)
+            score = np.where(
+                fwish & rcish,
+                score - np.int64(self.scoring.pen_conflict_splice), score)
         is_pair = junc_kind > 0
         valid = valid & (n_n <= maxn[read_of_lane]) \
             & (is_pair | (score >= minsc[read_of_lane]))

@@ -60,6 +60,13 @@ class Scoring:
     # splice layer:
     pen_can_splice: int = 0
     pen_noncan_splice: int = 12
+    # conflicting splice-strand evidence within one read: the align
+    # driver's default is 1,000,000 (hisat2.cpp:483 sets
+    # penConflictSplice before option parsing; Scoring's own ctor
+    # default of 24 at scoring.h:159 is never what the binary runs
+    # with) — effectively discarding multi-junction alignments whose
+    # junction strands disagree (hi_aligner.h:3644-3705)
+    pen_conflict_splice: int = 1_000_000
     pen_can_intron_len: SimpleFunc = SimpleFunc("G", -8.0, 1.0)
     pen_noncan_intron_len: SimpleFunc = SimpleFunc("G", -8.0, 1.0)
     min_intron_len: int = 20

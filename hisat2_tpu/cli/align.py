@@ -155,6 +155,9 @@ def build_parser():
     p.add_argument("--ignore-quals", action="store_true")
     p.add_argument("--pen-cansplice", type=int, default=0)
     p.add_argument("--pen-noncansplice", type=int, default=12)
+    p.add_argument("--pen-conflictsplice", type=int, default=1_000_000,
+                   help="penalty for a read whose junctions imply "
+                        "conflicting strands (hisat2.cpp:483)")
     p.add_argument("--pen-canintronlen", default=None,
                    help="canonical intron length penalty function "
                         "(default G,-8,1)")
@@ -167,6 +170,11 @@ def build_parser():
     p.add_argument("--novel-splicesite-outfile", default=None)
     p.add_argument("--novel-splicesite-infile", default=None)
     p.add_argument("--no-temp-splicesite", action="store_true")
+    # parsed-but-never-read in the reference (hisat2.cpp:259,494,1656:
+    # splicesite_db_only is set and never consulted); accepted for CLI
+    # compatibility with the same no-op semantics
+    p.add_argument("--splicesite-db-only", action="store_true",
+                   help=argparse.SUPPRESS)
     p.add_argument("--rna-strandness", default="unstranded",
                    choices=["unstranded", "F", "R", "FR", "RF"])
     p.add_argument("--dta", "--downstream-transcriptome-assembly",

@@ -167,3 +167,61 @@ def test_noncan_junction_budget_window():
     a = alns[0]
     assert (a.ref_pos, a.score, a.junc_kind, a.junc_x, a.junc_len,
             a.spl_dir) == (29942, -18, 1, 63, 5000, 2)
+
+
+def test_conflicting_splice_strands_dropped():
+    """A read whose two junctions imply OPPOSITE transcription strands
+    (GT..AG then CT..AC) is penalized by penConflictSplice (driver
+    default 1,000,000 — hisat2.cpp:483, hi_aligner.h:3644-3705), so the
+    two-junction composite never outranks single-junction forms."""
+    from hisat2_tpu.align.pipeline import TPUAligner
+    from hisat2_tpu.index.builder import build_fm_index
+    rng = np.random.default_rng(33)
+    n = 150000
+    g = rng.integers(0, 4, n).astype(np.uint8)
+    # intron 1: GT..AG (FW); intron 2: CT..AC (RC-canonical)
+    s1, l1 = 40000, 400
+    g[s1], g[s1 + 1] = 2, 3
+    g[s1 + l1 - 2], g[s1 + l1 - 1] = 0, 2
+    s2, l2 = 40440, 600
+    g[s2], g[s2 + 1] = 1, 3
+    g[s2 + l2 - 2], g[s2 + l2 - 1] = 0, 1
+    idx = build_fm_index([("chrM", g)])
+    al = TPUAligner(idx, spliced=True)
+    read = np.concatenate([g[39970:40000], g[40400:40440], g[41040:41070]])
+    codes = read[None, :].astype(np.uint8)
+    quals = np.full((1, 100), 40, np.uint8)
+    res = al.align_batch(codes, quals, np.full(1, 100, np.int32))
+    for a in res.alignments[0]:
+        both = a.junc_kind == 1 and a.junc2_kind == 1
+        dirs = {a.spl_dir, getattr(a, "junc2_dir", 0)}
+        conflict = both and (dirs & {1, 3}) and (dirs & {2, 4})
+        assert not (conflict and a.score >= -100), (
+            f"conflicting-strand composite reported: {a}")
+
+
+def test_conflict_penalty_replay_score():
+    """calculate_score applies pen_conflict_splice when junction sdirs
+    disagree (hi_aligner.h:3644-3706); default is the driver's 1,000,000
+    (hisat2.cpp:483), not scoring.h's ctor default 24."""
+    import hisat2_tpu.align.hybrid as hy
+    from hisat2_tpu.align.scoring import Scoring
+    from hisat2_tpu.index.builder import build_fm_index
+
+    g = np.random.default_rng(3).integers(0, 4, 4000).astype(np.uint8)
+    idx = build_fm_index([("c", g)])
+    assert Scoring().pen_conflict_splice == 1_000_000
+    ha = hy.HybridAligner(idx, scoring=Scoring(pen_conflict_splice=77))
+    h = hy.Hit(True, 0, 100, 0, 100, 100)
+    h.edits = [
+        hy.Edit(30, hy.SPL, 0, 0, splen=400, sdir=hy.SPL_FW, known=True),
+        hy.Edit(70, hy.SPL, 0, 0, splen=600, sdir=hy.SPL_RC, known=True)]
+    seq = np.zeros(100, np.uint8)
+    qual = np.full(100, 73, np.uint8)
+    s_conflict = ha.calculate_score(h, seq, qual)
+    h2 = hy.Hit(True, 0, 100, 0, 100, 100)
+    h2.edits = [
+        hy.Edit(30, hy.SPL, 0, 0, splen=400, sdir=hy.SPL_FW, known=True),
+        hy.Edit(70, hy.SPL, 0, 0, splen=600, sdir=hy.SPL_FW, known=True)]
+    s_ok = ha.calculate_score(h2, seq, qual)
+    assert s_ok - s_conflict == 77
