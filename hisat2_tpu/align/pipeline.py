@@ -2663,7 +2663,20 @@ class TPUAligner:
             # len-138 form, both score 0)
             knm = junc_known.reshape(2 * B, Km)[rsel2]
             kn_r = np.concatenate([knm[:R], knm[R:]], axis=1)
-            ordm = np.lexsort((-jk_r, -kn_r, s_r, -sc_r), axis=1)
+            # forgiven catalog-indel representations rank BELOW plain
+            # forms at equal (score, start): the reference's extension
+            # walk engages ALT indels only at raw mismatches, so an
+            # equal-scoring 96M1I3M twin of a plain 100M (fz933/jf66
+            # class: the injected event does not absorb a mismatch) is
+            # never generated there — the plain form must be kept and
+            # the indel twin treated as a duplicate (no ZS; the sink's
+            # same-coord record is the plain one)
+            evm = junc_snp.reshape(2 * B, Km)[rsel2]
+            ev_r = np.concatenate([evm[:R], evm[R:]], axis=1)
+            forg_ind = ((jk_r == splice_ops.KIND_DEL)
+                        | (jk_r == splice_ops.KIND_INS)) & (ev_r >= 0)
+            ordm = np.lexsort((-jk_r, -kn_r, forg_ind, s_r, -sc_r),
+                              axis=1)
             s_s = np.take_along_axis(s_r, ordm, axis=1)
             e_s = np.take_along_axis(e_r, ordm, axis=1)
             v_s = np.take_along_axis(vsub, ordm, axis=1)
@@ -2672,6 +2685,7 @@ class TPUAligner:
             full_s = np.take_along_axis(full_r, ordm, axis=1)
             sc_s = np.take_along_axis(sc_r, ordm, axis=1)
             jx_s = np.take_along_axis(jx_r, ordm, axis=1)
+            fi_s = np.take_along_axis(forg_ind, ordm, axis=1)
             kept = np.zeros((R, K2), bool)
             kept_s = np.full((R, K2), -2 ** 60, np.int64)
             kept_e = np.full((R, K2), -2 ** 60, np.int64)
@@ -2703,6 +2717,12 @@ class TPUAligner:
                 same_start = ((cand[:, None] == kept_s)
                               & (jx_s[:, r][:, None] == kept_jx)) \
                     .any(axis=1)
+                # a forgiven-indel twin at the SAME start as any kept
+                # form is a duplicate representation (fz933 class: the
+                # oracle's sink holds only the plain same-coord record,
+                # ZS comes from the true second-best placement)
+                same_start |= (fi_s[:, r]
+                               & (cand[:, None] == kept_s).any(axis=1))
                 supp = v_s[:, r] & inside & full_s[:, r] & ~same_start
                 shadow_sub = np.where(
                     supp, np.maximum(shadow_sub, sc_s[:, r]), shadow_sub)
