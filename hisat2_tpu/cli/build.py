@@ -82,8 +82,15 @@ def main(argv=None):
     idx.save(args.base)
     if args.export_ht2:
         if args.snp or args.ss or args.exon or args.haplotype:
-            print("[build] --export-ht2 supports linear (no-ALT) "
-                  "indexes only; skipping .ht2 export", file=sys.stderr)
+            # graph export: GBWT construction (index/gbwt.py) + graph
+            # side serialization, byte-compatible with
+            # `hisat2-build-s --snp/--ss/--exon/--haplotype`
+            from ..index.ht2_write import (export_ht2_graph,
+                                           parse_alt_files)
+            alts, altnames, haps = parse_alt_files(
+                seqs, snp_file=args.snp, ss_file=args.ss,
+                exon_file=args.exon, haplotype_file=args.haplotype)
+            export_ht2_graph(seqs, alts, altnames, haps, args.base)
         else:
             from ..index.ht2_write import export_ht2
             export_ht2(seqs, args.base)
