@@ -71,7 +71,10 @@ def parse_var_table(path_or_lines):
             continue
         allele, _, rest = line.partition("\t")
         out = []
-        for tok in rest.split(";"):
+        # the reference's .var tables separate variants with ','
+        # (makeVarDict, hisatgenotype_extract_cyp_data.py:319-350);
+        # ';' accepted as well
+        for tok in rest.replace(";", ",").split(","):
             v = parse_var(tok)
             if v is not None:
                 out.append(v)

@@ -321,6 +321,104 @@ def run_genotype_msa(args) -> int:
     return 0
 
 
+def run_genotype_full(args) -> int:
+    """End-to-end genotyping over a genotype genome — the
+    hisatgenotype.py driver flow (/root/reference/hisatgenotype.py:
+    34-170: align -> sort -> per-locus read extraction ->
+    hisatgenotype_locus typing per gene), in-process:
+
+      1. align all reads against the genotype-genome graph index
+         (replaces the hisat2 + samtools subprocess chain)
+      2. bucket aligned reads by the .locus regions (build-genome
+         output: `FAM name chrom start end exons strand`)
+      3. type each locus against its allele MSA
+         (`<msa_dir>/<gene>.msa.fa`, or the gene's own name before
+         '*'), writing one unified report in the locus-report shape
+         (hisatgenotype_locus.py:1584 ranked/abundance lines).
+    """
+    import os
+    import types
+
+    from ..align.pipeline import TPUAligner
+    from ..index.format import FMIndex
+    from ..index.variants import VariantDB
+    from ..io.fasta import read_batches
+    from ..utils import bitops
+
+    base = args.run
+    index = FMIndex.load(args.index)
+    try:
+        variants = VariantDB.load(args.index)
+    except Exception:
+        variants = None
+    loci = []
+    for line in open(base + ".locus"):
+        parts = line.split()
+        if len(parts) < 5 or line.startswith("#"):
+            continue
+        fam, name, chrom, lo, hi = parts[:5]
+        gene = name.split("*")[0]
+        loci.append((fam, gene, chrom, int(lo), int(hi)))
+    rids = {nm: i for i, nm in enumerate(index.meta.ref_names)}
+    aligner = TPUAligner(index, variants=variants,
+                         lane_meta=variants is not None,
+                         k=10 if variants is not None else 5,
+                         spliced=False)
+    per_locus = {g: [] for _f, g, _c, _l, _r in loci}
+    n_reads = n_aligned = 0
+    for b in read_batches(args.reads, 4096):
+        res = aligner.align_batch(b.codes, b.quals, b.lens)
+        for i, name in enumerate(b.names):
+            n_reads += 1
+            alns = res.alignments[i]
+            if not alns:
+                continue
+            n_aligned += 1
+            for a in alns:
+                hit = False
+                for _f, g, chrom, lo, hi in loci:
+                    if rids.get(chrom) != a.ref_id:
+                        continue
+                    if a.ref_pos < hi and a.ref_pos + a.aln_span > lo:
+                        L = int(b.lens[i])
+                        per_locus[g].append(
+                            (name, bitops.decode_dna(b.codes[i, :L])))
+                        hit = True
+                        break
+                if hit:
+                    break
+    out = open(args.out, "w") if args.out else sys.stdout
+    out.write(f"{n_reads} reads, {n_aligned} aligned\n")
+    msa_dir = args.msa_dir or os.path.dirname(base) or "."
+    import tempfile
+    for fam, gene, chrom, lo, hi in loci:
+        reads = per_locus.get(gene, [])
+        out.write(f"{fam} {gene} ({chrom}:{lo}-{hi}): "
+                  f"{len(reads)} reads\n")
+        if not reads:
+            continue
+        msa = os.path.join(msa_dir, f"{gene}.msa.fa")
+        if not os.path.exists(msa):
+            out.write(f"\tno MSA at {msa}; skipped\n")
+            continue
+        with tempfile.TemporaryDirectory() as td:
+            rp = os.path.join(td, "reads.fa")
+            with open(rp, "w") as f:
+                for nm, sq in reads:
+                    f.write(f">{nm}\n{sq}\n")
+            sub = types.SimpleNamespace(
+                msa=msa, reads=rp, out=os.path.join(td, "rep"),
+                top=args.top, num_editdist=args.num_editdist,
+                pair_loglik=getattr(args, "pair_loglik", False),
+                assembly=False, out_base=os.path.join(td, "asm"))
+            run_genotype_msa(sub)
+            for line in open(sub.out):
+                out.write("\t" + line)
+    if args.out:
+        out.close()
+    return 0
+
+
 def run_extract_reads(args) -> int:
     """Per-locus read extraction (hisatgenotype_extract_reads
     equivalent, hisatgenotype.py:114): align reads against the genome
@@ -376,6 +474,11 @@ def build_parser():
     sub.add_argument("--msa",
                      help="aligned allele FASTA (MSA): variant-set "
                           "typing against the locus backbone")
+    sub.add_argument("--run", metavar="GENOTYPE_GENOME_BASE",
+                     help="end-to-end: align -U reads to --index, "
+                          "extract per-locus reads via BASE.locus, "
+                          "type each locus against <msa-dir>/"
+                          "<gene>.msa.fa (hisatgenotype.py flow)")
     sub.add_argument("--extract-reads", dest="extract", metavar="LOCI",
                      help="per-locus read extraction: LOCI file of "
                           "`name chr start end` lines (needs --index)")
@@ -398,6 +501,8 @@ def build_parser():
                           "fasta/, hla.dat]) -> backbone + "
                           ".snp/.link/.haplotype files "
                           "(hisatgenotype_extract_vars equivalent)")
+    p.add_argument("--msa-dir", default=None,
+                   help="directory of per-gene allele MSAs for --run")
     p.add_argument("--index", help="genome index for --extract-reads / "
                                    "backbone remapping in --extract-vars")
     p.add_argument("--out-base", default="extracted",
@@ -483,6 +588,11 @@ def main(argv=None):
             genome_index=args.index)
         print(f"{nv} variants, {nh} haplotypes", file=sys.stderr)
         return 0
+    if getattr(args, "run", None):
+        if args.reads is None or args.index is None:
+            print("--run needs -U <reads> and --index", file=sys.stderr)
+            return 1
+        return run_genotype_full(args)
     if args.reads is None:
         build_parser().error("-U is required")
     if getattr(args, "extract", None):

@@ -85,96 +85,127 @@ def expand(segs) -> str:
 
 
 def _sub_score(a: Segment, b: Segment) -> int:
+    """get_equal_score (convert_codis.py:207-214): unit-set equality 0,
+    two single-copy literals -1, else -2."""
     if a.units == b.units:
         return 0
     if a.counts == b.counts == {1}:
-        return -1               # two literal spacers can substitute
+        return -1
     return -2
 
 
-def _align_segments(bb, al):
-    """Global segment alignment (gap -1) -> list of (i|None, j|None)
-    pairs, leftmost path, for folding allele `al` into backbone `bb`."""
+def _dp_table(bb, al):
+    """The reference's segment DP (convert_codis.py SW_alignment:
+    first row/column accumulate gap -1 from [0][0] with no free start;
+    a[0][0] is 0 on unit equality else -1)."""
     n, m = len(bb), len(al)
-    NEG = -(1 << 30)
-    dp = [[NEG] * (m + 1) for _ in range(n + 1)]
-    dp[0][0] = 0
-    for i in range(n + 1):
-        for j in range(m + 1):
-            v = dp[i][j]
-            if v == NEG:
-                continue
-            if i < n and dp[i + 1][j] < v - 1:
-                dp[i + 1][j] = v - 1
-            if j < m and dp[i][j + 1] < v - 1:
-                dp[i][j + 1] = v - 1
-            if i < n and j < m:
-                sc = v + _sub_score(bb[i], al[j])
-                if dp[i + 1][j + 1] < sc:
-                    dp[i + 1][j + 1] = sc
-    # backtrack (prefer diagonal, then backbone-gap, then allele-gap)
-    path = []
-    i, j = n, m
-    while i > 0 or j > 0:
-        if i > 0 and j > 0 and \
-                dp[i][j] == dp[i - 1][j - 1] + _sub_score(bb[i - 1],
-                                                         al[j - 1]):
-            path.append((i - 1, j - 1))
-            i, j = i - 1, j - 1
-        elif i > 0 and dp[i][j] == dp[i - 1][j] - 1:
-            path.append((i - 1, None))
+    a = [[0] * m for _ in range(n)]
+    for i in range(n):
+        for j in range(m):
+            if i == 0:
+                if j == 0:
+                    a[0][0] = 0 if bb[0].units == al[0].units else -1
+                else:
+                    a[0][j] = a[0][j - 1] - 1
+            elif j == 0:
+                a[i][0] = a[i - 1][0] - 1
+            else:
+                a[i][j] = max(a[i - 1][j] - 1, a[i][j - 1] - 1,
+                              a[i - 1][j - 1] + _sub_score(bb[i], al[j]))
+    return a
+
+
+def _fold(bb, al):
+    """combine_alleles (convert_codis.py:249-300): backtrack prefers
+    backbone-gap, then allele-gap, then diagonal; merges unit/count
+    sets on the diagonal."""
+    a = _dp_table(bb, al)
+    out = []
+    i, j = len(bb) - 1, len(al) - 1
+    while i >= 0 and j >= 0:
+        g, h = bb[i], al[j]
+        if i == 0:
+            if j == 0:
+                if g.units == h.units:
+                    out.append(Segment(g.units, g.counts | h.counts))
+                else:
+                    out.append(Segment(g.units | h.units,
+                                       g.counts | h.counts))
+            else:
+                out.append(Segment(h.units, set(h.counts) | {0}))
+            j -= 1
+        elif j == 0:
+            out.append(Segment(g.units, g.counts | {0}))
             i -= 1
         else:
-            path.append((None, j - 1))
-            j -= 1
-    return path[::-1]
+            if a[i - 1][j] - 1 == a[i][j]:
+                out.append(Segment(g.units, g.counts | {0}))
+                i -= 1
+            elif a[i][j - 1] - 1 == a[i][j]:
+                out.append(Segment(h.units, set(h.counts) | {0}))
+                j -= 1
+            else:
+                if g.units == h.units:
+                    out.append(Segment(g.units, g.counts | h.counts))
+                else:
+                    out.append(Segment(g.units | h.units,
+                                       g.counts | h.counts))
+                i -= 1
+                j -= 1
+    return out[::-1]
 
 
 def build_backbone(alleles):
-    """Fold allele segment lists into one backbone segment list."""
-    bb = [Segment(g.units, set(g.counts)) for g in alleles[0]]
-    for al in alleles[1:]:
-        path = _align_segments(bb, al)
-        new = []
-        for i, j in path:
-            if i is not None and j is not None:
-                g, h = bb[i], al[j]
-                new.append(Segment(g.units | h.units,
-                                   g.counts | h.counts))
-            elif i is not None:
-                g = bb[i]
-                new.append(Segment(g.units, g.counts | {0}))
-            else:
-                h = al[j]
-                new.append(Segment(h.units, set(h.counts) | {0}))
-        bb = new
+    """Fold order per the reference (convert_codis.py:520-527): start
+    from the LAST allele, fold the rest in reverse."""
+    bb = [Segment(g.units, set(g.counts)) for g in alleles[-1]]
+    for al in reversed(alleles[:-1]):
+        bb = _fold(bb, al)
     return bb
 
 
 def render_row(bb, al) -> str:
-    """Gap-padded ('.') MSA row of allele `al` against backbone `bb`."""
-    path = _align_segments(bb, al)
+    """Gap-padded ('.') MSA row (msf_alignment, convert_codis.py:
+    303-362): same DP/backtrack; matched slots render the BACKBONE's
+    longest unit repeated the allele's count, left-justified."""
+    a = _dp_table(bb, al)
     out = []
-    for i, j in path:
-        if i is None:
-            raise ValueError("allele segment outside backbone")
-        g = bb[i]
-        slot = len(g.unit) * g.max_count
-        if j is None:
-            out.append("." * slot)
-            continue
-        h = al[j]
-        (u,) = h.units
-        (c,) = h.counts
-        seq = u * c
-        if len(seq) > slot:
-            raise ValueError("allele overflows backbone slot")
-        out.append(seq + "." * (slot - len(seq)))
-    return "".join(out)
-
-
-def render_backbone(bb) -> str:
-    return "".join(g.unit * g.max_count for g in bb)
+    i, j = len(bb) - 1, len(al) - 1
+    while i >= 0 and j >= 0:
+        g, h = bb[i], al[j]
+        gi = g.unit
+        gn = g.max_count
+        (hj,) = h.units
+        (hn,) = h.counts
+        if i == 0:
+            if j != 0:
+                raise ValueError("allele segment outside backbone")
+            if g.units == h.units:
+                out.append(gi * hn + "." * (len(gi) * (gn - hn)))
+            else:
+                out.append(hj + "." * (len(gi) - len(hj)))
+            j -= 1
+            i -= 1
+        elif j == 0:
+            out.append("." * (len(gi) * gn))
+            i -= 1
+        else:
+            if a[i - 1][j] - 1 == a[i][j]:
+                out.append("." * (len(gi) * gn))
+                i -= 1
+            elif a[i][j - 1] - 1 == a[i][j]:
+                raise ValueError("allele overflows backbone slot")
+            else:
+                if g.units == h.units:
+                    out.append(gi * hn + "." * (len(gi) * (gn - hn)))
+                else:
+                    out.append(hj + "." * (len(gi) - len(hj)))
+                i -= 1
+                j -= 1
+    while i >= 0:
+        out.append("." * (len(bb[i].unit) * bb[i].max_count))
+        i -= 1
+    return "".join(out[::-1])
 
 
 def convert_str_locus(records, left_flank: str = "",

@@ -163,11 +163,18 @@ def mk_spltest():
     oracle_align(d, "tran", "-f -U reads.fa", "ref_tran.sam")
     oracle_align(d, "spl", "-f -U reads.fa --known-splicesite-infile "
                  "known.ss", "ref_ksi.sam")
-    # simulated RNA pairs via our simulator (1500 pairs)
+    # simulated RNA pairs via our simulator (1500 pairs); transcripts
+    # from a small GTF whose introns are the planted ones
+    with open(f"{d}/g.gtf", "w") as f:
+        for t, (s0, ln) in enumerate(introns):
+            lo, hi = s0 - 3000, s0 + ln + 3000
+            attr = (f'gene_id "G{t}"; transcript_id "T{t}";')
+            f.write(f"chrT\tsim\texon\t{lo + 1}\t{s0}\t.\t+\t.\t{attr}\n")
+            f.write(f"chrT\tsim\texon\t{s0 + ln + 1}\t{hi}\t.\t+\t.\t"
+                    f"{attr}\n")
     sh(f"cd {d} && PYTHONPATH=/root/repo JAX_PLATFORMS=cpu "
        f"python -m hisat2_tpu simulate-reads g.fa sim -n 1500 -r 100 "
-       f">/dev/null 2>&1")
-    sh(f"cd {d} && mv sim_1.fa sim_1.fa 2>/dev/null || true")
+       f"--gtf g.gtf >/dev/null 2>&1")
     oracle_align(d, "spl", "-f -1 sim_1.fa -2 sim_2.fa", "ref_rna_pe.sam")
 
 
