@@ -2792,9 +2792,14 @@ class TPUAligner:
         # penalized column, the probe-verified zsalt formula) — the host
         # only applies the minsc and sink-best gates, on eligible segments
         # (full ungapped best alignments with >= 1 penalized column)
-        el = np.flatnonzero((junc_kind[gb] == 0) & (clip_l[gb] == 0)
-                            & (clip_r[gb] == 0)
-                            & ((n_mm[gb] + n_n[gb]) > 0))
+        # ungapped bests with any penalized or clipped column are
+        # eligible; the device alt already excludes the selected form
+        # itself (ops/extend.py anchor-form model), so clipped bests
+        # can carry a losing both-clips form (oracle: mm@{8,99} primary
+        # 99M1S with ZS:-20)
+        el = np.flatnonzero((junc_kind[gb] == 0)
+                            & (((n_mm[gb] + n_n[gb]) > 0)
+                               | (clip_l[gb] > 0) | (clip_r[gb] > 0)))
         if el.size:
             ge = gb[el]
             rde = seg_read[el]

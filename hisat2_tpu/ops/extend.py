@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -154,12 +155,40 @@ def extend_grouped(ref_words, n_text: int, reads, quals, lens,
         Cc = jnp.concatenate([zeros, jnp.cumsum(ccost, axis=-1)], axis=-1)
         brange = jnp.arange(L + 1, dtype=jnp.int32)[None, None, :]
         in_read = brange <= lnc[:, :, None]
+        # trim-anchor rule (oracle-probed, spliced_aligner.h:1065-1105
+        # trim branches + hybridSearch anchor structure): a clipped
+        # representation exists only when the kept region's boundary
+        # abuts a penalty-free run of >= minAnchorLen(7) columns — the
+        # reference's trims fire off an extended anchor, and anchors
+        # shorter than that are never extended (probes: mm at {94,98}
+        # stays 100M because the 95..97 island is 3 cols, while mm at
+        # {50,98} clips 98M2S off the 47-col anchor; {92,99} stays
+        # 100M — 93..98 is 6 cols — but {91,99} clips 99M1S off the
+        # 7-col 92..98 anchor)
+        pencol = (pen > 0) & vp
+        colg = jnp.arange(L, dtype=jnp.int32)[None, None, :]
+        lastpen = jax.lax.cummax(
+            jnp.where(pencol, colg, jnp.int32(-1)), axis=2)
+        nextpen = jnp.flip(jax.lax.cummax(
+            jnp.flip(jnp.where(pencol, jnp.int32(L) - 1 - colg,
+                               jnp.int32(-1)), -1), axis=2), -1)
+        nextpen = jnp.where(nextpen >= 0, jnp.int32(L) - 1 - nextpen,
+                            lnc[:, :, None])
+        # run_l[a] = pen-free run starting at column a (for a < L)
+        run_l = jnp.concatenate(
+            [jnp.minimum(nextpen, lnc[:, :, None]) - colg,
+             jnp.zeros((B, C, 1), jnp.int32)], axis=-1)
+        # run_r[a] = pen-free run ending just below boundary a
+        run_r = jnp.concatenate(
+            [zeros, colg - lastpen], axis=-1)
         # left clip of a columns gains P[a] - C[a].  On gain TIES the
         # reference keeps the LARGER clip (its trim loop scans clip
         # lengths ascending with >=; oracle: 6S94M beats the equal-score
         # 3S97M+1mm form) — argmax returns the FIRST max, so take it on
         # the reversed axis
-        lgs = jnp.where(in_read, P - Cc, -1)
+        MINA = np.int32(7)                     # tpol.minAnchorLen
+        lgs = jnp.where(in_read & ((brange == 0) | (run_l >= MINA)),
+                        P - Cc, -1)
         clip_l = (jnp.int32(L)
                   - jnp.argmax(lgs[..., ::-1], axis=-1)).astype(jnp.int32)
         gl = compact_ops.take_last(lgs, clip_l)
@@ -172,11 +201,14 @@ def extend_grouped(ref_words, n_text: int, reads, quals, lens,
             # below is the single most expensive op of the device step
             # (~14 ns/element on the TPU's gather path)
             p_at = jnp.flip(P, -1)
+            r_at = jnp.flip(run_r, -1)
         else:
-            p_at = jnp.take_along_axis(
-                P, jnp.maximum(lnc[:, :, None] - brange, 0), -1)
+            bsel = jnp.maximum(lnc[:, :, None] - brange, 0)
+            p_at = jnp.take_along_axis(P, bsel, -1)
+            r_at = jnp.take_along_axis(run_r, bsel, -1)
         p_len = compact_ops.take_last(P, lnc)[:, :, None]
-        rgs = jnp.where(in_read, p_len - p_at - Cc, -1)
+        rgs = jnp.where(in_read & ((brange == 0) | (r_at >= MINA)),
+                        p_len - p_at - Cc, -1)
         clip_r = (jnp.int32(L)
                   - jnp.argmax(rgs[..., ::-1], axis=-1)).astype(jnp.int32)
         gr = compact_ops.take_last(rgs, clip_r)
@@ -185,7 +217,23 @@ def extend_grouped(ref_words, n_text: int, reads, quals, lens,
         clip_l = jnp.where(gl > 0, clip_l, 0)
         clip_r = jnp.where(gr > 0, clip_r, 0)
         score = -(total_pen - gl - gr)
-        ok = (clip_l + clip_r) < lnc
+        # liveness uses the UNRESTRICTED optimal clip (pre-anchor-rule
+        # semantics): a diagonal whose gain-optimal trim consumes the
+        # whole read has no alignable core and must stay dead — the
+        # anchor rule above zeroes such clips, which otherwise floods
+        # the spill layout with full-length junk candidates
+        lgs_u = jnp.where(in_read, P - Cc, -1)
+        clip_lu = (jnp.int32(L)
+                   - jnp.argmax(lgs_u[..., ::-1], axis=-1)
+                   ).astype(jnp.int32)
+        glu = compact_ops.take_last(lgs_u, clip_lu)
+        rgs_u = jnp.where(in_read, p_len - p_at - Cc, -1)
+        clip_ru = (jnp.int32(L)
+                   - jnp.argmax(rgs_u[..., ::-1], axis=-1)
+                   ).astype(jnp.int32)
+        gru = compact_ops.take_last(rgs_u, clip_ru)
+        ok = (jnp.where(glu > 0, clip_lu, 0)
+              + jnp.where(gru > 0, clip_ru, 0)) < lnc
         # --- alternate representation score (trimmed-representation ZS,
         # spliced_aligner.h:1065-1105): the reference REPORTS a soft-clipped
         # copy of a full ungapped best that sheds the outermost penalized
@@ -198,22 +246,107 @@ def extend_grouped(ref_words, n_text: int, reads, quals, lens,
         # (minsc, sink-best) gates.
         alt = jnp.full((B, C), np.int32(NO_ALT))
         if minsc is not None:
-            in_full = vp & (pen > 0)
-            f0 = jnp.where(in_full, col, L + 1).min(axis=-1)   # [B, C]
-            l0 = jnp.where(in_full, col, -1).max(axis=-1)
-            anyp = f0 <= L
-            T = ((-minsc) // np.int32(max(mm_min, 1)))[:, None]  # [B, 1]
-            dl = jnp.minimum(f0 + 1, lnc)
+            # anchor-form model (oracle-probed; replaces the round-3
+            # fitted first/last-penalized-column formula): for every
+            # pen-free anchor [a, nextpen[a]) of >= 7 columns, the trim
+            # branch reports the form that clips the read OUTSIDE the
+            # anchor on each side where the clip fits trimMax (5' <= T,
+            # 3' <= T-1 with T = -minsc/mm_min; an over-cap side
+            # extends through, keeping its penalties).  Forms with at
+            # least one applied clip feed ZS when they lose selection;
+            # extend-through-only twins never do (probe: mm@{50,98}
+            # primary 98M2S carries no ZS from the full -12 form, while
+            # mm@{8,99} primary 99M1S carries ZS:-20 from the
+            # both-clips form of its single anchor).
+            T = ((-minsc) // np.int32(max(mm_min, 1)))[:, None]  # [B,1]
+            # forms are enumerated on two SMALL domains (full [B,C,L]
+            # planes OOM a genome-scale shard):
+            #  - anchors STARTING in the first TW columns (their cl is
+            #    capped at T < TW anyway); both/left/right forms
+            #  - right-clip-only forms keyed by clip length b <= T-1
+            #    (f_r depends only on the anchor END lnc-b)
+            TW = int(min(L + 1, 64))
+            aw = jnp.arange(TW, dtype=jnp.int32)[None, None, :]
+            pen_w = pencol[..., :TW]
+            a_colw = jnp.concatenate(
+                [jnp.ones((B, C, 1), bool), pen_w[..., :TW - 1]],
+                axis=-1)
+            a_okw = a_colw & (run_l[..., :TW] >= MINA) \
+                & (aw < lnc[:, :, None])
+            a1_w = jnp.minimum(nextpen[..., :TW], lnc[:, :, None])
+            Tl = T[:, :, None]
+            cl_w = jnp.where((aw > 0) & (aw <= Tl), aw, 0)
+            crw_raw = lnc[:, :, None] - a1_w
+            cr_w = jnp.where((crw_raw > 0) & (crw_raw <= Tl - 1),
+                             crw_raw, 0)
 
-            def gval(arr, idx):
-                return compact_ops.take_last(arr, idx)
-            a5 = -(gval(Cc, dl) + total_pen - gval(P, dl))
-            a5 = jnp.where(anyp & (dl <= T), a5, np.int32(NO_ALT))
-            cut = jnp.maximum(l0, 0)
-            dr = lnc - l0
-            a3 = -((gval(Cc, lnc) - gval(Cc, cut)) + gval(P, cut))
-            a3 = jnp.where(anyp & (dr <= T - 1), a3, np.int32(NO_ALT))
-            alt = jnp.maximum(a5, a3)
+            def form(cl_f, cr_f):
+                P_cl = jnp.take_along_axis(P, cl_f, -1)
+                P_hi = jnp.take_along_axis(P, lnc[:, :, None] - cr_f, -1)
+                C_cl = jnp.take_along_axis(Cc, cl_f, -1)
+                # trim3 cost quirk: indexes quality from the read START
+                # (hi_aligner.h:3700)
+                C_cr = jnp.take_along_axis(Cc, cr_f, -1)
+                return -(P_hi - P_cl) - C_cl - C_cr
+
+            z3 = jnp.zeros_like(cl_w)
+            f_b = form(cl_w, cr_w)
+            f_l = form(cl_w, z3)
+            f_r_w = form(z3, cr_w)
+            ms3 = minsc[:, None, None]
+            sel_cl = clip_l[:, :, None]
+            sel_cr = clip_r[:, :, None]
+
+            def loser(ok_f, sc_f, cl_f, cr_f):
+                is_sel = (cl_f == sel_cl) & (cr_f == sel_cr)
+                okf = ok_f & ((cl_f > 0) | (cr_f > 0)) & ~is_sel \
+                    & (sc_f >= ms3)
+                return jnp.where(okf, sc_f, np.int32(NO_ALT))
+
+            # right-clip-only forms on the b-domain [0, Tmax]: anchor
+            # ends at pen column lnc-b with a >= MINA clean run before
+            Tmax = int(min(L, 64))
+            bw = jnp.arange(Tmax, dtype=jnp.int32)[None, None, :]
+            # pen at column (lnc-b): P[lnc-b+1] - P[lnc-b]; p_at[b] =
+            # P[lnc-b], so pen = p_at[b-1] - p_at[b]
+            pa = p_at[..., :Tmax]
+            pa_m1 = jnp.concatenate(
+                [p_len[..., :1], p_at[..., :Tmax - 1]], axis=-1)
+            pen_b = jnp.concatenate(
+                [jnp.zeros((B, C, 1), jnp.int32),
+                 (pa_m1 - pa)[..., 1:]], axis=-1)
+            ok_b = (bw > 0) & (bw <= Tl - 1) & (pen_b > 0) \
+                & (r_at[..., :Tmax] >= MINA) & (bw < lnc[:, :, None])
+            C_b = Cc[..., :Tmax] if Cc.shape[-1] >= Tmax else Cc
+            f_r_b = -pa - C_b[..., :Tmax]
+            l_rb = loser(ok_b, f_r_b,
+                         jnp.zeros((B, C, Tmax), jnp.int32),
+                         jnp.broadcast_to(bw, (B, C, Tmax)))
+
+            # completion-order approximation (oracle-probed): the walk
+            # reports, per anchor, both-clips first, then single-side
+            # trims, then the full extension; a later form enters the
+            # sink only when it beats the running best, so
+            #  - selected both-clip: nothing preceded it -> no ZS form
+            #  - selected single-clip: only its OWN anchor's both-form
+            #    can precede it
+            #  - selected full: every anchor's best clip form preceded
+            best_any = jnp.maximum(
+                jnp.maximum(
+                    jnp.maximum(loser(a_okw, f_b, cl_w, cr_w),
+                                loser(a_okw, f_l, cl_w, z3)),
+                    loser(a_okw, f_r_w, z3, cr_w)).max(axis=-1),
+                l_rb.max(axis=-1))
+            own = ((cl_w == sel_cl) & (sel_cl > 0)) \
+                | ((cr_w == sel_cr) & (sel_cr > 0))
+            best_own_b = jnp.where(
+                own, loser(a_okw, f_b, cl_w, cr_w),
+                np.int32(NO_ALT)).max(axis=-1)
+            sel_full = (clip_l == 0) & (clip_r == 0)
+            sel_both = (clip_l > 0) & (clip_r > 0)
+            alt = jnp.where(sel_full, best_any,
+                            jnp.where(sel_both, np.int32(NO_ALT),
+                                      best_own_b))
     else:
         clip_l = jnp.zeros((B, C), jnp.int32)
         clip_r = jnp.zeros((B, C), jnp.int32)

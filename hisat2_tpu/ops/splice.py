@@ -770,6 +770,26 @@ def inject_known(ref_words, n_text: int, reads, quals, lens, rdids,
                   jnp.where(semi_fw, SPL_SEMI_FW,
                             jnp.where(semi_rc, SPL_SEMI_RC, SPL_UNKNOWN))))
 
+    # donor-coverage gate (oracle-probed, rf905 class): the LEFT exon
+    # piece must reach the donor base cleanly — when the read column
+    # just left of the junction (x-1) is a non-forgiven mismatch on the
+    # left diagonal, the reference never forms this site's join: the
+    # left anchor's extension stops before the donor (donor-keyed
+    # lookup misses the site), and the acceptor-keyed combine's left
+    # piece fails its anchor-purity gate (ned <= la//4 with a 0-length
+    # junction-adjacent anchor, spliced_aligner.h:505-510).  The oracle
+    # instead re-discovers a shifted novel junction at full penalty.
+    x_m1 = jnp.maximum(x_all - 1, 0)
+    ps_xm1 = jnp.take_along_axis(
+        jnp.take_along_axis(P_raw, src[:, :, None], axis=1),
+        x_m1[:, :, None], axis=2)[:, :, 0]
+    pf_xm1 = jnp.take_along_axis(Pf, x_m1[:, :, None], axis=2)[:, :, 0]
+    left_pen_at_donor = jnp.where(is_donor_block, ps_x - ps_xm1,
+                                  pf_x - pf_xm1)
+    import os as _os
+    if _os.environ.get('HISAT2_TPU_NO_DONOR_GATE') != '1':
+        ok_all = ok_all & (left_pen_at_donor == 0)
+
     ok_all &= (x_all >= 1) & (x_all <= lens2 - 1) & (d2 > d1)
     # anchor-quality: the injected side must be clean enough
     # (nedits <= anchorLen / 4, spliced_aligner.h:391)
