@@ -35,6 +35,55 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def bench_cli_true():
+    """Throughput of the SHIPPING CLI path (python -m hisat2_tpu align)
+    including default replay routing, SAM rendering, and demux — the
+    asterisk-free companion number to the device-pipeline configs
+    (round-4 VERDICT weak item 7).  Uses the example SNP-graph corpus
+    (the shape with the highest replay routing share, PERF.md: 16% of
+    reads at 37 ms each).  Two passes: the first warms compile caches,
+    the second is timed wall-clock."""
+    import subprocess
+
+    os.makedirs(CACHE, exist_ok=True)
+    d = CACHE
+    reads = os.path.join(d, "cli_reads.fa")
+    N_TILE = 16
+    if not os.path.exists(reads):
+        src = open(EXAMPLE_READS).read()
+        with open(reads, "w") as f:
+            for t in range(N_TILE):
+                f.write(src.replace(">", f">t{t}_"))
+    n_reads = sum(1 for line in open(reads) if line.startswith(">"))
+    idx = os.path.join(d, "cli_snp")
+    if not os.path.exists(idx + ".npz"):
+        log("[bench:cli] building SNP-graph index ...")
+        subprocess.run(
+            [sys.executable, "-m", "hisat2_tpu", "build", EXAMPLE_FA,
+             idx, "--snp",
+             "/root/reference/example/reference/22_20-21M.snp"],
+            check=True, capture_output=True)
+    env = dict(os.environ)
+    env.setdefault("PYTHONPATH",
+                   os.path.dirname(os.path.abspath(__file__)))
+    cmd = [sys.executable, "-m", "hisat2_tpu", "align", "-x", idx,
+           "-f", "-U", reads, "--no-spliced-alignment",
+           "-S", os.path.join(d, "cli_out.sam")]
+    subprocess.run(cmd, check=True, env=env,
+                   capture_output=True)          # warmup (compile cache)
+    t0 = time.time()
+    subprocess.run(cmd, check=True, env=env, capture_output=True)
+    dt = time.time() - t0
+    value = n_reads / dt
+    log(f"[bench:cli] {n_reads} reads through the full CLI in {dt:.1f}s "
+        f"(incl. process start, index load, replay routing, SAM)")
+    print(json.dumps({
+        "metric": "cli_true_reads_per_sec_example_snpgraph",
+        "value": round(value, 1), "unit": "reads/sec/chip",
+        "vs_baseline": None,
+    }))
+
+
 def main(config: int = 1):
     import jax
     # repo-local persistent compile cache: /tmp is wiped between driver
@@ -205,18 +254,29 @@ def bench_config(config: int):
         variants = VariantDB.load(base)
         aligner = TPUAligner(index, variants=variants, lane_meta=True,
                              k=10, spliced=True)
-        log("[bench:6] loading genome for read generation ...")
-        seqs = list(iter_fasta(os.path.join(ns, "big.fa")))
+        # chromosome 1 only is needed for read generation; cache it so
+        # repeat runs skip the 3.12 Gbp FASTA parse
+        chr1_npz = os.path.join(ns, "chr1.npz")
+        if os.path.exists(chr1_npz):
+            src = [np.load(chr1_npz)["chr1"]]
+        else:
+            log("[bench:6] loading genome for read generation ...")
+            for nm, s in iter_fasta(os.path.join(ns, "big.fa")):
+                src = [s]
+                break
+            np.savez(chr1_npz, chr1=src[0])
         # junction pool: the baked splice sites of chromosome 1 (ss
         # left/right = last exonic positions flanking the intron)
         ss_pairs = []
+        first_chr = None
         with open(os.path.join(ns, "big.ss")) as f:
             for line in f:
                 c, lo, hi, _ = line.split()
-                if c != seqs[0][0]:
+                if first_chr is None:
+                    first_chr = c
+                if c != first_chr:
                     break
                 ss_pairs.append((int(lo), int(hi)))
-        src = [s for _, s in seqs]
         name = "northstar_grch38scale_snp_tran_rna"
         paired, spliced = False, True
     else:
@@ -401,4 +461,11 @@ if __name__ == "__main__":
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=1)
-    main(ap.parse_args().config)
+    ap.add_argument("--cli-true", action="store_true",
+                    help="measure the shipping CLI path incl. replay "
+                         "routing (BENCH_EXTRA companion number)")
+    a = ap.parse_args()
+    if a.cli_true:
+        bench_cli_true()
+    else:
+        main(a.config)

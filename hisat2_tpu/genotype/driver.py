@@ -496,6 +496,11 @@ def build_parser():
                      metavar="VAR,FASTA",
                      help="CYP star-allele variant table + gene FASTA "
                           "-> allele MSA (extract_cyp_data equivalent)")
+    sub.add_argument("--li-hla", dest="li_hla", metavar="PREFIX,SAM",
+                     help="standalone realignment checker (li_hla/"
+                          "main.cpp model): rank diploid pairs from a "
+                          "backbone SAM + PREFIX.snp/.link/"
+                          "_backbone.fa")
     sub.add_argument("--extract-vars", dest="extract_vars", metavar="DB",
                      help="IMGT-style DB dir (msf/<gene>_gen.msf [+ "
                           "fasta/, hla.dat]) -> backbone + "
@@ -576,6 +581,11 @@ def main(argv=None):
             "-o", args.out_base + ".msa.fa",
             "--offset-pos", str(args.cyp_offset_pos),
             "--offset-neg", str(args.cyp_offset_neg)])
+    if getattr(args, "li_hla", None):
+        from .lihla import main_check
+        parts = args.li_hla.split(",")
+        extra = ["--top", str(args.top)]
+        return main_check(parts + extra)
     if getattr(args, "extract_vars", None):
         from .vars import extract_vars
         nv, nh = extract_vars(

@@ -82,3 +82,63 @@ def test_run_flow_report(geno_fixture):
     first = [ln for ln in rep.splitlines() if ln.startswith("HLA")][0]
     n_extract = int(first.split(":")[-1].split()[0])
     assert 150 <= n_extract <= 185
+
+
+def test_lihla_checker_agrees_with_typing(geno_fixture, tmp_path):
+    """The standalone li_hla-model checker (genotype/lihla.py), fed a
+    backbone SAM of the fixture reads, ranks the planted diploid pair
+    on top — agreeing with the MSA-typing report."""
+    import subprocess
+    d = geno_fixture
+    t = str(tmp_path)
+    # derive PREFIX.snp/.link/_backbone.fa from the fixture MSA
+    msa = {}
+    for line in open(f"{d}/HL.msa.fa"):
+        if line.startswith(">"):
+            nm = line[1:].strip()
+            msa[nm] = ""
+        else:
+            msa[nm] += line.strip()
+    names = list(msa)
+    import numpy as np
+    rows = np.array([list(s) for s in msa.values()])
+    bb = []
+    for col in rows.T:
+        vals, counts = np.unique(col, return_counts=True)
+        bb.append(vals[counts.argmax()])
+    bb = "".join(bb)
+    with open(f"{t}/HL_backbone.fa", "w") as f:
+        f.write(">HL*BACKBONE\n" + bb + "\n")
+    snp_lines, link_lines = [], {}
+    vid = 0
+    for ci in range(len(bb)):
+        col = rows[:, ci]
+        for alt in sorted(set(col) - {bb[ci]}):
+            sid = f"hv{vid}"
+            vid += 1
+            snp_lines.append(f"{sid}\tsingle\tHL*BACKBONE\t{ci}\t{alt}")
+            carriers = [names[i] for i in range(len(names))
+                        if col[i] == alt]
+            link_lines[sid] = carriers
+    with open(f"{t}/HL.snp", "w") as f:
+        f.write("\n".join(snp_lines) + "\n")
+    with open(f"{t}/HL.link", "w") as f:
+        for sid, carriers in link_lines.items():
+            f.write(f"{sid}\t{' '.join(carriers)}\n")
+    # align the locus reads to the backbone with catalog SNVs (Zs tags)
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu")
+    subprocess.run(
+        [sys.executable, "-m", "hisat2_tpu", "build",
+         f"{t}/HL_backbone.fa", f"{t}/bbidx", "--snp", f"{t}/HL.snp"],
+        check=True, env=env, capture_output=True)
+    subprocess.run(
+        [sys.executable, "-m", "hisat2_tpu", "align", "-x", f"{t}/bbidx",
+         "-f", "-U", f"{d}/reads.fa", "--no-spliced-alignment",
+         "--no-unal", "-S", f"{t}/bb.sam"],
+        check=True, env=env, capture_output=True)
+    from hisat2_tpu.genotype.lihla import rank_pairs
+    ranked = rank_pairs(f"{t}/HL", f"{t}/bb.sam",
+                        backbone="HL*BACKBONE")
+    assert ranked, "no pairs ranked"
+    top = {ranked[0][0], ranked[0][1]}
+    assert top == {"HL*05:01", "HL*12:01"}, ranked[:3]
