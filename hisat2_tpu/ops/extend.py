@@ -265,7 +265,7 @@ def extend_grouped(ref_words, n_text: int, reads, quals, lens,
             #    capped at T < TW anyway); both/left/right forms
             #  - right-clip-only forms keyed by clip length b <= T-1
             #    (f_r depends only on the anchor END lnc-b)
-            TW = int(min(L + 1, 64))
+            TW = int(min(L, 64))
             aw = jnp.arange(TW, dtype=jnp.int32)[None, None, :]
             pen_w = pencol[..., :TW]
             a_colw = jnp.concatenate(
