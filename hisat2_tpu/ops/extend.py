@@ -280,19 +280,37 @@ def extend_grouped(ref_words, n_text: int, reads, quals, lens,
             cr_w = jnp.where((crw_raw > 0) & (crw_raw <= Tl - 1),
                              crw_raw, 0)
 
-            def form(cl_f, cr_f):
-                P_cl = jnp.take_along_axis(P, cl_f, -1)
-                P_hi = jnp.take_along_axis(P, lnc[:, :, None] - cr_f, -1)
-                C_cl = jnp.take_along_axis(Cc, cl_f, -1)
-                # trim3 cost quirk: indexes quality from the read START
-                # (hi_aligner.h:3700)
-                C_cr = jnp.take_along_axis(Cc, cr_f, -1)
-                return -(P_hi - P_cl) - C_cl - C_cr
-
+            # form scores WITHOUT per-element gathers (a take_along at
+            # [B,C,TW] costs ~20 ns/element and regressed the 1 Mbp
+            # config 5x): the left index is the position itself, so
+            # P/Cc at cl are aligned SLICES; only P at the anchor end
+            # a1 and the trim3 cost at cr (quality-prefix quirk,
+            # hi_aligner.h:3700) need one gather each
+            maskL = (aw > 0) & (aw <= Tl)
+            maskR = (crw_raw > 0) & (crw_raw <= Tl - 1)
+            P_a = P[..., :TW]
+            C_a = Cc[..., :TW]
+            # P at the anchor end a1 equals P at the anchor start a —
+            # the run [a, a1) is penalty-free by construction — so the
+            # only dynamic index left is the trim3 cost at cr.  Resolve
+            # it with a static select chain (a take_along here is a
+            # ~20 ns/element gather: 74 ms of the 104 ms extend step on
+            # the 1 Mbp config); cr is capped by trimMax-1, clamped to
+            # 32 (alt forms with >32-column clips cannot arise below
+            # ~320 bp reads at default scoring)
+            KCR = int(min(TW, 32))
+            C_cr = jnp.zeros_like(cr_w)
+            for b in range(1, KCR):
+                C_cr = jnp.where(cr_w == b, Cc[..., b:b + 1], C_cr)
+            maskR = maskR & (crw_raw < KCR)
+            P_cl_e = jnp.where(maskL, P_a, 0)
+            C_cl_e = jnp.where(maskL, C_a, 0)
+            P_hi_e = jnp.where(maskR, P_a, p_len)
+            C_cr_e = jnp.where(maskR, C_cr, 0)
+            f_b = -(P_hi_e - P_cl_e) - C_cl_e - C_cr_e
+            f_l = -(p_len - P_cl_e) - C_cl_e
+            f_r_w = -P_hi_e - C_cr_e
             z3 = jnp.zeros_like(cl_w)
-            f_b = form(cl_w, cr_w)
-            f_l = form(cl_w, z3)
-            f_r_w = form(z3, cr_w)
             ms3 = minsc[:, None, None]
             sel_cl = clip_l[:, :, None]
             sel_cr = clip_r[:, :, None]
