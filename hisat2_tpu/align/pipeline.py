@@ -802,7 +802,7 @@ class TPUAligner:
         offs = resolve_ops.resolve_consecutive(
             d.blocked, d.fchr, d.mark_words, d.mark_chk,
             d.sa_marked, meta.zrow, meta.off_rate,
-            jnp.where(hv, hits.top, 0), P)                        # [2B,H,P]
+            jnp.where(hv, hits.top, 0), P, live=cval)             # [2B,H,P]
         lo = hits.lo[:, :, None]                                  # [2B,H,1]
         starts = (offs - lo).reshape(2 * B, H * P)
         cv = cval.reshape(2 * B, H * P)
@@ -869,7 +869,7 @@ class TPUAligner:
             offs2 = resolve_ops.resolve_consecutive(
                 d.blocked, d.fchr, d.mark_words, d.mark_chk,
                 d.sa_marked, meta.zrow, meta.off_rate,
-                jnp.where(hv2, hits2.top, 0), P2)
+                jnp.where(hv2, hits2.top, 0), P2, live=cval2)
             starts2 = (offs2
                        - hits2.lo[:, :, None]).reshape(2 * B, H2 * P2)
             cv2 = cval2.reshape(2 * B, H2 * P2)

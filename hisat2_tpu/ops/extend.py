@@ -121,6 +121,107 @@ def pen_planes(ref_words, n_text: int, reads, quals, lens, cand_start,
                      isn=isn, snp_ok=snp_ok, vp=vp)
 
 
+def live_pen_prefix(ref_words, n_text: int, reads, quals, lens,
+                    mm_pen, n_pen: int, fresh, live, pos_list,
+                    snv_delta1=None, snv_delta2=None, chunk: int = 4096):
+    """Penalty/raw-mismatch prefix SCALARS along only the LIVE fresh
+    diagonals of an injection candidate grid.
+
+    The event-injection kernels (ops/splice.py inject_known /
+    inject_indels) multiply candidate columns ~5x, but each injected
+    column consumes only a handful of scalars from its penalty plane:
+    the forgiven-penalty prefix at the junction split point(s) and the
+    plane totals.  Materializing full [N, J, L] planes for every column
+    gathers ~50M reference chars per batch while typically <2% of the
+    columns are live (a nearby catalog event within the read window).
+    Here live columns are compacted to the front (stable argsort — the
+    same trick as ops/resolve.resolve_rows_sparse), their planes are
+    computed `chunk` columns at a time under a while_loop with a
+    dynamic trip count, reduced immediately to the requested scalars,
+    and scattered back by prefix-sum position.  Bit-identical to the
+    dense plane prefixes: integer masked sums equal cumsum+gather.
+
+    fresh/live: [N, J]; pos_list: list of [N, J] int32 read positions
+    (prefix taken over columns < p, i.e. P[p] of the [0, cumsum] plane).
+    Returns (pen_total, mm_total, [(pen_at_p, mm_at_p), ...]) — all
+    [N, J] int32, zeros on dead columns.
+    """
+    N, J = fresh.shape
+    L = reads.shape[1]
+    M = N * J
+    nP = len(pos_list)
+    S = 2 + 2 * nP
+    fresh_f = fresh.reshape(-1)
+    pos_f = [p.reshape(-1) for p in pos_list]
+
+    def scalars(colids):
+        lane = colids // J
+        rd = reads[lane]
+        q = jnp.minimum(quals[lane], 63)
+        ln = lens[lane]
+        st = fresh_f[colids]
+        colL = jnp.arange(L, dtype=jnp.int32)[None, :]
+        posg = st[:, None] + colL
+        vp = colL < ln[:, None]
+        oob = vp & ((posg < 0) | (posg >= n_text))
+        rc4 = rk.ref_chars_block(ref_words, n_text, st[:, None], L)[:, 0]
+        rc = jnp.minimum(rc4, 3)
+        isn = vp & (rd >= 4)
+        mm_raw = vp & (rd < 4) & (rd != rc) & ~oob
+        if snv_delta1 is not None:
+            v1 = jnp.minimum(rk.ref_chars_block(
+                snv_delta1, n_text, st[:, None], L)[:, 0], 3)
+            v2 = jnp.minimum(rk.ref_chars_block(
+                snv_delta2, n_text, st[:, None], L)[:, 0], 3)
+            snp_ok = mm_raw & (((v1 != 0) & (rd == ((rc + v1) & 3)))
+                               | ((v2 != 0) & (rd == ((rc + v2) & 3))))
+            mm = mm_raw & ~snp_ok
+        else:
+            mm = mm_raw
+        pen = (jnp.where(mm, mm_pen[q], 0)
+               + jnp.where(isn, np.int32(n_pen), 0)
+               + jnp.where(oob, np.int32(_OOB_PEN), 0))
+        mint = mm_raw.astype(jnp.int32)
+        outs = [pen.sum(axis=1), mint.sum(axis=1)]
+        for pf in pos_f:
+            m = colL < pf[colids][:, None]
+            outs.append(jnp.where(m, pen, 0).sum(axis=1))
+            outs.append(jnp.where(m, mint, 0).sum(axis=1))
+        return jnp.stack(outs, axis=1)                       # [K, S]
+
+    def unpack(rows):
+        outs = [rows[:, i].reshape(N, J) for i in range(S)]
+        return outs[0], outs[1], [(outs[2 + 2 * i], outs[3 + 2 * i])
+                                  for i in range(nP)]
+
+    lv = live.reshape(-1)
+    if M <= chunk:
+        vals = jnp.where(lv[:, None],
+                         scalars(jnp.arange(M, dtype=jnp.int32)), 0)
+        return unpack(vals)
+    lvi = lv.astype(jnp.int32)
+    posc = jnp.cumsum(lvi) - lvi                 # exclusive prefix sum
+    total = posc[-1] + lvi[-1]
+    src = jnp.argsort(1 - lvi, stable=True).astype(jnp.int32)
+    nch = (M + chunk - 1) // chunk
+    Mp = nch * chunk
+    srcp = jnp.zeros((Mp,), jnp.int32).at[:M].set(src)
+    buf0 = jnp.zeros((Mp, S), jnp.int32)
+
+    def cond(st):
+        return st[0] * chunk < total
+
+    def body(st):
+        k, buf = st
+        ids = jax.lax.dynamic_slice(srcp, (k * chunk,), (chunk,))
+        return k + 1, jax.lax.dynamic_update_slice(
+            buf, scalars(ids), (k * chunk, 0))
+
+    _, buf = jax.lax.while_loop(cond, body, (jnp.int32(0), buf0))
+    rows = buf[jnp.minimum(posc, Mp - 1)]
+    return unpack(jnp.where(lv[:, None], rows, 0))
+
+
 def extend_grouped(ref_words, n_text: int, reads, quals, lens,
                    cand_start, mm_pen, clip_pen, n_pen: int,
                    allow_softclip: bool = True,

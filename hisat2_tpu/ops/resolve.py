@@ -104,8 +104,61 @@ def resolve_rows(blocked, fchr, mark_words, mark_chk, sa_marked,
         0)
 
 
+def resolve_rows_sparse(blocked, fchr, mark_words, mark_chk, sa_marked,
+                        zrow: int, off_rate: int, row, live,
+                        chunk: int = 32768):
+    """resolve_rows over only the LIVE rows, walked in dynamic chunks.
+
+    The candidate grid is mostly dead (hv/cval-masked slots: hits narrower
+    than their row cap, invalid hits, padding) — typically ~5x more slots
+    than live rows at genome scale (PERF.md config-6 profile).  The dense
+    walk still gathers a 196 B block row per slot per LF step, so dead
+    slots dominate the resolve stage's HBM traffic AND its loop-state
+    copies.  Here live rows are compacted to the front (stable argsort of
+    the mask — two gathers, no scatter), walked `chunk` rows at a time
+    under a `while_loop` whose trip count is ceil(live_total/chunk), and
+    scattered back by the exclusive-prefix-sum position.  Worst case
+    (all live) does the same work as the dense walk; typical case cuts
+    gather volume by the dead-slot ratio.  Dead rows return 0 (callers
+    mask on `live` downstream, matching the previous `where(hv, top, 0)`
+    garbage-walk semantics).
+    """
+    M = row.shape[0]
+    if off_rate == 0:
+        return jnp.where(
+            live, sa_marked[jnp.minimum(row, sa_marked.shape[0] - 1)], 0)
+    if M <= chunk:
+        return jnp.where(live, resolve_rows(
+            blocked, fchr, mark_words, mark_chk, sa_marked, zrow,
+            off_rate, jnp.where(live, row, 0)), 0)
+    nch = (M + chunk - 1) // chunk
+    Mp = nch * chunk
+    lv = live.astype(jnp.int32)
+    pos = jnp.cumsum(lv) - lv                    # exclusive prefix sum [M]
+    total = pos[-1] + lv[-1]
+    src = jnp.argsort(1 - lv, stable=True)       # live-first permutation
+    comp = jnp.zeros((Mp,), row.dtype).at[:M].set(
+        jnp.where(live, row, 0)[src])
+    out0 = jnp.zeros((Mp,), sa_marked.dtype)
+
+    def cond(st):
+        return st[0] * chunk < total
+
+    def body(st):
+        k, out = st
+        rows_k = jax.lax.dynamic_slice(comp, (k * chunk,), (chunk,))
+        res_k = resolve_rows(blocked, fchr, mark_words, mark_chk,
+                             sa_marked, zrow, off_rate, rows_k)
+        return k + 1, jax.lax.dynamic_update_slice(out, res_k,
+                                                   (k * chunk,))
+
+    _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), out0))
+    return jnp.where(live, out[jnp.minimum(pos, Mp - 1)], 0)
+
+
 def resolve_consecutive(blocked, fchr, mark_words, mark_chk, sa_marked,
-                        zrow: int, off_rate: int, top, P: int):
+                        zrow: int, off_rate: int, top, P: int,
+                        live=None, chunk: int = 32768):
     """SA values for the CONSECUTIVE rows top..top+P-1 per lane/hit.
 
     top: int32 [...]; returns [..., P] joined offsets.  On full-SA
@@ -113,7 +166,9 @@ def resolve_consecutive(blocked, fchr, mark_words, mark_chk, sa_marked,
     to_device) the P consecutive entries come from ceil(P/8)+1 gathered
     8-entry ROWS — ~P/3 fewer gather descriptors than the flat
     per-element gather, which is the descriptor-bound hot op of the
-    resolve stage.  Sampled-SA indexes fall back to the lock-step walk."""
+    resolve stage.  Sampled-SA indexes fall back to the lock-step walk —
+    sparse (live-compacted, chunk-walked) when a `live` [..., P] mask is
+    given, dense otherwise."""
     j = jnp.arange(P, dtype=jnp.int32)
     ns = sa_marked.shape[0]
     if off_rate == 0 and ns % 8 == 0:
@@ -130,8 +185,13 @@ def resolve_consecutive(blocked, fchr, mark_words, mark_chk, sa_marked,
             out = jnp.where(wsel == wi, words[..., wi:wi + 1], out)
         return out
     rowm = top[..., None] + j
-    flat = resolve_rows(blocked, fchr, mark_words, mark_chk, sa_marked,
-                        zrow, off_rate, rowm.reshape(-1))
+    if live is not None:
+        flat = resolve_rows_sparse(
+            blocked, fchr, mark_words, mark_chk, sa_marked, zrow,
+            off_rate, rowm.reshape(-1), live.reshape(-1), chunk=chunk)
+    else:
+        flat = resolve_rows(blocked, fchr, mark_words, mark_chk,
+                            sa_marked, zrow, off_rate, rowm.reshape(-1))
     return flat.reshape(rowm.shape)
 
 

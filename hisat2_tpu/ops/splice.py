@@ -667,22 +667,18 @@ def inject_known(ref_words, n_text: int, reads, quals, lens, rdids,
     src = jnp.concatenate(cand_srcp, axis=1)
     J = x_all.shape[1]
 
-    planes = extend_ops.pen_planes(
-        ref_words, n_text, reads, quals, lens,
-        jnp.where(ok_all, fresh, -1), mm_pen, n_pen,
-        snv_delta1=snv_delta1, snv_delta2=snv_delta2)
-    zero3 = jnp.zeros((N, J, 1), jnp.int32)
     # SNV-forgiving penalties: the reference's site-guided extend/combine
     # runs with ALT forgiveness (tempHit.extend -> alignWithALTs), so a
-    # catalog SNV inside either exon piece costs nothing
-    Pf = jnp.concatenate([zero3, jnp.cumsum(planes.pen, axis=2)], axis=2)
-    Pfm = jnp.concatenate(
-        [zero3, jnp.cumsum(planes.mm_raw.astype(jnp.int32), axis=2)], axis=2)
-    lens3 = jnp.broadcast_to(lens[:, None, None], (N, J, 1))
-    tot_f = jnp.take_along_axis(Pf, lens3, axis=2)[:, :, 0]
-    tot_fm = jnp.take_along_axis(Pfm, lens3, axis=2)[:, :, 0]
-    pf_x = jnp.take_along_axis(Pf, x_all[:, :, None], axis=2)[:, :, 0]
-    pfm_x = jnp.take_along_axis(Pfm, x_all[:, :, None], axis=2)[:, :, 0]
+    # catalog SNV inside either exon piece costs nothing.  Only prefix
+    # SCALARS of the fresh-diagonal planes are consumed here, so they
+    # are computed over the LIVE columns only (live_pen_prefix compacts
+    # ~50x at genome scale; dead columns read 0 and stay ok_all=False).
+    x_m1 = jnp.maximum(x_all - 1, 0)
+    tot_f, tot_fm, ppfx = extend_ops.live_pen_prefix(
+        ref_words, n_text, reads, quals, lens, mm_pen, n_pen,
+        fresh, ok_all, [x_all, x_m1],
+        snv_delta1=snv_delta1, snv_delta2=snv_delta2)
+    (pf_x, pfm_x), (pf_xm1, _) = ppfx
     # src-plane prefixes at x
     ps_x = jnp.take_along_axis(
         jnp.take_along_axis(P_raw, src[:, :, None], axis=1),
@@ -779,11 +775,9 @@ def inject_known(ref_words, n_text: int, reads, quals, lens, rdids,
     # piece fails its anchor-purity gate (ned <= la//4 with a 0-length
     # junction-adjacent anchor, spliced_aligner.h:505-510).  The oracle
     # instead re-discovers a shifted novel junction at full penalty.
-    x_m1 = jnp.maximum(x_all - 1, 0)
     ps_xm1 = jnp.take_along_axis(
         jnp.take_along_axis(P_raw, src[:, :, None], axis=1),
         x_m1[:, :, None], axis=2)[:, :, 0]
-    pf_xm1 = jnp.take_along_axis(Pf, x_m1[:, :, None], axis=2)[:, :, 0]
     left_pen_at_donor = jnp.where(is_donor_block, ps_x - ps_xm1,
                                   pf_x - pf_xm1)
     import os as _os
@@ -874,18 +868,14 @@ def inject_indels(ref_words, n_text: int, reads, quals, lens,
     is_left = jnp.arange(J, dtype=jnp.int32)[None, :] < J1
     I = jnp.maximum(-elen, 0)
 
-    planes = extend_ops.pen_planes(
-        ref_words, n_text, reads, quals, lens,
-        jnp.where(ok_all, fresh, -1), mm_pen, n_pen,
-        snv_delta1=snv_delta1, snv_delta2=snv_delta2)
-    zero3 = jnp.zeros((N, J, 1), jnp.int32)
-    Pf = jnp.concatenate([zero3, jnp.cumsum(planes.pen, axis=2)], axis=2)
-    lens3 = jnp.broadcast_to(lens[:, None, None], (N, J, 1))
-    tot_f = jnp.take_along_axis(Pf, lens3, axis=2)[:, :, 0]
-    # prefix gathers: left side uses prefix at x, right side at x + inslen
+    # prefix scalars of the fresh-diagonal planes over LIVE columns only
+    # (left side uses the prefix at x, right side at x + inslen)
     xr = jnp.minimum(x_all + I, L)
-    pf_x = jnp.take_along_axis(Pf, x_all[:, :, None], axis=2)[:, :, 0]
-    pf_xr = jnp.take_along_axis(Pf, xr[:, :, None], axis=2)[:, :, 0]
+    tot_f, _, ppfx = extend_ops.live_pen_prefix(
+        ref_words, n_text, reads, quals, lens, mm_pen, n_pen,
+        fresh, ok_all, [x_all, xr],
+        snv_delta1=snv_delta1, snv_delta2=snv_delta2)
+    (pf_x, _), (pf_xr, _) = ppfx
     ps_x = jnp.take_along_axis(
         jnp.take_along_axis(P_snv, src[:, :, None], axis=1),
         x_all[:, :, None], axis=2)[:, :, 0]

@@ -119,6 +119,26 @@ def test_multimapping_nh(rng):
     assert alns[0].mapq < 60  # equal secbest -> not unique
 
 
+def test_sampled_sa_matches_full_sa(small_index, rng):
+    # off_rate=4 routes candidate resolution through the sparse
+    # live-compacted LF walk (ops/resolve.resolve_rows_sparse); the
+    # alignment set must be identical to the full-SA index's
+    from hisat2_tpu.index.builder import build_fm_index
+    idx0, seq = small_index
+    idx4 = build_fm_index([("chr_t", seq)], off_rate=4)
+    assert idx4.meta.off_rate == 4
+    n, L = 48, 72
+    reads, starts, is_rc = simulate_reads(seq, n, L, rng, mismatches=1)
+    lens = np.full(n, L, np.int32)
+    quals = np.full((n, L), 40, np.uint8)
+    r0 = TPUAligner(idx0).align_batch(reads, quals, lens)
+    r4 = TPUAligner(idx4).align_batch(reads, quals, lens)
+    for i in range(n):
+        a0 = sorted((a.joined_pos, a.score, a.rc) for a in r0.alignments[i])
+        a4 = sorted((a.joined_pos, a.score, a.rc) for a in r4.alignments[i])
+        assert a0 == a4, f"read {i}: {a0} != {a4}"
+
+
 def test_uniform_len_fast_path_matches_general(small_index):
     """The static uniform-length clip optimization must be bit-identical
     to the general per-lane gather path."""

@@ -72,6 +72,74 @@ def test_resolve_rows(small_index, rng):
     np.testing.assert_array_equal(got, sa[r])
 
 
+def test_resolve_rows_sparse_matches_dense(rng):
+    # the live-compacted chunk-walked resolve must be bit-identical to
+    # the dense walk on live slots (dead slots return 0 by contract).
+    # Built with off_rate=4: the sparse path only exists for SAMPLED SA
+    # (full-SA indexes resolve by direct gather).
+    from hisat2_tpu.index.builder import build_fm_index
+    r0 = np.random.default_rng(777)
+    seq = r0.integers(0, 4, 20000).astype(np.uint8)
+    idx = build_fm_index([("chr_t", seq)], off_rate=4)
+    assert idx.meta.off_rate == 4
+    sa, _, _ = _bwt_of(seq)
+    M = 4096
+    r = rng.integers(0, idx.meta.rows, M).astype(np.int32)
+    live = rng.random(M) < 0.17
+    blocked = jnp.asarray(fuse_blocked(idx.occ, idx.bwt_words))
+    args = (blocked, jnp.asarray(idx.fchr), jnp.asarray(idx.mark_words),
+            jnp.asarray(idx.mark_chk), jnp.asarray(idx.sa_marked),
+            idx.meta.zrow, idx.meta.off_rate)
+    for chunk in (512, 1024, M):        # multi-chunk, 2-chunk, dense-path
+        got = np.asarray(rs.resolve_rows_sparse(
+            *args, jnp.asarray(r), jnp.asarray(live), chunk=chunk))
+        np.testing.assert_array_equal(got[live], sa[r][live])
+        np.testing.assert_array_equal(got[~live], 0)
+    # all-dead and all-live edges
+    for lv in (np.zeros(M, bool), np.ones(M, bool)):
+        got = np.asarray(rs.resolve_rows_sparse(
+            *args, jnp.asarray(r), jnp.asarray(lv), chunk=512))
+        np.testing.assert_array_equal(got[lv], sa[r][lv])
+
+
+def test_live_pen_prefix_matches_dense_planes(small_index, rng):
+    # the compacted injection-scalar helper must equal cumsum+gather of
+    # the dense pen_planes on live columns (and 0 on dead ones)
+    import jax.numpy as jnp
+    from hisat2_tpu.ops import extend as ex
+    idx, seq = small_index
+    N, J, L = 40, 14, 60
+    reads = rng.integers(0, 4, (N, L)).astype(np.int32)
+    reads[rng.random((N, L)) < 0.02] = 4          # some N columns
+    quals = rng.integers(20, 41, (N, L)).astype(np.int32)
+    lens = rng.integers(30, L + 1, N).astype(np.int32)
+    fresh = rng.integers(-5, idx.meta.n, (N, J)).astype(np.int32)
+    live = rng.random((N, J)) < 0.3
+    xq = rng.integers(0, L + 1, (N, J)).astype(np.int32)
+    mm_pen = jnp.asarray(np.arange(64, dtype=np.int32) // 10 + 2)
+    planes = ex.pen_planes(jnp.asarray(idx.ref_words), idx.meta.n,
+                           jnp.asarray(reads), jnp.asarray(quals),
+                           jnp.asarray(lens), jnp.asarray(fresh),
+                           mm_pen, 1)
+    pen = np.asarray(planes.pen)
+    mmr = np.asarray(planes.mm_raw).astype(np.int32)
+    colm = np.arange(L)[None, None, :] < xq[:, :, None]
+    for chunk in (128, 4096, N * J):
+        tot_f, tot_m, [(pf, pm)] = ex.live_pen_prefix(
+            jnp.asarray(idx.ref_words), idx.meta.n, jnp.asarray(reads),
+            jnp.asarray(quals), jnp.asarray(lens), mm_pen, 1,
+            jnp.asarray(fresh), jnp.asarray(live), [jnp.asarray(xq)],
+            chunk=chunk)
+        np.testing.assert_array_equal(
+            np.asarray(tot_f), np.where(live, pen.sum(2), 0))
+        np.testing.assert_array_equal(
+            np.asarray(tot_m), np.where(live, mmr.sum(2), 0))
+        np.testing.assert_array_equal(
+            np.asarray(pf), np.where(live, (pen * colm).sum(2), 0))
+        np.testing.assert_array_equal(
+            np.asarray(pm), np.where(live, (mmr * colm).sum(2), 0))
+
+
 def test_joined_to_ref(multi_index):
     idx, seqs = multi_index
     fj = jnp.asarray(idx.frag_joined)
