@@ -844,15 +844,20 @@ class TPUAligner:
                                 jnp.int32(2 ** 30))
             cut = jnp.minimum(cut, cut_ext).astype(jnp.int32)
             H2 = 2
+            # most lanes have no uncovered prefix to re-search: run the
+            # scan over only the lanes whose cut can yield a hit
+            # (search_lanes_live compacts + chunks; zeros elsewhere)
             if getattr(d, "ftab2_top", None) is not None:
-                hits2 = search_ops.partial_search2(
+                fn2 = lambda rr, ll: search_ops.partial_search2(  # noqa: E731
                     d.blocked, d.fchr, d.ftab2_top, meta.zrow,
-                    meta.zrow2, meta.rows, ar, cut, H2,
+                    meta.zrow2, meta.rows, rr, ll, H2,
                     self.min_hit_len, self.min_k)
             else:
-                hits2 = search_ops.partial_search(
-                    d.blocked, d.fchr, meta.zrow, meta.rows, ar,
-                    cut, H2, self.min_hit_len, self.min_k)
+                fn2 = lambda rr, ll: search_ops.partial_search(  # noqa: E731
+                    d.blocked, d.fchr, meta.zrow, meta.rows, rr,
+                    ll, H2, self.min_hit_len, self.min_k)
+            hits2 = search_ops.search_lanes_live(
+                fn2, ar, cut, self.min_hit_len)
             w2 = hits2.bot - hits2.top
             hv2 = jnp.arange(H2, dtype=jnp.int32)[None, :] \
                 < hits2.nh[:, None]
@@ -1123,7 +1128,9 @@ class TPUAligner:
                 src_clip_l=ext.clip_l, src_clip_r=ext.clip_r,
                 clip_pen=params["clip_pen"],
                 snv_delta1=params.get("snv1"),
-                snv_delta2=params.get("snv2"))
+                snv_delta2=params.get("snv2"),
+                kd_lob=ss.get("ss_kd_lob"), ka_lob=ss.get("ss_ka_lob"),
+                ss_shift=ss.get("ss_shift"))
             J = inj["score"].shape[1]
             src_i = inj.pop("src")
             inj["ab"] = compact_ops.take_cols(cab, src_i)

@@ -22,7 +22,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops.splice import SPL_UNKNOWN
+from ..ops.splice import (SPL_UNKNOWN, SS_MERGE_HEADROOM, SS_NBINS,
+                          SS_SB)
 
 # padding sentinel for the sorted device arrays: must exceed every real
 # shard-local position (shards reach ~2 Gbp, so 2^30 — the old value —
@@ -33,17 +34,26 @@ _SENTINEL = np.int32(2 ** 31 - 2)
 # incremental-update upload granularity: new-site rows are padded to
 # this fixed length so the merge jit compiles once per capacity
 _MERGE_CHUNK = 512
-_merge_jit = None
+_merge_jits = {}
 
 
-def _merge_sorted_tabs(kd, ka, rd, ka_s, kd_s, rd_a, nkd, nka, nrd):
+def _merge_sorted_tabs(kd, ka, rd, ka_s, kd_s, rd_a, nkd, nka, nrd,
+                       lob_kd=None, lob_ka=None, bins_kd=None,
+                       bins_ka=None, wts=None):
     """Fold newly-appended (still unsorted) site rows into both sorted
     device table sets ON DEVICE: concat + stable argsort on the packed
     (major, minor) key, slice back to capacity (the dropped tail rows
     are sentinel padding by construction).  Equivalent to a host
-    lexsort rebuild + full re-upload, at ~KBs of tunnel traffic."""
-    global _merge_jit
-    if _merge_jit is None:
+    lexsort rebuild + full re-upload, at ~KBs of tunnel traffic.
+
+    When bucket indexes are attached (ops/splice.table_searchsorted),
+    they update in the same jit: per-bin counts of the new rows
+    (bins_kd/bins_ka int32 [_MERGE_CHUNK], wts 1 for real rows) feed an
+    exclusive cumsum added onto lob — lob[b] stays the count of rows
+    with key < b << shift."""
+    global _merge_jits
+    key = lob_kd is not None
+    if key not in _merge_jits:
         import jax
         import jax.numpy as jnp
 
@@ -59,12 +69,29 @@ def _merge_sorted_tabs(kd, ka, rd, ka_s, kd_s, rd_a, nkd, nka, nrd):
             o = o1[o2]
             return mj[o][:cap], mn[o][:cap], r2[o][:cap]
 
-        def body(kd, ka, rd, ka_s, kd_s, rd_a, nkd, nka, nrd):
-            kd1, ka1, rd1 = merge3(kd, ka, rd, nkd, nka, nrd)
-            ka2, kd2, rd2 = merge3(ka_s, kd_s, rd_a, nka, nkd, nrd)
-            return kd1, ka1, rd1, ka2, kd2, rd2
-        _merge_jit = jax.jit(body)
-    return _merge_jit(kd, ka, rd, ka_s, kd_s, rd_a, nkd, nka, nrd)
+        def lob_add(lob, bins, w):
+            cnt = jnp.zeros(SS_NBINS, jnp.int32).at[bins].add(w)
+            return lob + jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt)])
+
+        if key:
+            def body(kd, ka, rd, ka_s, kd_s, rd_a, nkd, nka, nrd,
+                     lob_kd, lob_ka, bins_kd, bins_ka, wts):
+                kd1, ka1, rd1 = merge3(kd, ka, rd, nkd, nka, nrd)
+                ka2, kd2, rd2 = merge3(ka_s, kd_s, rd_a, nka, nkd, nrd)
+                return (kd1, ka1, rd1, ka2, kd2, rd2,
+                        lob_add(lob_kd, bins_kd, wts),
+                        lob_add(lob_ka, bins_ka, wts))
+        else:
+            def body(kd, ka, rd, ka_s, kd_s, rd_a, nkd, nka, nrd):
+                kd1, ka1, rd1 = merge3(kd, ka, rd, nkd, nka, nrd)
+                ka2, kd2, rd2 = merge3(ka_s, kd_s, rd_a, nka, nkd, nrd)
+                return kd1, ka1, rd1, ka2, kd2, rd2
+        _merge_jits[key] = jax.jit(body)
+    args = (kd, ka, rd, ka_s, kd_s, rd_a, nkd, nka, nrd)
+    if key:
+        args += (lob_kd, lob_ka, bins_kd, bins_ka, wts)
+    return _merge_jits[key](*args)
 
 
 class SpliceSiteDB:
@@ -324,23 +351,47 @@ class SpliceSiteDB:
             kd, ka, rd = self._window_cols(base, n,
                                            lo_row=cached["rows"])
             m = len(kd)
-            if m and cached["nreal"] + m <= cap - 1:
+            t = cached["tabs"]
+            have_lob = "ss_kd_lob" in t
+            # bucket spans were bounded at rebuild assuming at most
+            # SS_MERGE_HEADROOM incremental rows; past that, rebuild
+            incr_ok = (not have_lob) or \
+                (cached.get("incr", 0) + m <= SS_MERGE_HEADROOM)
+            if m and cached["nreal"] + m <= cap - 1 and incr_ok:
                 pkd = np.full(_MERGE_CHUNK, _SENTINEL, np.int32)
                 pka = np.full(_MERGE_CHUNK, _SENTINEL, np.int32)
                 prd = np.full(_MERGE_CHUNK, -1, np.int32)
                 pkd[:m], pka[:m], prd[:m] = kd, ka, rd
-                t = cached["tabs"]
+                lob_args = ()
+                if have_lob:
+                    sh = int(cached["shift"])
+                    bkd = np.zeros(_MERGE_CHUNK, np.int32)
+                    bka = np.zeros(_MERGE_CHUNK, np.int32)
+                    wts = np.zeros(_MERGE_CHUNK, np.int32)
+                    bkd[:m] = np.clip(kd.astype(np.int64) >> sh,
+                                      0, SS_NBINS - 1)
+                    bka[:m] = np.clip(ka.astype(np.int64) >> sh,
+                                      0, SS_NBINS - 1)
+                    wts[:m] = 1
+                    lob_args = (t["ss_kd_lob"], t["ss_ka_lob"],
+                                jnp.asarray(bkd), jnp.asarray(bka),
+                                jnp.asarray(wts))
                 merged = _merge_sorted_tabs(
                     t["ss_kd"], t["ss_ka"], t["ss_rdid"],
                     t["ss_ka_s"], t["ss_kd_s"], t["ss_rdid_a"],
                     jnp.asarray(pkd), jnp.asarray(pka),
-                    jnp.asarray(prd))
+                    jnp.asarray(prd), *lob_args)
                 tabs = dict(zip(("ss_kd", "ss_ka", "ss_rdid",
                                  "ss_ka_s", "ss_kd_s", "ss_rdid_a"),
-                                merged))
-                self._tables[(base, n)] = {
-                    "tabs": tabs, "rows": rows,
-                    "nreal": cached["nreal"] + m}
+                                merged[:6]))
+                ent = {"tabs": tabs, "rows": rows,
+                       "nreal": cached["nreal"] + m,
+                       "incr": cached.get("incr", 0) + m}
+                if have_lob:
+                    tabs["ss_kd_lob"], tabs["ss_ka_lob"] = merged[6:8]
+                    tabs["ss_shift"] = t["ss_shift"]
+                    ent["shift"] = cached["shift"]
+                self._tables[(base, n)] = ent
                 return tabs
             if not m:
                 cached["rows"] = rows
@@ -366,6 +417,26 @@ class SpliceSiteDB:
             "ss_ka_s": jnp.asarray(aka2), "ss_kd_s": jnp.asarray(akd2),
             "ss_rdid_a": jnp.asarray(ard2),
         }
+        ent = {"tabs": tabs, "rows": rows, "nreal": nn, "incr": 0}
+        # bucket index (ops/splice.table_searchsorted): lob[b] = first
+        # row with key >= b << shift.  Attached only when every bin span
+        # plus the incremental-merge headroom fits SS_SB binary steps.
+        n_eff = 1
+        if nn:
+            n_eff = int(max(akd[nn - 1], aka2[nn - 1])) + 1
+        shift = max(0, (n_eff - 1).bit_length() - SS_NBINS.bit_length()
+                    + 1)
+        edges = np.arange(SS_NBINS + 1, dtype=np.int64) << shift
+        lob_kd = np.searchsorted(akd[:nn], edges).astype(np.int32)
+        lob_ka = np.searchsorted(aka2[:nn], edges).astype(np.int32)
+        span = 0
+        if nn:
+            span = int(max(np.diff(lob_kd).max(), np.diff(lob_ka).max()))
+        if span + SS_MERGE_HEADROOM < (1 << SS_SB):
+            tabs["ss_kd_lob"] = jnp.asarray(lob_kd)
+            tabs["ss_ka_lob"] = jnp.asarray(lob_ka)
+            tabs["ss_shift"] = jnp.asarray(np.int32(shift))
+            ent["shift"] = shift
         # rdid fixups are folded in by this rebuild; other windows'
         # caches rebuild on their next request
         stale = [k for k, v in self._tables.items()
@@ -375,8 +446,7 @@ class SpliceSiteDB:
             for k in stale:
                 del self._tables[k]
             self._rdid_dirty = False
-        self._tables[(base, n)] = {"tabs": tabs, "rows": rows,
-                                   "nreal": nn}
+        self._tables[(base, n)] = ent
         return tabs
 
     # ------------------------------------------------------------------

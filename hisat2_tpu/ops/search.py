@@ -264,6 +264,65 @@ def partial_search(blocked, fchr, zrow: int, rows: int,
                           f_stopped, ev, ev_top, ev_bot, ev_stop)
 
 
+def search_lanes_live(search_fn, reads, lens, min_hit_len: int,
+                      chunk: int = 2048):
+    """Run a partial-search over only the lanes that can produce a hit.
+
+    The spliced prefix RE-SEARCH (pipeline._align_device) hands every
+    lane to the scan, but a lane whose uncovered prefix `cut` is shorter
+    than min_hit_len can never record a hit (every write_hit /
+    final-close span is bounded by the lane length) — its PartialHits
+    row is all-zero by construction.  Typically most lanes have cut==0,
+    yet the static-trip scan still issues their rank gathers every step.
+    Here live lanes (lens >= min_hit_len) are compacted to the front and
+    searched `chunk` lanes at a time under a dynamic-trip while_loop
+    (the same argsort/prefix-sum pattern as resolve_rows_sparse); dead
+    lanes are backfilled with zeros — identical to the dense scan for
+    the hit slots (top/bot/lo/hi/nh), which is all the re-search
+    consumes.  NOTE: the dense scan does record sub-min_hit_len ROUNDS
+    (rounds/nrounds/stopped) for such lanes; do not use this wrapper
+    where the search-budget round log of short lanes matters (the main
+    search).  search_fn: (reads [K, L], lens [K]) -> PartialHits.
+    """
+    B, L = reads.shape
+    if B <= chunk:
+        return search_fn(reads, lens)
+    lv = lens >= min_hit_len
+    lvi = lv.astype(jnp.int32)
+    pos = jnp.cumsum(lvi) - lvi
+    total = pos[-1] + lvi[-1]
+    src = jnp.argsort(1 - lvi, stable=True).astype(jnp.int32)
+    nch = (B + chunk - 1) // chunk
+    Bp = nch * chunk
+    srcp = jnp.zeros((Bp,), jnp.int32).at[:B].set(src)
+    protos = jax.eval_shape(
+        search_fn, jax.ShapeDtypeStruct((chunk, L), reads.dtype),
+        jax.ShapeDtypeStruct((chunk,), jnp.int32))
+    bufs0 = tuple(jnp.zeros((Bp,) + p.shape[1:], p.dtype) for p in protos)
+
+    def cond(st):
+        return st[0] * chunk < total
+
+    def body(st):
+        k, bufs = st
+        ids = jax.lax.dynamic_slice(srcp, (k * chunk,), (chunk,))
+        ph = search_fn(reads[ids], lens.astype(jnp.int32)[ids])
+        bufs = tuple(
+            jax.lax.dynamic_update_slice(b, v, (k * chunk,)
+                                         + (0,) * (b.ndim - 1))
+            for b, v in zip(bufs, tuple(ph)))
+        return k + 1, bufs
+
+    _, bufs = jax.lax.while_loop(cond, body, (jnp.int32(0), bufs0))
+    posc = jnp.minimum(pos, Bp - 1)
+    outs = []
+    for b in bufs:
+        v = b[posc]
+        m = lv.reshape((B,) + (1,) * (v.ndim - 1))
+        outs.append(jnp.where(m, v, jnp.zeros((), b.dtype)))
+    return PartialHits(*outs)
+
+
 def _finish_events(lens, H, min_hit_len, f_top, f_bot, f_rb, f_stopped,
                    ev, ev_top, ev_bot, ev_stop):
     """Derive PartialHits from a per-position event stream (shared by

@@ -178,6 +178,36 @@ class PairResult(NamedTuple):
 
 _BIG = np.int32(2 ** 30)
 
+# bucket-index geometry for the sorted site tables: NB bins of 2^shift
+# joined bases each; lob[b] = first table row with key >= b << shift.
+# A query then binary-searches only its bin's span — SS_SB masked steps
+# (span + incremental-merge headroom bounded at rebuild time,
+# align/splice_db.device_tables) instead of log2(capacity) ~ 19 gathered
+# steps over the full table.  Identical results to jnp.searchsorted.
+SS_NBINS = 1 << 19
+SS_SB = 12              # covers spans up to 4096 (checked at rebuild)
+SS_MERGE_HEADROOM = 1024
+
+
+def table_searchsorted(tab, q, lob=None, shift=None):
+    """searchsorted(tab, q, side='left'), bucket-accelerated when a
+    bucket index (lob [SS_NBINS+1], shift 0-d int32) is provided."""
+    if lob is None:
+        return jnp.searchsorted(tab, q)
+    NB = lob.shape[0] - 1
+    b = jnp.clip(jnp.right_shift(q, shift.astype(q.dtype)), 0, NB - 1)
+    lo = lob[b]
+    hi = lob[b + 1]
+    Sm1 = tab.shape[0] - 1
+    for _ in range(SS_SB):
+        mid = (lo + hi) >> 1
+        v = tab[jnp.clip(mid, 0, Sm1)]
+        act = lo < hi
+        go = v < q
+        lo = jnp.where(act & go, mid + 1, lo)
+        hi = jnp.where(act & ~go, mid, hi)
+    return lo
+
 
 
 # per-position PWM factors: table[kmer] = prod_j BACKGROUND[b_j]/PROB[b_j, j]
@@ -601,7 +631,8 @@ def inject_known(ref_words, n_text: int, reads, quals, lens, rdids,
                  kd, ka, krdid, ka_s, kd_s, krdid_a,
                  mm_pen, n_pen: int, minsc, slots: int = 2,
                  src_clip_l=None, src_clip_r=None, clip_pen=None,
-                 snv_delta1=None, snv_delta2=None):
+                 snv_delta1=None, snv_delta2=None,
+                 kd_lob=None, ka_lob=None, ss_shift=None):
     """Known/temp splice-site directed candidates (the TPU-native equivalent
     of the reference's splice-site-driven re-alignment,
     spliced_aligner.h:296-407 getLeftSpliceSites / :409-500,1213-1338
@@ -632,7 +663,7 @@ def inject_known(ref_words, n_text: int, reads, quals, lens, rdids,
     lens2 = lens[:, None]
 
     # --- donor-keyed: src diagonal is the LEFT side --------------------
-    lo = jnp.searchsorted(kd, starts)                            # [N, C]
+    lo = table_searchsorted(kd, starts, kd_lob, ss_shift)        # [N, C]
     cand_x, cand_d2, cand_ok, cand_srcp = [], [], [], []
     for t in range(slots):
         idx = jnp.minimum(lo + t, S - 1)
@@ -647,7 +678,7 @@ def inject_known(ref_words, n_text: int, reads, quals, lens, rdids,
         cand_srcp.append(jnp.arange(C, dtype=jnp.int32)[None, :]
                          .repeat(N, 0))
     # --- acceptor-keyed: src diagonal is the RIGHT side ----------------
-    lo2 = jnp.searchsorted(ka_s, starts + 1)
+    lo2 = table_searchsorted(ka_s, starts + 1, ka_lob, ss_shift)
     for t in range(slots):
         idx = jnp.minimum(lo2 + t, S - 1)
         site_rd = krdid_a[idx]
@@ -1187,7 +1218,9 @@ def second_sweep(ch, pen_spl, mm_raw, starts, valid, lens, minsc,
             if side == "right":
                 # donor on the inner plane at x-1; acceptor on d3 at x
                 posd = inner_start + xs1 - 1                 # [N, L+1]
-                lo = jnp.searchsorted(ss["ss_kd"], posd)
+                lo = table_searchsorted(ss["ss_kd"], posd,
+                                        ss.get("ss_kd_lob"),
+                                        ss.get("ss_shift"))
                 known_c = jnp.zeros((N, C, L + 1), bool)
                 for t in range(2):
                     ii = jnp.minimum(lo + t, S - 1)
@@ -1203,7 +1236,9 @@ def second_sweep(ch, pen_spl, mm_raw, starts, valid, lens, minsc,
             else:
                 # acceptor on the inner plane at x; donor on d0 at x-1
                 posa = inner_start + xs1                     # [N, L+1]
-                lo = jnp.searchsorted(ss["ss_ka_s"], posa)
+                lo = table_searchsorted(ss["ss_ka_s"], posa,
+                                        ss.get("ss_ka_lob"),
+                                        ss.get("ss_shift"))
                 known_c = jnp.zeros((N, C, L + 1), bool)
                 for t in range(2):
                     ii = jnp.minimum(lo + t, S - 1)

@@ -102,6 +102,42 @@ def test_resolve_rows_sparse_matches_dense(rng):
         np.testing.assert_array_equal(got[lv], sa[r][lv])
 
 
+def test_search_lanes_live_matches_dense(small_index, rng):
+    # chunked live-lane search must reproduce the dense scan's hit slots
+    # (the fields the prefix re-search consumes) for every lane
+    import jax.numpy as jnp
+    from hisat2_tpu.ops import search as se
+    from hisat2_tpu.index.format import fuse_blocked
+    idx, seq = small_index
+    B, L = 96, 50
+    reads = np.zeros((B, L), np.int32)
+    lens = np.zeros(B, np.int32)
+    for i in range(B):
+        kind = i % 3
+        if kind == 0:
+            lens[i] = 0                            # dead lane
+        elif kind == 1:
+            lens[i] = rng.integers(1, 16)          # sub-min_hit_len
+        else:
+            lens[i] = rng.integers(20, L + 1)
+            s = rng.integers(0, len(seq) - L)
+            reads[i, :lens[i]] = seq[s:s + lens[i]]
+    blocked = jnp.asarray(fuse_blocked(idx.occ, idx.bwt_words))
+
+    def fn(rr, ll):
+        return se.partial_search(blocked, jnp.asarray(idx.fchr),
+                                 idx.meta.zrow, idx.meta.rows, rr, ll,
+                                 4, 16, 16)
+
+    dense = fn(jnp.asarray(reads), jnp.asarray(lens))
+    live = se.search_lanes_live(fn, jnp.asarray(reads),
+                                jnp.asarray(lens), 16, chunk=32)
+    for f in ("top", "bot", "lo", "hi", "nh"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(live, f)), np.asarray(getattr(dense, f)),
+            err_msg=f)
+
+
 def test_live_pen_prefix_matches_dense_planes(small_index, rng):
     # the compacted injection-scalar helper must equal cumsum+gather of
     # the dense pen_planes on live columns (and 0 on dead ones)

@@ -75,6 +75,28 @@ def test_tables_monotonic_beyond_2_30():
     assert kd[i] == 1_500_000_000
 
 
+def test_bucket_searchsorted_matches_dense(small_idx):
+    import jax.numpy as jnp
+    from hisat2_tpu.ops.splice import table_searchsorted
+    rng = np.random.default_rng(7)
+    db = SpliceSiteDB(small_idx)
+    for a, d in zip(rng.integers(100, 49000, 300),
+                    rng.integers(60, 400, 300)):
+        db.add_novel(0, int(a), int(a + d), 1, rdid=3)
+    n = small_idx.meta.n
+    t = db.device_tables(0, n)
+    assert "ss_kd_lob" in t                     # buckets attached
+    # queries incl. negatives, beyond-text, duplicates-of-key values
+    q = np.concatenate([
+        rng.integers(-200, n + 200, 5000),
+        np.asarray(t["ss_kd"])[:50].astype(np.int64)]).astype(np.int32)
+    for tab, lob in (("ss_kd", "ss_kd_lob"), ("ss_ka_s", "ss_ka_lob")):
+        got = np.asarray(table_searchsorted(
+            t[tab], jnp.asarray(q), t[lob], t["ss_shift"]))
+        exp = np.asarray(jnp.searchsorted(t[tab], jnp.asarray(q)))
+        np.testing.assert_array_equal(got, exp, err_msg=tab)
+
+
 def test_max_intron_in_vectorized(small_idx):
     db = SpliceSiteDB(small_idx)
     db.add_novel(0, 1000, 1300, 1, rdid=7)     # intron len 299
